@@ -1,0 +1,517 @@
+"""Genotype/phenotype containers: the L2 data layer.
+
+``GenoBed`` owns the packed 2-bit design matrix (word-major uint32, planar N
+layout), per-marker statistics, the standardized phenotype and its NA mask,
+and exposes the two matvecs ``ax``/``atx`` plus marker/people statistics —
+the TPU-native re-design of the reference's ``data`` class (data.hpp:18-146).
+
+Scaling conventions (parity-critical, reference data.cpp):
+  * A[n,m] = (g - mave_m) * nonmiss * msig_m / sqrt(N)   (data.cpp:825-832)
+  * mave   = mean of dosage over genotype-non-missing AND phenotype-non-NA
+             individuals (data.cpp:446-476)
+  * msig   = (1 / sd)^alpha_scale with sd over the same support and
+             denominator (nonas - 1), nonas = phenotype-non-NA count
+             (data.cpp:477-483)
+  * phenotype is *scaled* by sqrt((nonas-1) / sum((y-mean)^2)) but NOT
+    centered; NA slots are zeroed by the filter (data.cpp:171-186, 1065-1080)
+
+``GenoDense`` is the dense (methylation) variant of the same interface
+(reference data.cpp:241-278, 487-541, 1013-1045).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gvamp_tpu.io import plink
+from gvamp_tpu.ops import matvec
+from gvamp_tpu.ops.layout import PlanarLayout
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+@functools.partial(jax.jit, static_argnames=("block", "use64"))
+def _marker_stats_kernel(words, na_planar, nonas, alpha_scale, block=512, use64=False):
+    """Blocked two-moment pass over the packed matrix -> (mave, msig).
+
+    Decodes ``block`` markers at a time (bounded memory) and reduces the three
+    sufficient sums S_a = sum a*mask, S_b = sum b*mask, S_aa = sum a^2*mask;
+    then mave = S_a/S_b and var = (S_aa - S_a^2/S_b) / (nonas-1), matching the
+    reference's two-pass loop (data.cpp:446-483) algebraically.
+    """
+    dt = jnp.float64 if use64 else jnp.float32
+    Nw, M = words.shape
+    na = na_planar.astype(dt)  # [4, Nb]
+
+    def body(i, acc):
+        sa, sb, saa = acc
+        blk = jax.lax.dynamic_slice(words, (0, i * block), (Nw, block))
+        a, b = matvec.decode_planar_dense(blk, dt)  # [4, Nb, block]
+        am = a * na[:, :, None]
+        bm = b * na[:, :, None]
+        sa = jax.lax.dynamic_update_slice(sa, jnp.sum(am, axis=(0, 1)), (i * block,))
+        sb = jax.lax.dynamic_update_slice(sb, jnp.sum(bm, axis=(0, 1)), (i * block,))
+        saa = jax.lax.dynamic_update_slice(saa, jnp.sum(a * am, axis=(0, 1)), (i * block,))
+        return sa, sb, saa
+
+    zeros = jnp.zeros((M,), dt)
+    sa, sb, saa = jax.lax.fori_loop(0, M // block, body, (zeros, zeros, zeros))
+    mave = jnp.where(sb != 0, sa / jnp.where(sb == 0, 1.0, sb), 0.0)
+    sumsqr = saa - mave * sa  # = sum (a-mave)^2 * b * na
+    sd = jnp.sqrt(sumsqr / (nonas - 1.0))
+    msig = jnp.where(sumsqr != 0, 1.0 / jnp.power(jnp.where(sumsqr == 0, 1.0, sd), alpha_scale), 1.0)
+    return mave, msig
+
+
+@dataclasses.dataclass
+class GenoBed:
+    """Packed .bed container + standardized operator (marker-shardable)."""
+
+    layout: PlanarLayout
+    N: int          # individuals
+    Mt: int         # total markers across all shards
+    M: int          # markers owned by this container (== Mt single-host)
+    S: int          # global offset of first owned marker
+    Mpad: int       # padded marker count (tile/shard aligned)
+    words: jax.Array          # uint32[Nw, Mpad]
+    mave: jax.Array           # f[Mpad]
+    msig: jax.Array           # f[Mpad]
+    na_planar: jax.Array      # f[4, Nb] phenotype non-NA indicator
+    y_planar: jax.Array       # f[4, Nb] standardized phenotype, NA slots zero
+    nonas: int
+    intercept: float
+    scale: float
+    alpha_scale: float = 1.0
+    bim_path: str = ""
+    mesh: Optional[Mesh] = None
+    backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    covs: Optional[np.ndarray] = None  # [N, C] covariates (probit model)
+    _chroms: Optional[np.ndarray] = None
+
+    # ---------------------------------------------------------------- build
+
+    @classmethod
+    def from_arrays(
+        cls,
+        bed_bytes: np.ndarray,   # uint8[M, mbytes]
+        y_raw: np.ndarray,       # float64[N], NaN = missing
+        N: int,
+        Mt: int | None = None,
+        S: int = 0,
+        standardize_phen: bool = True,
+        alpha_scale: float = 1.0,
+        mesh: Optional[Mesh] = None,
+        backend: str = "auto",
+        dtype=jnp.float32,
+        bim_path: str = "",
+        word_align: int = 32,
+        marker_align: int = 512,
+    ) -> "GenoBed":
+        M = bed_bytes.shape[0]
+        Mt = M if Mt is None else Mt
+        lay = PlanarLayout.create(N, word_align=word_align)
+
+        n_shards = mesh.devices.size if mesh is not None else 1
+        Mpad = _round_up(max(M, 1), marker_align * n_shards)
+        words_np = np.full((lay.n_words, Mpad), 0x55555555, dtype=np.uint32)
+        words_np[:, :M] = lay.pack_words(bed_bytes).T
+
+        isna = np.isnan(y_raw)
+        nonas = int((~isna).sum())
+        if standardize_phen and nonas > 1:
+            avg = float(np.nanmean(y_raw))
+            sqn = float(np.sqrt((nonas - 1) / np.nansum((y_raw - avg) ** 2)))
+        else:
+            avg, sqn = 0.0, 1.0
+        y = np.where(isna, 0.0, y_raw * sqn)  # scaled, NOT centered; NA -> 0
+        na = (~isna).astype(np.float64)
+
+        sharding = None
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P(None, "m"))
+        words_dev = jax.device_put(words_np, sharding)
+
+        obj = cls(
+            layout=lay, N=N, Mt=Mt, M=M, S=S, Mpad=Mpad,
+            words=words_dev,
+            mave=jnp.zeros((Mpad,), dtype), msig=jnp.zeros((Mpad,), dtype),
+            na_planar=jnp.asarray(lay.planarize(na), dtype),
+            y_planar=jnp.asarray(lay.planarize(y), dtype),
+            nonas=nonas, intercept=avg, scale=sqn,
+            alpha_scale=alpha_scale, bim_path=bim_path,
+            mesh=mesh, backend=_pick_backend(backend), dtype=dtype,
+        )
+        obj.compute_marker_statistics()
+        return obj
+
+    @classmethod
+    def from_files(
+        cls, bed_path: str, phen_path: str | None, N: int, Mt: int,
+        S: int = 0, M: int | None = None, **kw,
+    ) -> "GenoBed":
+        M = Mt if M is None else M
+        bed = plink.read_bed_slab(bed_path, N, M, S)
+        if phen_path:
+            y, isna = plink.read_phen(phen_path)
+            y = np.where(isna, np.nan, y)
+            assert y.shape[0] == N, (y.shape, N)
+        else:
+            y = np.zeros(N)
+        return cls.from_arrays(bed, y, N=N, Mt=Mt, S=S, **kw)
+
+    def set_phen(self, y: np.ndarray, standardize: bool = False) -> None:
+        """Replace the phenotype (simulation path; reference data.hpp:55 set_phen).
+
+        Simulated phenotypes are used unstandardized (sim.cpp:219-221).
+        """
+        y = np.asarray(y, dtype=np.float64)
+        if y.size == self.N:
+            isna = np.isnan(y)
+            self.nonas = int((~isna).sum())
+            if standardize:
+                avg = float(np.nanmean(y))
+                sqn = float(np.sqrt((self.nonas - 1) / np.nansum((y - avg) ** 2)))
+                self.intercept, self.scale = avg, sqn
+                y = y * sqn
+            yf = np.where(isna, 0.0, y)
+            self.na_planar = jnp.asarray(self.layout.planarize((~isna).astype(np.float64)), self.dtype)
+            self.y_planar = jnp.asarray(self.layout.planarize(yf), self.dtype)
+        else:  # already planar-flat
+            self.y_planar = jnp.asarray(y, self.dtype).reshape(4, self.layout.n_bytes)
+        self.compute_marker_statistics()
+
+    # ---------------------------------------------------------------- stats
+
+    def compute_marker_statistics(self) -> None:
+        use64 = self.dtype == jnp.float64
+        block = min(512, self.Mpad)
+        if self.mesh is not None:
+            stats = jax.jit(
+                jax.shard_map(
+                    lambda wd, na: _marker_stats_kernel(
+                        wd, na, float(self.nonas), float(self.alpha_scale),
+                        block=block, use64=use64),
+                    mesh=self.mesh,
+                    in_specs=(P(None, "m"), P(None, None)),
+                    out_specs=P("m"),
+                )
+            )
+            mave, msig = stats(self.words, self.na_planar)
+        else:
+            mave, msig = _marker_stats_kernel(
+                self.words, self.na_planar, float(self.nonas),
+                float(self.alpha_scale), block=block, use64=use64)
+        pad_mask = (jnp.arange(self.Mpad) < self.M)
+        self.mave = jnp.where(pad_mask, mave, 0.0).astype(self.dtype)
+        self.msig = jnp.where(pad_mask, msig, 0.0).astype(self.dtype)
+
+    def compute_people_statistics(self):
+        """Per-individual stats for the XXT preconditioner (data.cpp:558-716).
+
+        Returns planar (mave_p, msig_p, numb_p) each f[4, Nb] where msig_p is
+        sqrt((n_i-1)/(sum v^2 - n_i mean_i^2)) on non-NA slots, 0 elsewhere.
+        """
+        # sum_m value  where value = (a - mave)*msig*b per slot: fold msig/mave
+        # into the standard a@w - b@u contraction (exact since a=0 wherever b=0)
+        w = self.msig
+        u = self.mave * self.msig
+        sum_v = self._ax_raw(w, u)
+        # count of genotype-non-missing markers per slot: a@0 - b@(-1) = sum b
+        numb = self._ax_raw(jnp.zeros_like(w), -jnp.ones_like(u))
+        # sum_m value^2 is quadratic in the decode -> dedicated blocked pass
+        if self.mesh is not None:
+            sumsq = jax.jit(
+                jax.shard_map(
+                    lambda wd, mv, ms: jax.lax.psum(_people_sumsq(wd, mv, ms), "m"),
+                    mesh=self.mesh,
+                    in_specs=(P(None, "m"), P("m"), P("m")),
+                    out_specs=P(None, None),
+                )
+            )(self.words, self.mave.astype(jnp.float32), self.msig.astype(jnp.float32))
+        else:
+            sumsq = _people_sumsq(self.words, self.mave.astype(jnp.float32),
+                                  self.msig.astype(jnp.float32))
+        na = self.na_planar
+        numb = numb * na
+        mave_p = jnp.where(numb > 0, sum_v * na / jnp.where(numb == 0, 1.0, numb), 0.0)
+        denom = sumsq * na - numb * mave_p**2
+        prec = jnp.where((na > 0) & (denom != 0), (numb - 1) / jnp.where(denom == 0, 1.0, denom), 0.0)
+        msig_p = jnp.sqrt(jnp.maximum(prec, 0.0))
+        return mave_p.astype(self.dtype), msig_p.astype(self.dtype), numb.astype(self.dtype)
+
+    # ---------------------------------------------------------------- matvec
+
+    @property
+    def inv_sqrt_n(self) -> float:
+        return 1.0 / float(np.sqrt(self.N))
+
+    def _ax_raw(self, w, u):
+        """z_planar[4, Nb] = sum_m a*w - b*u, psum over marker shards."""
+        if self.backend == "pallas":
+            fn = matvec.ax_pallas
+        else:
+            fn = lambda g, w_, u_: matvec.ax_xla(g, w_, u_, dtype=self.dtype)
+        if self.mesh is not None:
+            return jax.jit(
+                jax.shard_map(
+                    lambda g, w_, u_: jax.lax.psum(fn(g, w_, u_), "m"),
+                    mesh=self.mesh,
+                    in_specs=(P(None, "m"), P("m"), P("m")),
+                    out_specs=P(None, None),
+                )
+            )(self.words, w, u)
+        return fn(self.words, w, u)
+
+    def _atx_raw(self, v_planar):
+        if self.backend == "pallas":
+            fn = matvec.atx_pallas
+        else:
+            fn = lambda g, v: matvec.atx_xla(g, v, dtype=self.dtype)
+        if self.mesh is not None:
+            return jax.jit(
+                jax.shard_map(
+                    lambda g, v: fn(g, v),
+                    mesh=self.mesh,
+                    in_specs=(P(None, "m"), P(None, None)),
+                    out_specs=(P("m"), P("m")),
+                )
+            )(self.words, v_planar)
+        return fn(self.words, v_planar)
+
+    def ax(self, x: jax.Array) -> jax.Array:
+        """A @ x -> planar [4, Nb]; x is the internal-scale marker vector.
+
+        Matches reference Ax (data.cpp:848-1005): per-marker standardization,
+        na_lut masking of the output, 1/sqrt(N) scaling, allreduce across
+        marker shards.
+        """
+        w = self.msig * x.astype(self.msig.dtype)
+        u = self.mave * w
+        z = self._ax_raw(w, u)
+        return z.astype(self.dtype) * self.na_planar * self.inv_sqrt_n
+
+    def atx(self, v_planar: jax.Array) -> jax.Array:
+        """A^T @ v -> [Mpad]; v in planar layout (will be NA-masked).
+
+        Matches reference ATx/dot_product (data.cpp:728-835).
+        """
+        v = v_planar.astype(self.dtype) * self.na_planar
+        av, bv = self._atx_raw(v)
+        return ((av.astype(self.dtype) - self.mave * bv.astype(self.dtype))
+                * self.msig * self.inv_sqrt_n)
+
+    def zx(self, eff: jax.Array) -> jax.Array:
+        """Covariate matvec Z @ eff -> planar [4, Nb] (reference data.cpp:1050)."""
+        z = self.covs_np @ np.asarray(eff)
+        return jnp.asarray(self.layout.planarize(z), self.dtype)
+
+    # ---------------------------------------------------------------- misc
+
+    @property
+    def covs_np(self) -> np.ndarray:
+        assert self.covs is not None, "no covariates loaded"
+        return self.covs
+
+    def read_covariates(self, path: str, n_cov: int) -> None:
+        self.covs = plink.read_covariates(path, n_cov)
+
+    def chromosomes(self) -> np.ndarray:
+        if self._chroms is None:
+            assert self.bim_path, "no .bim file given"
+            self._chroms = plink.read_chromosomes(self.bim_path, self.M, self.S)
+        return self._chroms
+
+    def filter_pheno(self) -> jax.Array:
+        """NA-zeroed standardized phenotype, planar (reference data.cpp:1065)."""
+        return self.y_planar * self.na_planar
+
+    def planarize(self, v: np.ndarray) -> jax.Array:
+        return jnp.asarray(self.layout.planarize(np.asarray(v)), self.dtype)
+
+    def deplanarize(self, vp: jax.Array) -> np.ndarray:
+        return self.layout.deplanarize(np.asarray(vp))
+
+    def pad_m(self, x: np.ndarray, fill: float = 0.0) -> jax.Array:
+        out = np.full((self.Mpad,), fill, dtype=np.float64)
+        out[: self.M] = np.asarray(x)
+        return jnp.asarray(out, self.dtype)
+
+    @property
+    def m_mask(self) -> jax.Array:
+        """f[Mpad]: 1 on real markers, 0 on padding."""
+        return (jnp.arange(self.Mpad) < self.M).astype(self.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _people_sumsq(words, mave, msig, block=512):
+    """sum_m ((a - mave_m) * msig_m)^2 * b per planar slot -> f32[4, Nb]."""
+    Nw, M = words.shape
+
+    def body(i, acc):
+        blk = jax.lax.dynamic_slice(words, (0, i * block), (Nw, block))
+        mv = jax.lax.dynamic_slice(mave, (i * block,), (block,))
+        ms = jax.lax.dynamic_slice(msig, (i * block,), (block,))
+        a, b = matvec.decode_planar_dense(blk, jnp.float32)  # [4, Nb, blk]
+        v = (a - mv[None, None, :]) * ms[None, None, :] * b
+        return acc + jnp.sum(v * v, axis=2)
+
+    nb4 = 4 * Nw
+    acc = jnp.zeros((4, nb4), jnp.float32)
+    return jax.lax.fori_loop(0, M // block, body, acc)
+
+
+@dataclasses.dataclass
+class GenoDense:
+    """Dense design-matrix container (methylation path, reference
+    data.cpp:241-278; matvecs data.cpp:770-788, 1010-1045).
+
+    Keeps X as f32[M, N] on device; N-vectors use ORIGINAL order padded to
+    the planar width so the engine sees the same [4, Nb] planar interface
+    (the planar permutation is identity-equivalent for dense data: we simply
+    planarize/deplanarize at the boundary like GenoBed).
+    """
+
+    layout: PlanarLayout
+    N: int
+    Mt: int
+    M: int
+    S: int
+    Mpad: int
+    X: jax.Array              # f[Mpad, N]
+    mave: jax.Array
+    msig: jax.Array
+    na_planar: jax.Array
+    y_planar: jax.Array
+    nonas: int
+    intercept: float
+    scale: float
+    alpha_scale: float = 1.0
+    bim_path: str = ""
+    mesh: Optional[Mesh] = None
+    dtype: jnp.dtype = jnp.float32
+    covs: Optional[np.ndarray] = None
+    backend: str = "xla"
+    _chroms: Optional[np.ndarray] = None
+
+    @classmethod
+    def from_arrays(cls, X: np.ndarray, y_raw: np.ndarray, N: int,
+                    Mt: int | None = None, S: int = 0,
+                    standardize_phen: bool = True, alpha_scale: float = 1.0,
+                    mesh: Optional[Mesh] = None, dtype=jnp.float32,
+                    bim_path: str = "", marker_align: int = 8, **_kw) -> "GenoDense":
+        M = X.shape[0]
+        Mt = M if Mt is None else Mt
+        lay = PlanarLayout.create(N, word_align=8)
+        n_shards = mesh.devices.size if mesh is not None else 1
+        Mpad = _round_up(max(M, 1), marker_align * n_shards)
+        Xp = np.zeros((Mpad, N))
+        Xp[:M] = X
+
+        isna = np.isnan(y_raw)
+        nonas = int((~isna).sum())
+        if standardize_phen and nonas > 1:
+            avg = float(np.nanmean(y_raw))
+            sqn = float(np.sqrt((nonas - 1) / np.nansum((y_raw - avg) ** 2)))
+        else:
+            avg, sqn = 0.0, 1.0
+        y = np.where(isna, 0.0, y_raw * sqn)
+        na = (~isna).astype(np.float64)
+
+        na_dense = na  # [N]
+        cnt = na_dense.sum()
+        mave = (Xp * na_dense).sum(1) / cnt
+        dev = (Xp - mave[:, None]) * na_dense
+        sumsqr = (dev**2).sum(1)
+        sd = np.sqrt(sumsqr / (nonas - 1.0))
+        msig = np.where(sumsqr != 0, 1.0 / np.power(np.where(sd == 0, 1.0, sd), alpha_scale), 1.0)
+        mave[M:] = 0.0
+        msig[M:] = 0.0
+
+        sharding = NamedSharding(mesh, P("m", None)) if mesh is not None else None
+        return cls(
+            layout=lay, N=N, Mt=Mt, M=M, S=S, Mpad=Mpad,
+            X=jax.device_put(jnp.asarray(Xp, dtype), sharding),
+            mave=jnp.asarray(mave, dtype), msig=jnp.asarray(msig, dtype),
+            na_planar=jnp.asarray(lay.planarize(na), dtype),
+            y_planar=jnp.asarray(lay.planarize(y), dtype),
+            nonas=nonas, intercept=avg, scale=sqn, alpha_scale=alpha_scale,
+            bim_path=bim_path, mesh=mesh, dtype=dtype,
+        )
+
+    @property
+    def inv_sqrt_n(self) -> float:
+        return 1.0 / float(np.sqrt(self.N))
+
+    def _v_dense(self, v_planar):
+        """planar [4, Nb] -> dense [N] via the fixed permutation (on device)."""
+        idx = jnp.asarray(self.layout.orig_to_planar())
+        return v_planar.reshape(-1)[idx]
+
+    def _to_planar(self, v_dense):
+        idx = jnp.asarray(self.layout.orig_to_planar())
+        out = jnp.zeros((4 * self.layout.n_bytes,), v_dense.dtype)
+        return out.at[idx].set(v_dense).reshape(4, self.layout.n_bytes)
+
+    def ax(self, x):
+        w = self.msig * x.astype(self.dtype)
+        z = self.X.T @ w - (self.mave * w).sum()
+        zp = self._to_planar(z * self.inv_sqrt_n)
+        return zp * self.na_planar
+
+    def atx(self, v_planar):
+        v = self._v_dense(v_planar * self.na_planar)
+        av = self.X @ v
+        bv = v.sum()
+        return (av - self.mave * bv) * self.msig * self.inv_sqrt_n
+
+    def filter_pheno(self):
+        return self.y_planar * self.na_planar
+
+    def planarize(self, v):
+        return jnp.asarray(self.layout.planarize(np.asarray(v)), self.dtype)
+
+    def deplanarize(self, vp):
+        return self.layout.deplanarize(np.asarray(vp))
+
+    def pad_m(self, x, fill: float = 0.0):
+        out = np.full((self.Mpad,), fill, dtype=np.float64)
+        out[: self.M] = np.asarray(x)
+        return jnp.asarray(out, self.dtype)
+
+    @property
+    def m_mask(self):
+        return (jnp.arange(self.Mpad) < self.M).astype(self.dtype)
+
+    def set_phen(self, y, standardize: bool = False):
+        y = np.asarray(y, dtype=np.float64)
+        isna = np.isnan(y)
+        self.nonas = int((~isna).sum())
+        if standardize:
+            avg = float(np.nanmean(y))
+            sqn = float(np.sqrt((self.nonas - 1) / np.nansum((y - avg) ** 2)))
+            self.intercept, self.scale = avg, sqn
+            y = y * sqn
+        self.na_planar = jnp.asarray(self.layout.planarize((~isna).astype(np.float64)), self.dtype)
+        self.y_planar = jnp.asarray(self.layout.planarize(np.where(isna, 0.0, y)), self.dtype)
+
+    def chromosomes(self):
+        if self._chroms is None:
+            assert self.bim_path
+            self._chroms = plink.read_chromosomes(self.bim_path, self.M, self.S)
+        return self._chroms

@@ -1,0 +1,139 @@
+"""Data-layer tests: decode LUT semantics, stats, matvecs vs dense oracle.
+
+Covers the reference's C1 (LUT decode), C3 (phenotype standardizer),
+C6 (marker stats), C7 (people stats), C8/C9 (ATx/Ax) — SURVEY.md 2.1.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gvamp_tpu.data import GenoBed, GenoDense
+from gvamp_tpu.io import plink
+from gvamp_tpu.ops.layout import PlanarLayout, CODE_TO_DOSAGE, CODE_TO_NONMISS
+
+from helpers import DenseOracle, random_dataset
+
+
+def make_bed(codes):
+    M, N = codes.shape
+    lay = PlanarLayout.create(N)
+    by = np.zeros((M, lay.mbytes), dtype=np.uint8)
+    for k in range(4):
+        cols = np.arange(k, N, 4)
+        by[:, (cols - k) // 4] |= (codes[:, cols].astype(np.uint8) << (2 * k))
+    return by
+
+
+def test_decode_all_256_bytes():
+    """Every possible packed byte decodes to the reference LUT values."""
+    lay = PlanarLayout.create(4)
+    by = np.arange(256, dtype=np.uint8).reshape(256, 1)
+    dose, nm = lay.dense_from_words(lay.pack_words(by))
+    for byte in range(256):
+        for k in range(4):
+            code = (byte >> (2 * k)) & 3
+            assert dose[byte, k] == CODE_TO_DOSAGE[code]
+            assert nm[byte, k] == CODE_TO_NONMISS[code]
+
+
+@pytest.mark.parametrize("N,M", [(61, 33), (256, 64), (1000, 40)])
+def test_stats_and_matvec_vs_dense(N, M):
+    rng = np.random.default_rng(42)
+    codes, y = random_dataset(rng, N, M)
+    oracle = DenseOracle(codes, y)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64)
+
+    assert geno.nonas == oracle.nonas
+    np.testing.assert_allclose(geno.intercept, oracle.intercept, rtol=1e-12)
+    np.testing.assert_allclose(geno.scale, oracle.scale, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(geno.mave)[:M], oracle.mave, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(geno.msig)[:M], oracle.msig, rtol=1e-10)
+
+    x = rng.normal(size=geno.Mpad)
+    x_np = np.array(x)
+    x_np[M:] = 0
+    z = geno.deplanarize(geno.ax(jnp.asarray(x)))
+    np.testing.assert_allclose(z, oracle.ax(x_np[:M]), rtol=1e-8, atol=1e-10)
+
+    v = rng.normal(size=N)
+    r = np.asarray(geno.atx(geno.planarize(v)))
+    np.testing.assert_allclose(r[:M], oracle.atx(v), rtol=1e-8, atol=1e-10)
+    assert np.all(r[M:] == 0)
+
+
+def test_adjointness():
+    rng = np.random.default_rng(3)
+    codes, y = random_dataset(rng, 130, 50)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=130, dtype=jnp.float64)
+    x = jnp.asarray(rng.normal(size=geno.Mpad) * np.asarray(geno.m_mask))
+    v = geno.planarize(rng.normal(size=130))
+    lhs = float(jnp.vdot(geno.ax(x), v * geno.na_planar))
+    rhs = float(jnp.vdot(x, geno.atx(v)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_phen_scaling_reference_semantics():
+    """Phenotype is scaled but NOT centered; NA slots zeroed (data.cpp:171-186)."""
+    y = np.array([1.0, 2.0, np.nan, 4.0, 10.0])
+    codes = np.zeros((3, 5), dtype=np.uint8)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=5, dtype=jnp.float64)
+    nonas = 4
+    avg = np.nanmean(y)
+    sqn = np.sqrt((nonas - 1) / np.nansum((y - avg) ** 2))
+    got = geno.deplanarize(geno.filter_pheno())
+    np.testing.assert_allclose(got, np.where(np.isnan(y), 0.0, y * sqn), rtol=1e-12)
+
+
+def test_people_statistics():
+    rng = np.random.default_rng(7)
+    N, M = 97, 29
+    codes, y = random_dataset(rng, N, M)
+    oracle = DenseOracle(codes, y)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64)
+    mave_p, msig_p, numb_p = (geno.deplanarize(t) for t in geno.compute_people_statistics())
+
+    # dense reference (data.cpp:577-633)
+    val = (oracle.a - oracle.mave[:, None]) * oracle.msig[:, None] * oracle.b * oracle.na[None, :]
+    numb = (oracle.b * oracle.na[None, :]).sum(0)
+    sum_v = val.sum(0)
+    sumsq = (val**2).sum(0)
+    mean = np.where(oracle.na > 0, sum_v / np.maximum(numb, 1), 0.0)
+    prec = np.where(oracle.na > 0, (numb - 1) / (sumsq - numb * mean**2), 0.0)
+    np.testing.assert_allclose(numb_p, numb * oracle.na, rtol=1e-8)
+    np.testing.assert_allclose(mave_p, mean, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(msig_p, np.sqrt(np.maximum(prec, 0)), rtol=1e-5, atol=1e-8)
+
+
+def test_bed_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    codes, y = random_dataset(rng, 37, 11)
+    p = str(tmp_path / "t.bed")
+    plink.write_bed(p, codes)
+    slab = plink.read_bed_slab(p, 37, 11, 0)
+    np.testing.assert_array_equal(slab, make_bed(codes))
+    sub = plink.read_bed_slab(p, 37, 4, 5)
+    np.testing.assert_array_equal(sub, make_bed(codes)[5:9])
+
+
+def test_dense_container_matches_bed_when_no_missing():
+    """GenoDense on the decoded dosage matrix == GenoBed (no genotype NAs)."""
+    rng = np.random.default_rng(5)
+    N, M = 64, 24
+    codes = rng.choice([0, 2, 3], size=(M, N)).astype(np.uint8)
+    y = rng.normal(size=N)
+    dose = CODE_TO_DOSAGE[codes]
+    bed = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64)
+    dense = GenoDense.from_arrays(dose, y, N=N, dtype=jnp.float64)
+    x = rng.normal(size=max(bed.Mpad, dense.Mpad))
+    xb = jnp.asarray(x[: bed.Mpad] * np.asarray(bed.m_mask))
+    xd = jnp.asarray(x[: dense.Mpad] * np.asarray(dense.m_mask))
+    np.testing.assert_allclose(
+        bed.deplanarize(bed.ax(xb)), dense.deplanarize(dense.ax(xd)), rtol=1e-8
+    )
+    v = rng.normal(size=N)
+    np.testing.assert_allclose(
+        np.asarray(bed.atx(bed.planarize(v)))[:M],
+        np.asarray(dense.atx(dense.planarize(v)))[:M],
+        rtol=1e-8,
+    )

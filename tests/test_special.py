@@ -1,0 +1,41 @@
+"""Special-function oracles: erfcx, Mills ratio, Student-t p-values vs scipy."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.special as ss
+import scipy.stats as st
+
+from gvamp_tpu.ops import special
+
+
+def test_erfcx_vs_scipy():
+    x = np.concatenate([np.linspace(-26, 26, 301), [0.0, 1e-9, -1e-9, 3.9999, 4.0001]])
+    ours = np.asarray(special.erfcx(jnp.asarray(x)))
+    ref = ss.erfcx(x)
+    np.testing.assert_allclose(ours, ref, rtol=5e-13)
+
+
+def test_mills_ratio_deep_tail():
+    c = np.linspace(-37, 8, 200)
+    ours = np.asarray(special.phi_over_Phi(jnp.asarray(c)))
+    ref = np.exp(st.norm.logpdf(c) - st.norm.logcdf(c))
+    np.testing.assert_allclose(ours, ref, rtol=1e-11)
+
+
+def test_normal_cdf_and_logcdf():
+    x = np.linspace(-10, 10, 101)
+    np.testing.assert_allclose(
+        np.asarray(special.normal_cdf(jnp.asarray(x))), st.norm.cdf(x), rtol=1e-12, atol=1e-300
+    )
+    xx = np.linspace(-37, 8, 101)
+    np.testing.assert_allclose(
+        np.asarray(special.normal_logcdf(jnp.asarray(xx))), st.norm.logcdf(xx), rtol=1e-11
+    )
+
+
+def test_student_t_two_sided_pvalues():
+    t = np.array([0.0, 0.5, 2.0, -2.0, 5.5, 12.0, -30.0])
+    df = np.array([2.0, 3.0, 10.0, 10.0, 99.0, 500.0, 10000.0])
+    ours = np.asarray(special.student_t_sf2(jnp.asarray(t), jnp.asarray(df)))
+    ref = 2 * st.t.sf(np.abs(t), df)
+    np.testing.assert_allclose(ours, ref, rtol=1e-10)
