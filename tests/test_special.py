@@ -31,7 +31,8 @@ def test_normal_cdf_and_logcdf():
     )
     xx = np.linspace(-37, 8, 101)
     np.testing.assert_allclose(
-        np.asarray(special.normal_logcdf(jnp.asarray(xx))), st.norm.logcdf(xx), rtol=1e-11
+        np.asarray(special.normal_logcdf(jnp.asarray(xx))),
+        st.norm.logcdf(xx), rtol=1e-11, atol=1e-14,
     )
 
 
