@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,24 @@ def _pick_backend(backend: str) -> str:
     if backend != "auto":
         return backend
     return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+class BedOp(NamedTuple):
+    """Packed-operator arrays as a pytree (safe to pass through jit)."""
+
+    words: jax.Array       # uint32[Nw, Mpad]
+    mave: jax.Array        # f[Mpad]
+    msig: jax.Array        # f[Mpad]
+    na_planar: jax.Array   # f[4, Nb]
+    m_mask: jax.Array      # f[Mpad]
+
+
+class DenseOp(NamedTuple):
+    X: jax.Array           # f[Mpad, N]
+    mave: jax.Array
+    msig: jax.Array
+    na_planar: jax.Array
+    m_mask: jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=("block", "use64"))
@@ -69,7 +87,9 @@ def _marker_stats_kernel(words, na_planar, nonas, alpha_scale, block=512, use64=
         saa = jax.lax.dynamic_update_slice(saa, jnp.sum(a * am, axis=(0, 1)), (i * block,))
         return sa, sb, saa
 
-    zeros = jnp.zeros((M,), dt)
+    # derive the init carry from `words` so its shard_map varying-axis set
+    # matches the body output (zeros alone would be replicated-typed)
+    zeros = (words[0, :] * np.uint32(0)).astype(dt)
     sa, sb, saa = jax.lax.fori_loop(0, M // block, body, (zeros, zeros, zeros))
     mave = jnp.where(sb != 0, sa / jnp.where(sb == 0, 1.0, sb), 0.0)
     sumsqr = saa - mave * sa  # = sum (a-mave)^2 * b * na
@@ -231,9 +251,9 @@ class GenoBed:
         # into the standard a@w - b@u contraction (exact since a=0 wherever b=0)
         w = self.msig
         u = self.mave * self.msig
-        sum_v = self._ax_raw(w, u)
+        sum_v = self._raw_ax_once(w, u)
         # count of genotype-non-missing markers per slot: a@0 - b@(-1) = sum b
-        numb = self._ax_raw(jnp.zeros_like(w), -jnp.ones_like(u))
+        numb = self._raw_ax_once(jnp.zeros_like(w), -jnp.ones_like(u))
         # sum_m value^2 is quadratic in the decode -> dedicated blocked pass
         if self.mesh is not None:
             sumsq = jax.jit(
@@ -261,60 +281,81 @@ class GenoBed:
     def inv_sqrt_n(self) -> float:
         return 1.0 / float(np.sqrt(self.N))
 
-    def _ax_raw(self, w, u):
-        """z_planar[4, Nb] = sum_m a*w - b*u, psum over marker shards."""
-        if self.backend == "pallas":
-            fn = matvec.ax_pallas
+    @property
+    def op(self) -> "BedOp":
+        """The operator arrays as a pytree — pass this THROUGH jit boundaries
+        (capturing the packed words as jaxpr constants makes XLA try to
+        constant-fold multi-GB decodes)."""
+        return BedOp(words=self.words, mave=self.mave, msig=self.msig,
+                     na_planar=self.na_planar, m_mask=self.m_mask)
+
+    def fns(self):
+        """(ax_fn, atx_fn) with signatures (op, x) / (op, v_planar); all
+        static configuration (backend, mesh, dtype, scaling) baked in."""
+        backend, mesh, dtype = self.backend, self.mesh, self.dtype
+        scale = self.inv_sqrt_n
+
+        if backend == "pallas":
+            ax_raw = matvec.ax_pallas
+            atx_raw = matvec.atx_pallas
         else:
-            fn = lambda g, w_, u_: matvec.ax_xla(g, w_, u_, dtype=self.dtype)
+            ax_raw = lambda g, w_, u_: matvec.ax_xla(g, w_, u_, dtype=dtype)
+            atx_raw = lambda g, v: matvec.atx_xla(g, v, dtype=dtype)
+
+        if mesh is not None:
+            ax_sh = jax.shard_map(
+                lambda g, w_, u_: jax.lax.psum(ax_raw(g, w_, u_), "m"),
+                mesh=mesh, in_specs=(P(None, "m"), P("m"), P("m")),
+                out_specs=P(None, None))
+            atx_sh = jax.shard_map(
+                atx_raw, mesh=mesh,
+                in_specs=(P(None, "m"), P(None, None)),
+                out_specs=(P("m"), P("m")))
+        else:
+            ax_sh, atx_sh = ax_raw, atx_raw
+
+        def ax_fn(op: BedOp, x):
+            """A @ x -> planar [4, Nb] (reference Ax, data.cpp:848-1005):
+            standardization, na_lut output masking, 1/sqrt(N), allreduce."""
+            w = op.msig * x.astype(op.msig.dtype)
+            u = op.mave * w
+            z = ax_sh(op.words, w, u)
+            return z.astype(dtype) * op.na_planar * scale
+
+        def atx_fn(op: BedOp, v_planar):
+            """A^T @ v -> [Mpad] (reference ATx/dot_product, data.cpp:728-835);
+            input is NA-masked like the reference's filtered phenotypes."""
+            v = v_planar.astype(dtype) * op.na_planar
+            av, bv = atx_sh(op.words, v)
+            return ((av.astype(dtype) - op.mave * bv.astype(dtype))
+                    * op.msig * scale)
+
+        return ax_fn, atx_fn
+
+    def ax(self, x: jax.Array) -> jax.Array:
+        ax_fn, _ = self.fns()
+        return ax_fn(self.op, x)
+
+    def atx(self, v_planar: jax.Array) -> jax.Array:
+        _, atx_fn = self.fns()
+        return atx_fn(self.op, v_planar)
+
+    def _raw_ax_once(self, w, u):
+        """Unscaled, unmasked sum_m a*w - b*u (people-stats helper)."""
+        if self.backend == "pallas":
+            raw = matvec.ax_pallas
+        else:
+            raw = lambda g, w_, u_: matvec.ax_xla(g, w_, u_, dtype=self.dtype)
         if self.mesh is not None:
             return jax.jit(
                 jax.shard_map(
-                    lambda g, w_, u_: jax.lax.psum(fn(g, w_, u_), "m"),
+                    lambda g, w_, u_: jax.lax.psum(raw(g, w_, u_), "m"),
                     mesh=self.mesh,
                     in_specs=(P(None, "m"), P("m"), P("m")),
                     out_specs=P(None, None),
                 )
             )(self.words, w, u)
-        return fn(self.words, w, u)
-
-    def _atx_raw(self, v_planar):
-        if self.backend == "pallas":
-            fn = matvec.atx_pallas
-        else:
-            fn = lambda g, v: matvec.atx_xla(g, v, dtype=self.dtype)
-        if self.mesh is not None:
-            return jax.jit(
-                jax.shard_map(
-                    lambda g, v: fn(g, v),
-                    mesh=self.mesh,
-                    in_specs=(P(None, "m"), P(None, None)),
-                    out_specs=(P("m"), P("m")),
-                )
-            )(self.words, v_planar)
-        return fn(self.words, v_planar)
-
-    def ax(self, x: jax.Array) -> jax.Array:
-        """A @ x -> planar [4, Nb]; x is the internal-scale marker vector.
-
-        Matches reference Ax (data.cpp:848-1005): per-marker standardization,
-        na_lut masking of the output, 1/sqrt(N) scaling, allreduce across
-        marker shards.
-        """
-        w = self.msig * x.astype(self.msig.dtype)
-        u = self.mave * w
-        z = self._ax_raw(w, u)
-        return z.astype(self.dtype) * self.na_planar * self.inv_sqrt_n
-
-    def atx(self, v_planar: jax.Array) -> jax.Array:
-        """A^T @ v -> [Mpad]; v in planar layout (will be NA-masked).
-
-        Matches reference ATx/dot_product (data.cpp:728-835).
-        """
-        v = v_planar.astype(self.dtype) * self.na_planar
-        av, bv = self._atx_raw(v)
-        return ((av.astype(self.dtype) - self.mave * bv.astype(self.dtype))
-                * self.msig * self.inv_sqrt_n)
+        return raw(self.words, w, u)
 
     def zx(self, eff: jax.Array) -> jax.Array:
         """Covariate matvec Z @ eff -> planar [4, Nb] (reference data.cpp:1050)."""
@@ -468,17 +509,36 @@ class GenoDense:
         out = jnp.zeros((4 * self.layout.n_bytes,), v_dense.dtype)
         return out.at[idx].set(v_dense).reshape(4, self.layout.n_bytes)
 
+    @property
+    def op(self) -> DenseOp:
+        return DenseOp(X=self.X, mave=self.mave, msig=self.msig,
+                       na_planar=self.na_planar, m_mask=self.m_mask)
+
+    def fns(self):
+        dtype, scale = self.dtype, self.inv_sqrt_n
+        idx = jnp.asarray(self.layout.orig_to_planar())
+        nb = self.layout.n_bytes
+
+        def ax_fn(op: DenseOp, x):
+            w = op.msig * x.astype(dtype)
+            z = op.X.T @ w - (op.mave * w).sum()
+            zp = jnp.zeros((4 * nb,), z.dtype).at[idx].set(z).reshape(4, nb)
+            return zp * op.na_planar * scale
+
+        def atx_fn(op: DenseOp, v_planar):
+            v = (v_planar * op.na_planar).reshape(-1)[idx]
+            av = op.X @ v
+            return (av - op.mave * v.sum()) * op.msig * scale
+
+        return ax_fn, atx_fn
+
     def ax(self, x):
-        w = self.msig * x.astype(self.dtype)
-        z = self.X.T @ w - (self.mave * w).sum()
-        zp = self._to_planar(z * self.inv_sqrt_n)
-        return zp * self.na_planar
+        ax_fn, _ = self.fns()
+        return ax_fn(self.op, x)
 
     def atx(self, v_planar):
-        v = self._v_dense(v_planar * self.na_planar)
-        av = self.X @ v
-        bv = v.sum()
-        return (av - self.mave * bv) * self.msig * self.inv_sqrt_n
+        _, atx_fn = self.fns()
+        return atx_fn(self.op, v_planar)
 
     def filter_pheno(self):
         return self.y_planar * self.na_planar

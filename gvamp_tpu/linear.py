@@ -1,0 +1,369 @@
+"""Linear-model EM-VAMP engine (the flagship path).
+
+One fully-on-device jitted iteration reproducing the reference's
+``infere_linear`` loop (vamp.cpp:190-803):
+
+  denoising:  inner re-estimation loop alternating x1 = g1(r1, gam1),
+              Onsager alpha1 = psum(sum g1d)/Mt, eta1 = gam1/alpha1,
+              gam1 <- clamp(1/(1/eta1 + ||x1-r1||^2/Mt)) and an EM prior
+              update (vamp.cpp:289-338); damping of x1/alpha1
+              (vamp.cpp:348-414); adaptive rho (vamp.cpp:501-502);
+              gam2 = eta1 - gam1, r2 = (eta1 x1 - gam1 r1)/gam2 with the
+              optional lmmse-damp on gam2 (vamp.cpp:479-498).
+  lmmse:      v = gamw A^T y + gam2 r2, warm-started preconditioned CG
+              (vamp.cpp:556-597); Onsager alpha2 via the deterministic
+              Bernoulli trace probe (g2d_onsager, vamp.cpp:871-889);
+              gam2 re-estimate (it>2, vamp.cpp:691-693); gam1 = eta2 - gam2,
+              r1 update; gamw EM update reusing the probe solution
+              (updateNoisePrec, vamp.cpp:892-927).
+
+Host <-> device traffic per iteration is one metrics pytree plus (optionally)
+the estimate vectors for checkpoint dumps; every scalar recurrence, the CG
+while-loop and the EM while-loop stay on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvamp_tpu import cg
+from gvamp_tpu.prior import (GAMMA_MAX, GAMMA_MIN, Prior, g1, g1d, update_prior)
+
+
+def _clamp_gamma(x):
+    return jnp.clip(x, GAMMA_MIN, GAMMA_MAX)
+
+
+@dataclasses.dataclass(frozen=True)
+class VampConfig:
+    """Engine options (defaults = reference options.hpp:107-142 + vamp.hpp)."""
+
+    max_iter: int = 10
+    rho: float = 0.15
+    stop_criteria_thr: float = 1e-4
+    em_max_iter: int = 2
+    em_err_thr: float = 1e-2
+    cg_max_iter: int = 60
+    learn_vars: bool = True
+    use_lmmse_damp: bool = False
+    auto_var_max_iter: int = 5   # reference vamp.hpp:37
+    revar_tol: float = 1e-3      # reference vamp.cpp:335
+    seed: int = 1
+    gam1_init: float = 1e-6     # main_real.cpp:66
+    gamw_init: float = 2.0      # main_real.cpp:69-73 (h2 == -1)
+    cg_err_tol: float = 1e-5
+    onsager_tol: float = 1e-8
+
+
+class LinState(NamedTuple):
+    it: jax.Array
+    x1: jax.Array
+    x2: jax.Array
+    r1: jax.Array
+    r2: jax.Array
+    z1: jax.Array            # [4, Nb] planar
+    mu_cg: jax.Array         # warm start for the LMMSE CG
+    gam1: jax.Array
+    gam2: jax.Array
+    gamw: jax.Array
+    eta1: jax.Array
+    eta2: jax.Array
+    alpha1: jax.Array
+    alpha2: jax.Array
+    rho: jax.Array
+    probs: jax.Array
+    vars: jax.Array
+
+
+def init_state(geno, cfg: VampConfig, probs, vars_user,
+               r1_init: Optional[np.ndarray] = None,
+               x1_init: Optional[np.ndarray] = None,
+               gam1: Optional[float] = None,
+               gamw: Optional[float] = None) -> LinState:
+    """Build the initial state.
+
+    `vars_user` are user-scale variances; multiplied by N here (the
+    reference's vars *= N at infere entry, vamp.cpp:153-155).  `r1_init`
+    (restart) and `x1_init` (init-est) are *stored-scale* estimates: they get
+    multiplied by sqrt(N) (vamp.cpp:226-233, 244-258).
+    """
+    dt = geno.dtype
+    Mp = geno.Mpad
+    zeros_m = jnp.zeros((Mp,), dt)
+    sqn = float(np.sqrt(geno.N))
+    r1 = zeros_m if r1_init is None else geno.pad_m(np.asarray(r1_init) * sqn)
+    x1 = zeros_m if x1_init is None else geno.pad_m(np.asarray(x1_init) * sqn)
+    if x1_init is not None:
+        r1 = x1
+    return LinState(
+        it=jnp.asarray(0),
+        x1=x1, x2=zeros_m, r1=r1, r2=zeros_m,
+        z1=jnp.zeros_like(geno.y_planar),
+        mu_cg=zeros_m,
+        gam1=jnp.asarray(cfg.gam1_init if gam1 is None else gam1, dt),
+        gam2=jnp.asarray(0.0, dt),
+        gamw=jnp.asarray(cfg.gamw_init if gamw is None else gamw, dt),
+        eta1=jnp.asarray(0.0, dt), eta2=jnp.asarray(0.0, dt),
+        alpha1=jnp.asarray(0.0, dt), alpha2=jnp.asarray(0.0, dt),
+        rho=jnp.asarray(cfg.rho, dt),
+        probs=jnp.asarray(probs, dt),
+        vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
+    )
+
+
+def make_bern_probe(geno, seed: int) -> jax.Array:
+    """Deterministic Rademacher probe u ~ +-1/sqrt(Mt) (vamp.cpp:871-883).
+
+    The reference seeds mt19937 with (seed + S) per rank and regenerates the
+    SAME probe every iteration; we draw once from fold_in(seed, S) — same
+    determinism contract, different (statistically equivalent) bit-stream.
+    """
+    key = jax.random.fold_in(jax.random.key(seed), geno.S)
+    u = jax.random.rademacher(key, (geno.Mpad,), dtype=jnp.int8)
+    return u.astype(geno.dtype) * geno.m_mask / np.sqrt(geno.Mt)
+
+
+class Aux(NamedTuple):
+    """Per-run arrays threaded through the jitted step as arguments (NOT
+    captured as jaxpr constants — XLA would constant-fold the packed-matrix
+    decode otherwise)."""
+
+    op: object            # BedOp / DenseOp pytree
+    y: jax.Array          # filtered planar phenotype [4, Nb]
+    bern: jax.Array       # Onsager probe [Mpad]
+    frz: jax.Array        # freeze mask [Mpad]
+    m_mask: jax.Array     # real-marker mask [Mpad]
+    ts: jax.Array         # true signal (zeros when absent) [Mpad]
+
+
+def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None) -> Aux:
+    m_mask = geno.m_mask
+    return Aux(
+        op=geno.op,
+        y=geno.filter_pheno(),
+        bern=make_bern_probe(geno, cfg.seed),
+        # freeze: 1 = pinned coordinate, excluded from the Onsager sum and
+        # damping (vamp.cpp:207-209,308,353)
+        frz=geno.pad_m(freeze) if freeze is not None else jnp.zeros_like(m_mask),
+        m_mask=m_mask,
+        ts=geno.pad_m(true_signal) if true_signal is not None
+           else jnp.zeros_like(m_mask),
+    )
+
+
+def make_step(geno, cfg: VampConfig, init_est: bool = False,
+              with_truth: bool = False):
+    """Build the jitted per-iteration step: (state, aux) -> (state, metrics)."""
+    dt = geno.dtype
+    Mt = float(geno.Mt)
+    N = float(geno.N)
+    ax_fn, atx_fn = geno.fns()
+
+    def denoise(state: LinState, aux: Aux):
+        m_mask, frz = aux.m_mask, aux.frz
+        live = m_mask * (1.0 - frz)
+        it = state.it  # current iteration (1-based inside step)
+
+        def revar_body(carry):
+            i, x1, gam1, alpha1, eta1, probs, vars_, prev_gam1 = carry
+            pr = Prior(probs=probs, vars=vars_)
+            x1 = g1(state.r1, gam1, pr) * m_mask
+            d = g1d(state.r1, gam1, pr)
+            alpha1 = jnp.sum(d * live) / Mt            # psum via sharded sum
+            eta1 = gam1 / alpha1
+            l2diff = jnp.sum(jnp.square((x1 - state.r1) * m_mask))
+
+            def reest(_):
+                g_new = _clamp_gamma(1.0 / (1.0 / eta1 + l2diff / Mt))
+                p2 = update_prior(state.r1, g_new, pr, m_mask, Mt,
+                                  em_max_iter=cfg.em_max_iter,
+                                  em_err_thr=cfg.em_err_thr,
+                                  learn_vars=cfg.learn_vars)
+                return g_new, p2.probs, p2.vars
+
+            def keep(_):
+                return gam1, probs, vars_
+
+            gam1_new, probs, vars_ = jax.lax.cond(it > 1, reest, keep, None)
+            return i + 1, x1, gam1_new, alpha1, eta1, probs, vars_, gam1
+
+        def revar_cond(carry):
+            i, x1, gam1, alpha1, eta1, probs, vars_, prev_gam1 = carry
+            not_converged = jnp.abs(gam1 - prev_gam1) >= cfg.revar_tol
+            return (i < cfg.auto_var_max_iter) & ((i == 0) | (it > 1)) & \
+                   ((i == 0) | not_converged)
+
+        big = jnp.asarray(jnp.inf, dt)
+        carry = (jnp.asarray(0), state.x1, state.gam1, state.alpha1,
+                 state.eta1, state.probs, state.vars, big)
+        _, x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.while_loop(
+            revar_cond, revar_body, carry)[:7]
+
+        # damping (it > 1): frozen coords keep the raw g1 output
+        damp = (it > 1)
+        rho = state.rho
+        x1_d = jnp.where(damp & (frz == 0), rho * x1 + (1 - rho) * state.x1, x1)
+        alpha1_d = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
+        return x1_d, gam1, alpha1_d, eta1, probs, vars_
+
+    def step(state: LinState, aux: Aux):
+        op, y, bern, m_mask = aux.op, aux.y, aux.bern, aux.m_mask
+        it = state.it + 1
+        state = state._replace(it=it)
+        x1_prev = state.x1
+
+        # ---------------- denoising ----------------
+        x1, gam1, alpha1, eta1, probs, vars_ = denoise(state, aux)
+        if init_est:
+            # first iteration keeps the injected estimate (vamp.cpp:295-296)
+            x1 = jnp.where(it == 1, state.r1, x1)
+        z1 = ax_fn(op, x1)
+
+        gam_before = state.gam2
+        gam2 = _clamp_gamma(eta1 - gam1)
+        r2 = ((eta1 * x1 - gam1 * state.r1) / gam2) * m_mask
+
+        if cfg.use_lmmse_damp:
+            xi = jnp.minimum(2.0 * state.rho, 1.0)
+            gam2 = jnp.where(
+                (it > 1) & (gam_before > 0),
+                1.0 / jnp.square(xi / jnp.sqrt(gam2) + (1 - xi) / jnp.sqrt(gam_before)),
+                gam2,
+            )
+
+        # adaptive rho (vamp.cpp:501-502); alpha2 from the previous iteration
+        xi = jnp.minimum(2.0 * jnp.minimum(alpha1, state.alpha2), 1.0)
+        rho = jnp.maximum(state.rho, xi)
+
+        # prior update when the re-estimation loop is disabled or first iter
+        def upd(_):
+            p2 = update_prior(state.r1, gam1, Prior(probs, vars_), m_mask, Mt,
+                              em_max_iter=cfg.em_max_iter,
+                              em_err_thr=cfg.em_err_thr,
+                              learn_vars=cfg.learn_vars)
+            return p2.probs, p2.vars
+
+        probs, vars_ = jax.lax.cond(
+            (cfg.auto_var_max_iter == 0) | (it <= 1), upd,
+            lambda _: (probs, vars_), None)
+
+        # train metrics after denoising (err_measures ind=1, vamp.cpp:1232)
+        l2y = jnp.sum(jnp.square(y))
+        R2_1 = 1.0 - jnp.sum(jnp.square(y - z1)) / l2y
+
+        # ---------------- LMMSE ----------------
+        gamw = state.gamw
+        aty = atx_fn(op, y)
+        v = gamw * aty + gam2 * r2
+        mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, gamw, gam2)
+        diag = cg.jacobi_diag(gamw, gam2, N)
+        sol = cg.solve(mult, v, state.mu_cg, diag, gam2, cfg.cg_max_iter,
+                       onsager=False, err_tol=cfg.cg_err_tol)
+        x2 = sol.mu * m_mask
+
+        # Onsager trace probe (g2d_onsager, vamp.cpp:871-889)
+        probe = cg.solve(mult, bern, jnp.zeros_like(bern), diag, gam2,
+                         cfg.cg_max_iter, onsager=True,
+                         onsager_tol=cfg.onsager_tol)
+        invq_bern = probe.mu
+        alpha2 = gam2 * jnp.sum(bern * invq_bern)
+        eta2 = gam2 / alpha2
+
+        # gam2 re-estimate (vamp.cpp:691-693)
+        l2_x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask))
+        gam2 = jnp.where(
+            (cfg.auto_var_max_iter >= 1) & (it > 2),
+            _clamp_gamma(1.0 / (1.0 / eta2 + l2_x2r2 / Mt)), gam2)
+
+        gam1_new = _clamp_gamma(eta2 - gam2)
+        r1 = ((eta2 * x2 - gam2 * r2) / gam1_new) * m_mask
+
+        # noise precision EM update (updateNoisePrec, vamp.cpp:892-927)
+        ax2 = ax_fn(op, x2)
+        resid2 = jnp.sum(jnp.square(ax2 - y))
+        trace_corr = jnp.sum(bern * atx_fn(op, ax_fn(op, invq_bern))) * Mt
+        gamw_new = N / (resid2 + trace_corr)
+
+        # train metrics after LMMSE (err_measures ind=2)
+        R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2)) / l2y
+
+        # stopping criterion (vamp.cpp:741-749)
+        rel_change = jnp.sqrt(
+            jnp.sum(jnp.square(x1_prev - x1)) /
+            jnp.maximum(jnp.sum(jnp.square(x1_prev)), 1e-300))
+
+        metrics = {
+            "it": it, "gam1": gam1, "gam2": gam2, "gamw": gamw_new,
+            "eta1": eta1, "eta2": eta2, "alpha1": alpha1, "alpha2": alpha2,
+            "rho": rho, "R2_train_1": R2_1, "R2_train_2": R2_2,
+            "rel_change": rel_change, "cg_iters": sol.iters,
+            "cg_rel_err": sol.rel_err, "probe_iters": probe.iters,
+            "probs": probs, "vars": vars_,
+        }
+        if with_truth:
+            ts = aux.ts
+            sqn = jnp.sqrt(N)
+
+            def diag_for(xh, rv, gam_true_scale):
+                corr = jnp.sum(xh * ts) / jnp.sqrt(
+                    jnp.sum(jnp.square(xh)) * jnp.sum(jnp.square(ts)))
+                l2sig = jnp.sqrt(jnp.sum(jnp.square(xh / sqn - ts))
+                                 / jnp.sum(jnp.square(ts)))
+                tg = Mt / jnp.sum(jnp.square(rv - sqn * ts))
+                return corr, l2sig, tg
+
+            metrics["corr_x1"], metrics["l2_sig_err1"], metrics["true_gam2"] = \
+                diag_for(x1, r2, None)
+            metrics["corr_x2"], metrics["l2_sig_err2"], metrics["true_gam1"] = \
+                diag_for(x2, r1, None)
+
+        new_state = LinState(
+            it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=z1, mu_cg=sol.mu,
+            gam1=gam1_new, gam2=gam2, gamw=gamw_new, eta1=eta1, eta2=eta2,
+            alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs, vars=vars_)
+        return new_state, metrics
+
+    return jax.jit(step)
+
+
+def infer(geno, cfg: VampConfig, probs, vars_user,
+          true_signal=None, freeze=None, callbacks=None,
+          r1_init=None, x1_init=None, gam1=None, gamw=None,
+          verbose: bool = True):
+    """Run the full linear VAMP loop; returns (x1_hat_stored, history).
+
+    ``x1_hat_stored`` is the /sqrt(N)-scaled estimate like the reference's
+    return (vamp.cpp:802) and per-iteration .bin dumps.
+    """
+    state = init_state(geno, cfg, probs, vars_user,
+                       r1_init=r1_init, x1_init=x1_init, gam1=gam1, gamw=gamw)
+    aux = make_aux(geno, cfg, freeze=freeze, true_signal=true_signal)
+    step = make_step(geno, cfg, init_est=x1_init is not None,
+                     with_truth=true_signal is not None)
+    history = []
+    sqn = float(np.sqrt(geno.N))
+    for it in range(1, cfg.max_iter + 1):
+        state, metrics = step(state, aux)
+        m = {k: np.asarray(v) for k, v in metrics.items()}
+        history.append(m)
+        if verbose:
+            print(f"[it {it}] gam1={m['gam1']:.6g} gam2={m['gam2']:.6g} "
+                  f"gamw={m['gamw']:.6g} alpha1={m['alpha1']:.4g} "
+                  f"alpha2={m['alpha2']:.4g} R2={m['R2_train_1']:.4f} "
+                  f"rel={m['rel_change']:.3e} cg={int(m['cg_iters'])}",
+                  flush=True)
+        if callbacks:
+            for cb in callbacks:
+                cb(it, state, m, geno)
+        if it > 1 and float(m["rel_change"]) < cfg.stop_criteria_thr:
+            if verbose:
+                print(f"VAMP stopping criterion met (thr={cfg.stop_criteria_thr})")
+            break
+    x1_stored = np.asarray(state.x1)[: geno.M] / sqn
+    return x1_stored, state, history

@@ -1,0 +1,67 @@
+"""CG solver vs direct dense solve, warm start, Onsager probe consistency."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gvamp_tpu import cg
+from gvamp_tpu.data import GenoBed
+from helpers import DenseOracle, random_dataset
+from test_data_layer import make_bed
+
+
+def _setup(N=240, M=60, seed=0):
+    rng = np.random.default_rng(seed)
+    codes, y = random_dataset(rng, N, M, miss_phen=0.0)
+    oracle = DenseOracle(codes, y)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64)
+    return rng, oracle, geno
+
+
+def test_cg_matches_direct_solve():
+    rng, oracle, geno = _setup()
+    tau, gam2 = 1.7, 0.6
+    M = oracle.M
+    ax_fn, atx_fn = geno.fns()
+    mult = cg.make_lmmse_mult(ax_fn, atx_fn, geno.op, tau, gam2)
+    v_np = rng.normal(size=M)
+    v = geno.pad_m(v_np)
+    res = cg.solve(mult, v, jnp.zeros_like(v), cg.jacobi_diag(tau, gam2, geno.N),
+                   gam2, max_iter=200, err_tol=1e-12)
+    Amat = tau * oracle.A @ oracle.A.T + gam2 * np.eye(M)
+    expect = np.linalg.solve(Amat, v_np)
+    np.testing.assert_allclose(np.asarray(res.mu)[:M], expect, rtol=1e-7, atol=1e-10)
+    assert np.all(np.asarray(res.mu)[M:] == 0.0)
+
+
+def test_cg_warm_start_converges_faster():
+    rng, oracle, geno = _setup(seed=3)
+    tau, gam2 = 2.2, 1.1
+    ax_fn, atx_fn = geno.fns()
+    mult = cg.make_lmmse_mult(ax_fn, atx_fn, geno.op, tau, gam2)
+    v = geno.pad_m(rng.normal(size=oracle.M))
+    cold = cg.solve(mult, v, jnp.zeros_like(v), cg.jacobi_diag(tau, gam2, geno.N),
+                    gam2, max_iter=100, err_tol=1e-6)
+    warm = cg.solve(mult, v, cold.mu, cg.jacobi_diag(tau, gam2, geno.N),
+                    gam2, max_iter=100, err_tol=1e-6)
+    assert int(warm.iters) <= int(cold.iters)
+    np.testing.assert_allclose(np.asarray(warm.mu), np.asarray(cold.mu),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_onsager_probe_mode_estimates_trace():
+    """gam2 * u^T Q^{-1} u with u ~ +-1/sqrt(M) estimates gam2/M tr(Q^{-1})
+    (g2d_onsager, vamp.cpp:871-889); exact in expectation — here we check the
+    probe solve itself against the direct inverse."""
+    rng, oracle, geno = _setup(seed=5)
+    tau, gam2 = 1.0, 0.8
+    M = oracle.M
+    ax_fn, atx_fn = geno.fns()
+    mult = cg.make_lmmse_mult(ax_fn, atx_fn, geno.op, tau, gam2)
+    u_np = rng.choice([-1.0, 1.0], size=M) / np.sqrt(M)
+    u = geno.pad_m(u_np)
+    res = cg.solve(mult, u, jnp.zeros_like(u), cg.jacobi_diag(tau, gam2, geno.N),
+                   gam2, max_iter=300, onsager=True, onsager_tol=1e-14)
+    Q = tau * oracle.A @ oracle.A.T + gam2 * np.eye(M)
+    expect = gam2 * (u_np @ np.linalg.solve(Q, u_np))
+    got = gam2 * float(jnp.sum(u * res.mu))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)

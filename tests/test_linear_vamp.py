@@ -1,0 +1,88 @@
+"""Integration: the sim.cpp recipe — simulate known truth, infer, verify
+recovery (SURVEY.md §4 test strategy item 1) and shard-count invariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gvamp_tpu.data import GenoBed
+from gvamp_tpu import linear, sim
+from test_data_layer import make_bed
+
+
+def build_sim(seed=11, N=900, M=600, CV=30, h2=0.7, mesh=None):
+    rng = np.random.default_rng(seed)
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    vars_t, probs_t = sim.two_group_prior(M, CV, h2)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64,
+                               mesh=mesh)
+    gamw = 1 / (1 - h2)
+    y = sim.simulate_linear_phenotype(geno, beta, gamw, rng)
+    geno.set_phen(y)
+    return geno, beta, vars_t, probs_t
+
+
+def test_linear_vamp_recovers_signal():
+    geno, beta, vars_t, probs_t = build_sim()
+    cfg = linear.VampConfig(max_iter=12, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0, seed=7)
+    x_hat, state, hist = linear.infer(geno, cfg, probs_t, vars_t,
+                                      true_signal=beta, verbose=False)
+    corr = np.corrcoef(x_hat, beta)[0, 1]
+    assert corr > 0.9, f"corr {corr}"
+    # R2 approaches the true h2 neighbourhood and improves monotonically-ish
+    r2 = [float(h["R2_train_1"]) for h in hist]
+    assert r2[-1] > 0.5
+    # gamw estimate heads toward the true noise precision 1/(1-h2)
+    assert 1.5 < float(hist[-1]["gamw"]) < 6.0
+    # correlation metric inside the engine agrees with the recomputed one
+    np.testing.assert_allclose(float(hist[-1]["corr_x1"]), corr, atol=5e-3)
+
+
+def test_shard_count_invariance():
+    """Results must be identical (up to fp) on 1 device and an 8-device mesh —
+    the analog of the reference's rank-count-agnostic collectives."""
+    geno1, beta, vars_t, probs_t = build_sim(N=500, M=256)
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("m",))
+    geno8, beta8, _, _ = build_sim(N=500, M=256, mesh=mesh)
+    np.testing.assert_array_equal(beta, beta8)
+
+    cfg = linear.VampConfig(max_iter=4, rho=0.3, gam1_init=1e-8, gamw_init=2.0)
+    x1, s1, h1 = linear.infer(geno1, cfg, probs_t, vars_t, verbose=False)
+    x8, s8, h8 = linear.infer(geno8, cfg, probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(x1, x8, rtol=1e-8, atol=1e-12)
+    for k in ("gam1", "gam2", "gamw", "alpha2"):
+        np.testing.assert_allclose(float(h1[-1][k]), float(h8[-1][k]), rtol=1e-8)
+
+
+def test_freeze_pins_coordinates():
+    geno, beta, vars_t, probs_t = build_sim(N=400, M=200)
+    freeze = np.zeros(200)
+    freeze[:50] = 1.0
+    cfg = linear.VampConfig(max_iter=3, rho=0.3)
+    x_hat, state, hist = linear.infer(geno, cfg, probs_t, vars_t,
+                                      freeze=freeze, verbose=False)
+    assert np.isfinite(x_hat).all()
+
+
+def test_restart_from_estimate():
+    """restart run-mode semantics: gam1/gamw injected, r1 from stored estimate
+    rescaled by sqrt(N) (vamp.cpp:226-233)."""
+    geno, beta, vars_t, probs_t = build_sim(N=400, M=200)
+    cfg = linear.VampConfig(max_iter=3, rho=0.3)
+    x_a, state_a, h_a = linear.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    r1_stored = np.asarray(state_a.r1)[:200] / np.sqrt(400)
+    cfg2 = linear.VampConfig(max_iter=2, rho=0.3)
+    x_b, state_b, h_b = linear.infer(geno, cfg2, probs_t, vars_t,
+                                     r1_init=r1_stored,
+                                     gam1=float(state_a.gam1),
+                                     gamw=float(state_a.gamw), verbose=False)
+    assert np.isfinite(x_b).all()
+    # restart should start roughly where the first run ended, not from scratch
+    corr = np.corrcoef(x_b, x_a)[0, 1]
+    assert corr > 0.8
