@@ -83,7 +83,9 @@ def solve(
         p = z + beta * s.p
         rel_err = jnp.sqrt(jnp.sum(jnp.square(r))) / norm_v
         done = ons_done | (rel_err < err_tol)
-        return S(s.i + 1, mu, r, z, p, rz_new, prev_ons, rel_err, done)
+        out = S(s.i + 1, mu, r, z, p, rz_new, prev_ons, rel_err, done)
+        return jax.tree_util.tree_map(
+            lambda n, ref: jnp.asarray(n, ref.dtype), out, s)
 
     out = jax.lax.while_loop(cond, body, s0)
     return CGResult(mu=out.mu, iters=out.i, rel_err=out.rel_err)

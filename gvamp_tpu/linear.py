@@ -40,6 +40,14 @@ def _clamp_gamma(x):
     return jnp.clip(x, GAMMA_MIN, GAMMA_MAX)
 
 
+def _cast_like(new, ref):
+    """Cast a pytree to the dtypes of a reference pytree (loop-carry hygiene:
+    weak-type promotion rules differ across environments)."""
+    return jax.tree_util.tree_map(
+        lambda n, r: jnp.asarray(n, r.dtype) if hasattr(r, "dtype") else n,
+        new, ref)
+
+
 @dataclasses.dataclass(frozen=True)
 class VampConfig:
     """Engine options (defaults = reference options.hpp:107-142 + vamp.hpp)."""
@@ -191,7 +199,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 return gam1, probs, vars_
 
             gam1_new, probs, vars_ = jax.lax.cond(it > 1, reest, keep, None)
-            return i + 1, x1, gam1_new, alpha1, eta1, probs, vars_, gam1
+            out = (i + 1, x1, gam1_new, alpha1, eta1, probs, vars_, gam1)
+            return _cast_like(out, carry)
 
         def revar_cond(carry):
             i, x1, gam1, alpha1, eta1, probs, vars_, prev_gam1 = carry
@@ -327,7 +336,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=z1, mu_cg=sol.mu,
             gam1=gam1_new, gam2=gam2, gamw=gamw_new, eta1=eta1, eta2=eta2,
             alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs, vars=vars_)
-        return new_state, metrics
+        return _cast_like(new_state, state), metrics
 
     return jax.jit(step)
 

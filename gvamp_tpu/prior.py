@@ -95,6 +95,8 @@ def update_prior(
     reference's MPI_Allreduce at vamp.cpp:990,1012-1013).
     """
     L = prior.L
+    dt = prior.probs.dtype
+    mt = jnp.asarray(mt, dt)
     noise_var = 1.0 / gam1
     r2 = jnp.square(r1)
 
@@ -126,19 +128,21 @@ def update_prior(
                                   vars_[1:])
         vars_new = vars_ if not learn_vars else vars_.at[1:].set(new_slab_vars)
         omg = res / jnp.where(sum_pin == 0, 1.0, sum_pin)
-        probs_new = jnp.concatenate([jnp.array([1.0 - lam_new], probs.dtype),
-                                     lam_new * omg])
+        probs_new = jnp.concatenate(
+            [(1.0 - lam_new)[None], lam_new * omg]).astype(dt)
+        vars_new = vars_new.astype(dt)
         dist_p = jnp.sqrt(jnp.sum(jnp.square(probs_new - probs))
                           / jnp.sum(jnp.square(probs_new)))
         dist_v = jnp.sqrt(jnp.sum(jnp.square(vars_new - vars_))
                           / jnp.sum(jnp.square(vars_new)))
-        return it + 1, probs_new, vars_new, jnp.maximum(dist_p, dist_v)
+        dist = jnp.maximum(dist_p, dist_v).astype(r1.dtype)
+        return it + 1, probs_new, vars_new, dist.astype(dt)
 
     def em_cond(carry):
         it, _, _, dist = carry
         return (it < em_max_iter) & (dist >= em_err_thr)
 
-    big = jnp.asarray(jnp.inf, r1.dtype)
+    big = jnp.asarray(jnp.inf, dt)
     _, probs, vars_, _ = jax.lax.while_loop(
         em_cond, em_body, (0, prior.probs, prior.vars, big))
 
