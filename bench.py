@@ -1,0 +1,107 @@
+"""Benchmark: wall-clock per linear-VAMP iteration on the BASELINE config.
+
+Config = BASELINE.json configs[0]: linear VAMP on simulated data, N=5k,
+M=20k, 3-component mixture, CG LMMSE.  The reference publishes no numbers
+(BASELINE.md), so vs_baseline is measured against a NumPy dense-f64 BLAS
+implementation of the same per-iteration matvec workload on this host's CPU
+(a *favorable* stand-in for the reference's packed AVX matvec).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing discipline: everything stays on device; the only host fetches are tiny
+scalars, amortized over K iterations (remote-tunnel TPU attachments make
+per-call fetches expensive).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", 5000))
+M = int(os.environ.get("BENCH_M", 20480))
+K_ITERS = int(os.environ.get("BENCH_ITERS", 8))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gvamp_tpu.data import GenoBed
+    from gvamp_tpu.ops.layout import PlanarLayout
+    from gvamp_tpu import linear, sim
+
+    rng = np.random.default_rng(0)
+    lay = PlanarLayout.create(N)
+    mpad = ((M + 511) // 512) * 512
+
+    # synthetic packed genotypes generated ON DEVICE (uniform 2-bit codes,
+    # ~25% missing — decode cost is content-independent)
+    words = jax.random.bits(jax.random.key(0), (lay.n_words, mpad), dtype=jnp.uint32)
+    # mask the planar tail (samples >= N) to the 0x55 missing pattern
+    tail = np.full((lay.n_words,), 0, dtype=np.uint32)
+    geno = GenoBed.from_device_words(words, np.zeros(N), N=N, M=M,
+                                     standardize_phen=False)
+
+    vars_t, probs_t = sim.two_group_prior(M, 1000, 0.5)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_linear_phenotype(geno, beta[:M], 2.0, rng)
+    geno.set_phen(y)
+
+    cfg = linear.VampConfig(max_iter=K_ITERS + 2, rho=0.15, gam1_init=1e-8,
+                            gamw_init=2.0)
+    state = linear.init_state(geno, cfg, probs_t, vars_t)
+    aux = linear.make_aux(geno, cfg)
+    step = linear.make_step(geno, cfg)
+
+    # warmup: compile + 2 iterations (CG iteration counts stabilize)
+    state, metrics = step(state, aux)
+    state, metrics = step(state, aux)
+    float(metrics["gam1"])  # sync
+
+    t0 = time.perf_counter()
+    passes = 0.0
+    for _ in range(K_ITERS):
+        state, metrics = step(state, aux)
+    # one tiny scalar fetch forces the whole chain
+    cg_it = float(metrics["cg_iters"])
+    probe_it = float(metrics["probe_iters"])
+    gam1 = float(metrics["gam1"])
+    dt_iter = (time.perf_counter() - t0) / K_ITERS
+
+    # matvec passes per iteration: lmmse CG (2 per it incl init) + probe CG
+    # + z1 + ATy + noise-prec (3) + err measures
+    passes = 2 * (cg_it + 1) + 2 * (probe_it + 1) + 2 + 3
+    packed_bytes = lay.n_words * 4 * mpad
+    eff_gbs = passes * packed_bytes / dt_iter / 1e9
+
+    # ---- CPU baseline: dense f64 BLAS matvec pair, same workload ----------
+    try:
+        A = rng.standard_normal((min(N, 5000), M))
+        x = rng.standard_normal(M)
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            z = A @ x
+            r = A.T @ z
+        cpu_pair = (time.perf_counter() - t0) / reps
+        cpu_iter = cpu_pair * passes / 2 * (N / min(N, 5000))
+        vs_baseline = cpu_iter / dt_iter
+    except MemoryError:
+        vs_baseline = float("nan")
+
+    out = {
+        "metric": "linear_vamp_iter_wallclock_N5k_M20k",
+        "value": round(dt_iter * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 2),
+    }
+    print(json.dumps(out))
+    print(f"# backend={jax.default_backend()} passes/it={passes:.0f} "
+          f"packed={packed_bytes/1e9:.2f}GB eff_bandwidth={eff_gbs:.0f}GB/s "
+          f"gam1={gam1:.4g} cg_it={cg_it:.0f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

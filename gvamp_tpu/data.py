@@ -181,6 +181,45 @@ class GenoBed:
         return obj
 
     @classmethod
+    def from_device_words(cls, words: jax.Array, y_raw: np.ndarray, N: int,
+                          M: int | None = None, Mt: int | None = None, S: int = 0,
+                          standardize_phen: bool = True, alpha_scale: float = 1.0,
+                          mesh: Optional[Mesh] = None, backend: str = "auto",
+                          dtype=jnp.float32, bim_path: str = "") -> "GenoBed":
+        """Build from an already-on-device uint32[Nw, Mpad] word matrix.
+
+        For benchmarks / synthetic data: avoids shipping the packed matrix
+        through the host.  The caller must pad correctly (0x55 words beyond
+        the real markers / samples).
+        """
+        Nw, Mpad = words.shape
+        lay = PlanarLayout.create(N)
+        assert lay.n_words <= Nw, (lay.n_words, Nw)
+        lay = PlanarLayout(N=N, n_words=Nw)
+        M = Mpad if M is None else M
+        Mt = M if Mt is None else Mt
+        isna = np.isnan(y_raw)
+        nonas = int((~isna).sum())
+        if standardize_phen and nonas > 1:
+            avg = float(np.nanmean(y_raw))
+            sqn = float(np.sqrt((nonas - 1) / np.nansum((y_raw - avg) ** 2)))
+        else:
+            avg, sqn = 0.0, 1.0
+        y = np.where(isna, 0.0, y_raw * sqn)
+        na = (~isna).astype(np.float64)
+        obj = cls(
+            layout=lay, N=N, Mt=Mt, M=M, S=S, Mpad=Mpad, words=words,
+            mave=jnp.zeros((Mpad,), dtype), msig=jnp.zeros((Mpad,), dtype),
+            na_planar=jnp.asarray(lay.planarize(na), dtype),
+            y_planar=jnp.asarray(lay.planarize(y), dtype),
+            nonas=nonas, intercept=avg, scale=sqn, alpha_scale=alpha_scale,
+            bim_path=bim_path, mesh=mesh, backend=_pick_backend(backend),
+            dtype=dtype,
+        )
+        obj.compute_marker_statistics()
+        return obj
+
+    @classmethod
     def from_files(
         cls, bed_path: str, phen_path: str | None, N: int, Mt: int,
         S: int = 0, M: int | None = None, **kw,

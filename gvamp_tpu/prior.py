@@ -37,12 +37,23 @@ class Prior:
         return self.probs.shape[0]
 
 
-def _mix_terms(r, gam1, prior: Prior):
-    """Shared per-component quantities for g1/g1d.
+def _resp_terms(r, gam1, prior: Prior):
+    """Posterior responsibilities and shrinkages for the mixture denoiser.
 
-    z_i = p_i / sqrt(v_i + sigma) * exp(-r^2/2 * (vmax - v_i) /
-          ((v_i + sigma)(vmax + sigma)))  — the exponent is shifted by the
-    max variance so the largest term has exponent zero (vamp.cpp:819-821).
+    The reference evaluates g1 = r + sigma*pkd/pk and
+    g1d = 1 + sigma*(pkdd/pk - (pkd/pk)^2) (vamp.cpp:805-869).  Those forms
+    cancel catastrophically in f32 when sigma >> v (e.g. gam1=1e-8 at init),
+    so we use the algebraically identical responsibility form instead:
+
+        w_i  propto p_i / sqrt(v_i+sigma) * exp(shifted)     (responsibility)
+        s_i  = v_i / (v_i + sigma)                           (shrinkage)
+        g1   = r * sum_i w_i s_i
+        g1d  = m + r^2 * (m*q - t),   m = sum w s, q = sum w/(v+sigma),
+                                      t = sum w s/(v+sigma)
+
+    every term is positive, no 1-minus-small cancellations.  The exponent is
+    shifted by the max variance so the largest term is exp(0)
+    (vamp.cpp:819-821).
     """
     sigma = 1.0 / gam1
     vmax = jnp.max(prior.vars)
@@ -50,27 +61,25 @@ def _mix_terms(r, gam1, prior: Prior):
     p = prior.probs[None, :]
     r2 = jnp.square(r)[:, None]      # [M, 1]
     vps = v + sigma
-    e = jnp.exp(-0.5 * r2 * (vmax - v) / (vps * (vmax + sigma)))
-    z = p / jnp.sqrt(vps) * e
-    pk = jnp.sum(z, axis=1)
-    pkd = -jnp.sum(z / vps, axis=1) * r
-    return sigma, vps, e, z, pk, pkd
+    c = p / jnp.sqrt(vps) * jnp.exp(-0.5 * r2 * (vmax - v) / (vps * (vmax + sigma)))
+    w = c / jnp.sum(c, axis=1, keepdims=True)
+    s = v / vps
+    m = jnp.sum(w * s, axis=1)
+    q = jnp.sum(w / vps, axis=1)
+    t = jnp.sum(w * s / vps, axis=1)
+    return sigma, m, q, t
 
 
 def g1(r: jax.Array, gam1, prior: Prior) -> jax.Array:
     """Posterior mean E[x | r, gam1] under the mixture prior (vamp.cpp:805)."""
-    sigma, vps, e, z, pk, pkd = _mix_terms(r, gam1, prior)
-    val = r + sigma * pkd / pk
-    return jnp.where(jnp.abs(sigma) < 1e-10, r, val)
+    sigma, m, q, t = _resp_terms(r, gam1, prior)
+    return jnp.where(jnp.abs(sigma) < 1e-10, r, r * m)
 
 
 def g1d(r: jax.Array, gam1, prior: Prior) -> jax.Array:
-    """d g1 / d r (vamp.cpp:836): 1 + sigma*(pkdd/pk - (pkd/pk)^2)."""
-    sigma, vps, e, z, pk, pkd = _mix_terms(r, gam1, prior)
-    r2 = jnp.square(r)[:, None]
-    pkdd = jnp.sum(-prior.probs[None, :] / jnp.power(vps, 1.5) * e
-                   + z / jnp.square(vps) * r2, axis=1)
-    val = 1.0 + sigma * (pkdd / pk - jnp.square(pkd / pk))
+    """d g1 / d r (reference vamp.cpp:836), responsibility form."""
+    sigma, m, q, t = _resp_terms(r, gam1, prior)
+    val = m + jnp.square(r) * (m * q - t)
     return jnp.where(jnp.abs(sigma) < 1e-10, jnp.ones_like(r), val)
 
 
