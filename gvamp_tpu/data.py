@@ -437,6 +437,16 @@ class GenoBed:
         """f[Mpad]: 1 on real markers, 0 on padding."""
         return (jnp.arange(self.Mpad) < self.M).astype(self.dtype)
 
+    @property
+    def n_mask_planar(self) -> jax.Array:
+        """f[4, Nb]: 1 on real individuals (including phenotype-NA ones)."""
+        return jnp.asarray(self.layout.planar_to_orig() >= 0, self.dtype)
+
+    def covs_planar(self) -> jax.Array:
+        """Covariates as planar [4, Nb, C] (zeros at padding slots)."""
+        Z = self.covs_np  # [N, C]
+        return jnp.asarray(self.layout.planarize(Z.T).transpose(1, 2, 0), self.dtype)
+
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def _people_sumsq(words, mave, msig, block=512):

@@ -1,0 +1,440 @@
+"""Probit (binary-classification) VAMP with fixed covariate effects.
+
+Re-design of the reference's ``infere_bin_class`` (vamp_probit.cpp:20-658):
+the same marker-space denoise/LMMSE skeleton as the linear model plus a
+z-space denoising pair (g1_bin_class / g1d_bin_class, erfcx-stable,
+vamp_probit.cpp:661-726) and a Newton–Raphson covariate-effect solver with
+backtracking line search (vamp_probit.cpp:936-1067, boost::ublas LU replaced
+by a dense jnp solve — C is small).
+
+Semantics notes (parity with the reference):
+  * phenotype-NA individuals carry y=0 through the z-denoiser (the reference
+    filters y to zero and still denoises those slots) — they are, however,
+    excluded from the matvecs via the NA mask (our ``atx`` masks its input;
+    the reference leaves p2 unmasked there, an inconsistency we resolve
+    toward exclusion);
+  * the LMMSE CG starts from zero each iteration (vamp_probit.cpp:507), no
+    warm start;
+  * tau/gam recurrences follow vamp_probit.cpp:446-460, 515-614 including the
+    alpha2-parameterized forms r1=(x2-a2 r2)/(1-a2), gam1=gam2(1-a2)/a2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvamp_tpu import cg
+from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma, make_bern_probe
+from gvamp_tpu.ops.special import normal_logcdf, phi_over_Phi
+from gvamp_tpu.prior import Prior, g1, g1d, update_prior
+
+
+# --------------------------------------------------------------------------
+# z-space denoisers (vamp_probit.cpp:661-726)
+# --------------------------------------------------------------------------
+
+
+def g1_bin_class(p, tau1, y, m_cov, probit_var):
+    """E[z | p, y] for y = 1{z + eps > 0}, eps ~ N(0, probit_var)."""
+    sgn = 2.0 * y - 1.0
+    c = (p + m_cov) / jnp.sqrt(probit_var + 1.0 / tau1)
+    ratio = phi_over_Phi(sgn * c)
+    return p + sgn * ratio / tau1 / jnp.sqrt(probit_var + 1.0 / tau1)
+
+
+def g1d_bin_class(p, tau1, y, m_cov, probit_var):
+    sgn = 2.0 * y - 1.0
+    c = (p + m_cov) / jnp.sqrt(probit_var + 1.0 / tau1)
+    ratio = phi_over_Phi(sgn * c)
+    return 1.0 - ratio / (1.0 + tau1 * probit_var) * (sgn * c + ratio)
+
+
+# --------------------------------------------------------------------------
+# covariate-effect solvers (vamp_probit.cpp:814-1067)
+# --------------------------------------------------------------------------
+
+
+def mlogL_probit(y, gg, probit_var, Z, eta, n_mask):
+    """-1/N sum log Phi((2y-1)(gg + Z eta)/sqrt(pv)) (vamp_probit.cpp:841)."""
+    g = gg + Z @ eta
+    arg = (2.0 * y - 1.0) / jnp.sqrt(probit_var) * g
+    n = jnp.sum(n_mask)
+    return -jnp.sum(normal_logcdf(arg) * n_mask) / n
+
+
+def grad_cov(y, gg, probit_var, Z, eta, n_mask):
+    """Gradient of mlogL wrt eta (vamp_probit.cpp:814-839)."""
+    sgn = 2.0 * y - 1.0
+    g = gg + Z @ eta
+    ratio = phi_over_Phi(sgn / jnp.sqrt(probit_var) * g)
+    n = jnp.sum(n_mask)
+    return -(Z.T @ (ratio * sgn / jnp.sqrt(probit_var) * n_mask)) / n
+
+
+def newton_cov(y, gg, Z, eta0, n_mask, probit_var=1.0, max_iter=500,
+               max_ls=300, rel_tol=1e-4):
+    """Newton-Raphson with backtracking line search (vamp_probit.cpp:936-1067).
+
+    y, gg: dense [N]; Z: [N, C].  The reference's Newton system ignores
+    probit_var in lambda (arg = (2y-1)*g), while the line-search gradient
+    uses it — replicated.
+    """
+    C = Z.shape[1]
+    sgn = 2.0 * y - 1.0
+
+    def body(carry):
+        it, eta, rel_err, prev_bad = carry
+        g = gg + Z @ eta
+        lam = phi_over_Phi(sgn * g) * sgn * n_mask
+        W = lam * (lam + g)
+        H = Z.T @ (Z * W[:, None])
+        rhs = Z.T @ lam
+        d = jnp.linalg.solve(H, rhs)
+        d = jnp.where(jnp.all(jnp.isfinite(d)), d, jnp.zeros_like(d))
+        grad = grad_cov(y, gg, probit_var, Z, eta, n_mask)
+        f0 = mlogL_probit(y, gg, probit_var, Z, eta, n_mask)
+
+        def ls_body(ls):
+            i, scale, done = ls
+            fz = mlogL_probit(y, gg, probit_var, Z, eta + scale * d, n_mask)
+            ok = fz <= f0 + jnp.dot(scale * d, grad) / 2.0
+            return (i + 1, jnp.where(ok, scale, scale * 0.9), done | ok)
+
+        _, scale, _ = jax.lax.while_loop(
+            lambda ls: (ls[0] < max_ls) & (~ls[2]), ls_body,
+            (0, jnp.ones((), eta.dtype), jnp.asarray(False)))
+        eta_new = eta + scale * d
+        norm_eta = jnp.sqrt(jnp.sum(jnp.square(eta)))
+        rel = jnp.where(norm_eta == 0, 1.0,
+                        jnp.sqrt(jnp.sum(jnp.square(eta_new - eta))) / norm_eta)
+        f1 = mlogL_probit(y, gg, probit_var, Z, eta_new, n_mask)
+        bad = f1 > f0  # likelihood stopped improving (vamp_probit.cpp:1050-1060)
+        return _cast_like((it + 1, eta_new, rel, bad), carry)
+
+    def cond(carry):
+        it, eta, rel_err, bad = carry
+        return (it < max_iter) & (rel_err >= rel_tol) & (~bad)
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), eta0, jnp.asarray(jnp.inf, eta0.dtype), jnp.asarray(False)))
+    return out[1]
+
+
+def grad_desc_cov(y, gg, Z, eta0, n_mask, probit_var=1.0, max_iter=500,
+                  grad_tol=1e-3):
+    """Plain gradient descent with backtracking (vamp_probit.cpp:860-934)."""
+
+    def body(carry):
+        it, eta, gnorm = carry
+        grad = grad_cov(y, gg, probit_var, Z, eta, n_mask)
+        f0 = mlogL_probit(y, gg, probit_var, Z, eta, n_mask)
+
+        def ls_body(ls):
+            i, scale, done = ls
+            fz = mlogL_probit(y, gg, probit_var, Z, eta - scale * grad, n_mask)
+            ok = fz <= f0 - scale * jnp.dot(grad, grad) / 2.0
+            return (i + 1, jnp.where(ok, scale, scale * 0.9), done | ok)
+
+        _, scale, _ = jax.lax.while_loop(
+            lambda ls: (ls[0] < 300) & (~ls[2]), ls_body,
+            (0, jnp.ones((), eta.dtype), jnp.asarray(False)))
+        eta_new = eta - scale * grad
+        return _cast_like((it + 1, eta_new, jnp.sqrt(jnp.sum(grad**2))), carry)
+
+    out = jax.lax.while_loop(
+        lambda c: (c[0] < max_iter) & (c[2] > grad_tol), body,
+        (jnp.asarray(0), eta0, jnp.asarray(jnp.inf, eta0.dtype)))
+    return out[1]
+
+
+# --------------------------------------------------------------------------
+# probit-variance EM (vamp_probit.cpp:728-812; reference keeps it available
+# but commented out of the loop — provided here as a callable utility)
+# --------------------------------------------------------------------------
+
+
+def update_probit_var(key, v, eta, z_hat, y, n_mask, n_mc=1000,
+                      max_iter_bisec=50):
+    """MC-EM + log-bisection for the probit noise variance."""
+
+    def f(vv, key):
+        z = z_hat + jax.random.normal(key, z_hat.shape, z_hat.dtype) / jnp.sqrt(eta)
+        c = (2.0 * y - 1.0) * z / vv
+        der = c * jnp.exp(-c * c / 2) / np.sqrt(2 * np.pi) * z / vv \
+            / jnp.clip(0.5 * jax.lax.erfc(-c * 0.7071067811865476), 1e-300, None)
+        return jnp.sum(der * n_mask)
+
+    lo, hi = jnp.asarray(1e-10, z_hat.dtype), jnp.asarray(1e10, z_hat.dtype)
+
+    def body(carry):
+        it, lo, hi, v, key = carry
+        key, sub = jax.random.split(key)
+        fv = f(v, sub)
+        lo = jnp.where(fv > 0, v, lo)
+        hi = jnp.where(fv <= 0, v, hi)
+        v_new = jnp.sqrt(lo * hi)
+        return _cast_like((it + 1, lo, hi, v_new, key), carry)
+
+    out = jax.lax.while_loop(lambda c: c[0] < max_iter_bisec, body,
+                             (jnp.asarray(0), lo, hi, jnp.asarray(v, z_hat.dtype), key))
+    return out[3]
+
+
+# --------------------------------------------------------------------------
+# the probit VAMP loop
+# --------------------------------------------------------------------------
+
+
+class ProbitState(NamedTuple):
+    it: jax.Array
+    x1: jax.Array
+    x2: jax.Array
+    r1: jax.Array
+    r2: jax.Array
+    z1: jax.Array       # z1_hat planar [4, Nb]
+    z2: jax.Array
+    p1: jax.Array
+    p2: jax.Array
+    gam1: jax.Array
+    gam2: jax.Array
+    tau1: jax.Array
+    tau2: jax.Array
+    alpha1: jax.Array
+    probs: jax.Array
+    vars: jax.Array
+    cov_eff: jax.Array  # [C] (C >= 1; zero-width handled by C=0 -> [1] dummy)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbitConfig(VampConfig):
+    gam1_init: float = 1e-8        # main_real_probit gam1
+    gamw_init: float = 1.0
+    probit_var: float = 1.0
+    auto_var_max_iter: int = 50    # vamp_probit.cpp:158
+    z_revar_max_iter: int = 1      # vamp_probit.cpp:335
+    newton_max_iter: int = 500
+
+
+class ProbitAux(NamedTuple):
+    op: object
+    y: jax.Array          # filtered planar [4, Nb] (binary, NA -> 0)
+    n_mask: jax.Array     # planar real-individual mask
+    bern: jax.Array
+    m_mask: jax.Array
+    Z: jax.Array          # covariates planar-dense [Nplanar, C]
+    ts: jax.Array         # true signal * sqrt(N) (zeros if absent)
+
+
+def init_state(geno, cfg: ProbitConfig, probs, vars_user, key=None) -> ProbitState:
+    dt = geno.dtype
+    Mp = geno.Mpad
+    zeros_m = jnp.zeros((Mp,), dt)
+    nb4 = geno.y_planar.shape
+    key = jax.random.key(cfg.seed + 1) if key is None else key
+    # p1 starts as unit Gaussian noise (vamp_probit.cpp:52)
+    p1 = jax.random.normal(key, nb4, dt) * geno.n_mask_planar
+    C = geno.covs.shape[1] if geno.covs is not None else 0
+    return ProbitState(
+        it=jnp.asarray(0), x1=zeros_m, x2=zeros_m, r1=zeros_m, r2=zeros_m,
+        z1=jnp.zeros(nb4, dt), z2=jnp.zeros(nb4, dt),
+        p1=p1, p2=jnp.zeros(nb4, dt),
+        gam1=jnp.asarray(cfg.gam1_init, dt), gam2=jnp.asarray(0.0, dt),
+        tau1=jnp.asarray(cfg.gam1_init, dt), tau2=jnp.asarray(0.0, dt),
+        alpha1=jnp.asarray(0.0, dt),
+        probs=jnp.asarray(probs, dt),
+        vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
+        cov_eff=jnp.zeros((max(C, 1),), dt),
+    )
+
+
+def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
+    C = geno.covs.shape[1] if geno.covs is not None else 0
+    nb = geno.layout.n_bytes
+    if C > 0:
+        Z = geno.covs_planar().reshape(4 * nb, C)
+    else:
+        Z = jnp.zeros((4 * nb, 1), geno.dtype)
+    return ProbitAux(
+        op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
+        bern=make_bern_probe(geno, cfg.seed), m_mask=geno.m_mask, Z=Z,
+        ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
+           else jnp.zeros((geno.Mpad,), geno.dtype),
+    )
+
+
+def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False):
+    dt = geno.dtype
+    Mt = float(geno.Mt)
+    N = float(geno.N)
+    ax_fn, atx_fn = geno.fns()
+    pv = cfg.probit_var
+
+    def step(state: ProbitState, aux: ProbitAux):
+        op, m_mask, n_mask = aux.op, aux.m_mask, aux.n_mask
+        yf = aux.y.reshape(-1)            # flat planar filtered y
+        nm = n_mask.reshape(-1)
+        it = state.it + 1
+        state = state._replace(it=it)
+        x1_prev = state.x1
+
+        # ---- covariate effects (iteration 1 only; vamp_probit.cpp:110-126)
+        cov_eff = state.cov_eff
+        if n_cov > 0:
+            gg = state.z1.reshape(-1)
+
+            def solve_cov(_):
+                return newton_cov(yf, gg, aux.Z, jnp.zeros_like(cov_eff), nm,
+                                  probit_var=pv, max_iter=cfg.newton_max_iter)
+
+            cov_eff = jax.lax.cond(it == 1, solve_cov, lambda _: cov_eff, None)
+            m_cov = (aux.Z @ cov_eff) * nm
+        else:
+            m_cov = jnp.zeros_like(yf)
+
+        # ---- denoise x (revar loop, vamp_probit.cpp:158-197) --------------
+        def revar_body(carry):
+            i, x1, gam1, alpha1, eta1, probs, vars_, prev = carry
+            pr = Prior(probs=probs, vars=vars_)
+            x1 = g1(state.r1, gam1, pr) * m_mask
+            d = g1d(state.r1, gam1, pr)
+            alpha1 = jnp.sum(d * m_mask) / Mt
+            eta1 = gam1 / alpha1
+            l2diff = jnp.sum(jnp.square((x1 - state.r1) * m_mask))
+
+            def reest(_):
+                g_new = _clamp_gamma(1.0 / (1.0 / eta1 + l2diff / Mt))
+                p2_ = update_prior(state.r1, g_new, pr, m_mask, Mt,
+                                   em_max_iter=cfg.em_max_iter,
+                                   em_err_thr=cfg.em_err_thr,
+                                   learn_vars=cfg.learn_vars)
+                return g_new, p2_.probs, p2_.vars
+
+            gam1n, probs, vars_ = jax.lax.cond(
+                it > 1, reest, lambda _: (gam1, probs, vars_), None)
+            return _cast_like((i + 1, x1, gam1n, alpha1, eta1, probs, vars_, gam1),
+                              carry)
+
+        def revar_cond(carry):
+            i, _, gam1, _, _, _, _, prev = carry
+            return (i < cfg.auto_var_max_iter) & ((i == 0) | (it > 1)) & \
+                   ((i == 0) | (jnp.abs(gam1 - prev) >= cfg.revar_tol))
+
+        carry0 = (jnp.asarray(0), state.x1, state.gam1, state.alpha1,
+                  jnp.asarray(0.0, dt), state.probs, state.vars,
+                  jnp.asarray(jnp.inf, dt))
+        _, x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.while_loop(
+            revar_cond, revar_body, carry0)[:7]
+
+        # damping (vamp_probit.cpp:199-204) — rho_it2 = rho
+        rho = jnp.asarray(cfg.rho, dt)
+        damp = it > 1
+        x1 = jnp.where(damp, rho * x1 + (1 - rho) * state.x1, x1)
+        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
+
+        gam2 = _clamp_gamma(eta1 - gam1)
+        r2 = ((eta1 * x1 - gam1 * state.r1) / gam2) * m_mask
+
+        # ---- denoise z (vamp_probit.cpp:330-390) ---------------------------
+        p1f = state.p1.reshape(-1)
+        tau1 = state.tau1
+        z1f = g1_bin_class(p1f, tau1, yf, m_cov, pv) * nm
+        beta1 = jnp.sum(g1d_bin_class(p1f, tau1, yf, m_cov, pv) * nm) / N
+        zeta1 = tau1 / beta1
+        l2zp = jnp.sum(jnp.square((z1f - p1f)) * nm)
+        tau1 = jnp.where(it > 1,
+                         _clamp_gamma(1.0 / (1.0 / zeta1 + l2zp / N)), tau1)
+        # (single z-revar pass: the reference sets auto_var_max_iter=1 there,
+        # vamp_probit.cpp:335; tau1 update applies from it>=2)
+
+        p2f = ((z1f - beta1 * p1f) / (1.0 - beta1)) * nm
+        tau2 = tau1 * (1.0 - beta1) / beta1
+
+        # ---- LMMSE x (vamp_probit.cpp:495-560) -----------------------------
+        nb = state.p2.shape[-1]
+        p2_planar = p2f.reshape(4, nb)
+        v = tau2 * atx_fn(op, p2_planar) + gam2 * r2
+        mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, tau2, gam2)
+        diag = cg.jacobi_diag(tau2, gam2, N)
+        sol = cg.solve(mult, v, jnp.zeros_like(v), diag, gam2,
+                       cfg.cg_max_iter, err_tol=cfg.cg_err_tol)
+        x2 = sol.mu * m_mask
+
+        probe = cg.solve(mult, aux.bern, jnp.zeros_like(aux.bern), diag, gam2,
+                         cfg.cg_max_iter, onsager=True,
+                         onsager_tol=cfg.onsager_tol)
+        alpha2 = gam2 * jnp.sum(aux.bern * probe.mu)
+        eta2 = gam2 / alpha2
+        l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask))
+        gam2 = jnp.where(it > 1,
+                         _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
+        r1 = ((x2 - alpha2 * r2) / (1.0 - alpha2)) * m_mask
+        gam1_new = gam2 * (1.0 - alpha2) / alpha2
+
+        # ---- LMMSE z (vamp_probit.cpp:567-614) -----------------------------
+        z2 = ax_fn(op, x2)
+        z2f = z2.reshape(-1)
+        beta2 = Mt / N * (1.0 - alpha2)
+        zeta2 = tau2 / beta2
+        l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nm)
+        tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
+        p1_new = ((z2f - beta2 * p2f) / (1.0 - beta2)) * nm
+        tau1_new = tau2 * (1.0 - beta2) / beta2
+
+        rel_change = jnp.sqrt(
+            jnp.sum(jnp.square(x1_prev - x1)) /
+            jnp.maximum(jnp.sum(jnp.square(x1_prev)), 1e-30))
+
+        metrics = {
+            "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
+            "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
+            "beta2": beta2, "eta1": eta1, "rel_change": rel_change,
+            "cg_iters": sol.iters, "probs": probs, "vars": vars_,
+            "cov_eff": cov_eff,
+        }
+        if with_truth:
+            ts = aux.ts
+            corr = jnp.sum(x1 * ts) / jnp.sqrt(
+                jnp.sum(jnp.square(x1)) * jnp.sum(jnp.square(ts)))
+            metrics["corr_x1"] = corr
+
+        new_state = ProbitState(
+            it=it, x1=x1, x2=x2, r1=r1, r2=r2,
+            z1=z1f.reshape(4, nb), z2=z2, p1=p1_new.reshape(4, nb),
+            p2=p2f.reshape(4, nb),
+            gam1=gam1_new, gam2=gam2, tau1=tau1_new, tau2=tau2,
+            alpha1=alpha1, probs=probs, vars=vars_, cov_eff=cov_eff)
+        return _cast_like(new_state, state), metrics
+
+    return jax.jit(step)
+
+
+def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
+          verbose: bool = True, callbacks=None):
+    """Full probit VAMP run; returns (x1_hat_stored /sqrt(N), state, history)."""
+    n_cov = geno.covs.shape[1] if geno.covs is not None else 0
+    state = init_state(geno, cfg, probs, vars_user)
+    aux = make_aux(geno, cfg, true_signal=true_signal)
+    step = make_step(geno, cfg, n_cov=n_cov, with_truth=true_signal is not None)
+    history = []
+    for it in range(1, cfg.max_iter + 1):
+        state, metrics = step(state, aux)
+        m = {k: np.asarray(v) for k, v in metrics.items()}
+        history.append(m)
+        if verbose:
+            extra = f" corr={m['corr_x1']:.4f}" if "corr_x1" in m else ""
+            print(f"[probit it {it}] gam1={m['gam1']:.5g} tau1={m['tau1']:.5g} "
+                  f"beta1={m['beta1']:.4g} alpha2={m['alpha2']:.4g} "
+                  f"rel={m['rel_change']:.3e}{extra}", flush=True)
+        if callbacks:
+            for cb in callbacks:
+                cb(it, state, m, geno)
+        if it > 1 and float(m["rel_change"]) < cfg.stop_criteria_thr:
+            break
+    x1_stored = np.asarray(state.x1)[: geno.M] / np.sqrt(geno.N)
+    return x1_stored, state, history

@@ -1,0 +1,73 @@
+"""Probit model tests: z-denoisers vs scipy, Newton covariate solver,
+end-to-end signal recovery with covariates."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.stats as st
+
+from gvamp_tpu import probit, sim
+from gvamp_tpu.data import GenoBed
+from test_data_layer import make_bed
+
+
+def test_g1_bin_class_matches_conditional_mean():
+    """E[z|p,y] under z~N(p, 1/tau), y = 1{z+eps>0}: closed form via Mills."""
+    tau1, pv = 2.0, 1.0
+    p = np.linspace(-3, 3, 31)
+    for y in (0.0, 1.0):
+        ours = np.asarray(probit.g1_bin_class(jnp.asarray(p), tau1, y, 0.0, pv))
+        sgn = 2 * y - 1
+        c = p / np.sqrt(pv + 1 / tau1)
+        mills = np.exp(st.norm.logpdf(sgn * c) - st.norm.logcdf(sgn * c))
+        expect = p + sgn * mills / tau1 / np.sqrt(pv + 1 / tau1)
+        np.testing.assert_allclose(ours, expect, rtol=1e-10)
+
+
+def test_g1d_bin_class_is_derivative():
+    tau1, pv = 1.3, 1.0
+    p = jnp.linspace(-4.0, 4.0, 41)
+    for y in (0.0, 1.0):
+        auto = jax.vmap(jax.grad(
+            lambda x: probit.g1_bin_class(x, tau1, y, 0.7, pv)))(p)
+        ours = probit.g1d_bin_class(p, tau1, y, 0.7, pv)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(auto), rtol=1e-8)
+
+
+def test_newton_cov_recovers_effects():
+    """Pure-covariate probit data: Newton must find the MLE ~ truth."""
+    rng = np.random.default_rng(0)
+    N, C = 4000, 3
+    Z = rng.normal(size=(N, C))
+    eta_true = np.array([0.5, -0.25, 0.8])
+    pr = st.norm.cdf(Z @ eta_true)
+    y = (rng.random(N) < pr).astype(np.float64)
+    eta = probit.newton_cov(jnp.asarray(y), jnp.zeros(N), jnp.asarray(Z),
+                            jnp.zeros(C), jnp.ones(N))
+    np.testing.assert_allclose(np.asarray(eta), eta_true, atol=0.1)
+
+
+def test_probit_vamp_recovers_signal():
+    rng = np.random.default_rng(4)
+    N, M, CV, h2 = 1500, 300, 20, 0.9
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, CV, h2)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    # covariates with known effects (sim_probit.cpp:170-186 style)
+    C = 2
+    geno.covs = rng.normal(size=(N, C))
+    cov_eff_true = np.array([0.25, -0.25])
+    y = sim.simulate_probit_phenotype(geno, beta, 1.0, rng, cov_eff_true)
+    geno.set_phen(y)
+    assert 0.2 < y.mean() < 0.8
+
+    cfg = probit.ProbitConfig(max_iter=10, rho=0.3, seed=2)
+    x_hat, state, hist = probit.infer(geno, cfg, probs_t, vars_t,
+                                      true_signal=beta, verbose=False)
+    corr = np.corrcoef(x_hat, beta)[0, 1]
+    assert corr > 0.55, f"corr {corr}"
+    # covariate effects estimated in the right ballpark
+    np.testing.assert_allclose(np.asarray(hist[-1]["cov_eff"]),
+                               cov_eff_true, atol=0.15)
