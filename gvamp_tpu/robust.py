@@ -1,0 +1,312 @@
+"""Huber-loss robust VAMP (heavy-tailed noise).
+
+Re-design of the reference's ``infere_robust`` (vamp_Huber.cpp:24-441): same
+skeleton as the probit loop but the z-denoiser is the closed-form Huber
+proximal (Bradic–Chen formulas, vamp_Huber.cpp:443-503) and the Huber
+threshold ``deltaH`` is learned each iteration by Monte-Carlo EM over a fixed
+grid (vamp_Huber.cpp:522-586).  The MC expectation vectorizes over
+(individuals x MC draws x grid points) in one shot instead of the reference's
+triple scalar loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvamp_tpu import cg
+from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma, make_bern_probe
+from gvamp_tpu.prior import Prior, g1, g1d, update_prior
+
+# deltaH M-step grid (vamp_Huber.cpp:259)
+DELTA_GRID = np.array([1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1,
+                       0.2, 0.4, 0.6, 0.8, 1.0, 1.5, 2.0, 3.0])
+
+
+# --------------------------------------------------------------------------
+# Huber proximal denoisers (vamp_Huber.cpp:443-503)
+# --------------------------------------------------------------------------
+
+
+def g1_huber(p1, tau1, delta, y):
+    """Posterior-mode z under Huber loss: y - prox_{var*huber}(y - p1)."""
+    var = 1.0 / tau1
+    thr = (1.0 + var) * delta
+    w = y - p1
+    est = jnp.where(jnp.abs(w) <= thr, w / (1.0 + var),
+                    jnp.where(w > thr, w - var * delta, w + var * delta))
+    return y - est
+
+
+def g1d_huber(p1, tau1, delta, y):
+    """d g1_huber / d p1 as written in the reference (vamp_Huber.cpp:474-503).
+
+    NB the reference branches the linear region on |p1| <= thr (not |w|),
+    a quirk documented in SURVEY.md §7 — replicated verbatim since it feeds
+    the published behavior.
+    """
+    var = 1.0 / tau1
+    thr = (1.0 + var) * delta
+    w = y - p1
+    return jnp.where(jnp.abs(p1) <= thr, -var * w / (1.0 + var),
+                     jnp.where(w > thr, -var * delta, var * delta))
+
+
+def g1d_huber_der(p1, tau1, delta, y):
+    """The derivative used for beta1 (vamp_Huber.cpp:485-503)."""
+    var = 1.0 / tau1
+    thr = (1.0 + var) * delta
+    w = y - p1
+    return jnp.where(jnp.abs(p1) <= thr, 1.0 / (1.0 + var),
+                     jnp.where(w > thr, 1.0, -1.0))
+
+
+def huber_loss(z, delta, y):
+    w = y - z
+    aw = jnp.abs(w)
+    return jnp.where(aw <= delta, w * w / 2.0, delta * (aw - delta / 2.0))
+
+
+def em_deltaH(key, p1, tau1, delta, y, n_mask, grid=DELTA_GRID,
+              num_mc: int = 100, num_em: int = 10):
+    """MC-EM grid search for deltaH (vamp_Huber.cpp:522-586).
+
+    E-step: E_{z ~ N(p1, 1/tau1)}[huber_delta(z, y)] averaged over
+    individuals, via `num_mc` shared Gaussian draws; M-step: grid argmin.
+    The reference repeats until the argmin is stable (rel change < 1e-3).
+    """
+    n = jnp.sum(n_mask)
+    eps = jax.random.normal(key, (num_mc,) + p1.shape, p1.dtype)
+    z = p1[None, :] + eps / jnp.sqrt(tau1)           # [MC, N]
+    # [G] objective: mean over MC draws and individuals
+    gridj = jnp.asarray(grid, p1.dtype)
+    losses = jax.vmap(
+        lambda d: jnp.sum(huber_loss(z, d, y[None, :]) * n_mask[None, :]) / (num_mc * n)
+    )(gridj)
+    return gridj[jnp.argmin(losses)]
+
+
+# --------------------------------------------------------------------------
+# robust VAMP loop (vamp_Huber.cpp:24-441)
+# --------------------------------------------------------------------------
+
+
+class RobustState(NamedTuple):
+    it: jax.Array
+    x1: jax.Array
+    x2: jax.Array
+    r1: jax.Array
+    r2: jax.Array
+    z1: jax.Array
+    z2: jax.Array
+    p1: jax.Array
+    p2: jax.Array
+    gam1: jax.Array
+    gam2: jax.Array
+    tau1: jax.Array
+    tau2: jax.Array
+    alpha1: jax.Array
+    deltaH: jax.Array
+    probs: jax.Array
+    vars: jax.Array
+    key: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class RobustConfig(VampConfig):
+    gam1_init: float = 1e-8
+    auto_var_max_iter: int = 50   # vamp_Huber.cpp:92
+    deltaH_init: float = 1e-3     # vamp_Huber.cpp:57
+    mc_steps: int = 100
+
+
+class RobustAux(NamedTuple):
+    op: object
+    y: jax.Array
+    n_mask: jax.Array
+    bern: jax.Array
+    m_mask: jax.Array
+    ts: jax.Array
+
+
+def init_state(geno, cfg: RobustConfig, probs, vars_user) -> RobustState:
+    dt = geno.dtype
+    Mp = geno.Mpad
+    zeros_m = jnp.zeros((Mp,), dt)
+    nb4 = geno.y_planar.shape
+    return RobustState(
+        it=jnp.asarray(0), x1=zeros_m, x2=zeros_m, r1=zeros_m, r2=zeros_m,
+        z1=jnp.zeros(nb4, dt), z2=jnp.zeros(nb4, dt),
+        p1=jnp.zeros(nb4, dt), p2=jnp.zeros(nb4, dt),
+        gam1=jnp.asarray(cfg.gam1_init, dt), gam2=jnp.asarray(0.0, dt),
+        tau1=jnp.asarray(cfg.gam1_init, dt), tau2=jnp.asarray(0.0, dt),
+        alpha1=jnp.asarray(0.0, dt), deltaH=jnp.asarray(cfg.deltaH_init, dt),
+        probs=jnp.asarray(probs, dt),
+        vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
+        key=jax.random.key(cfg.seed + 2),
+    )
+
+
+def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
+    return RobustAux(
+        op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
+        bern=make_bern_probe(geno, cfg.seed), m_mask=geno.m_mask,
+        ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
+           else jnp.zeros((geno.Mpad,), geno.dtype),
+    )
+
+
+def make_step(geno, cfg: RobustConfig, with_truth: bool = False):
+    dt = geno.dtype
+    Mt = float(geno.Mt)
+    N = float(geno.N)
+    ax_fn, atx_fn = geno.fns()
+
+    def step(state: RobustState, aux: RobustAux):
+        op, m_mask = aux.op, aux.m_mask
+        yf = aux.y.reshape(-1)
+        nm = aux.n_mask.reshape(-1)
+        it = state.it + 1
+        x1_prev = state.x1
+
+        # ---- denoise x (same revar loop as probit; vamp_Huber.cpp:94-131)
+        def revar_body(carry):
+            i, x1, gam1, alpha1, eta1, probs, vars_, prev = carry
+            pr = Prior(probs=probs, vars=vars_)
+            x1 = g1(state.r1, gam1, pr) * m_mask
+            alpha1 = jnp.sum(g1d(state.r1, gam1, pr) * m_mask) / Mt
+            eta1 = gam1 / alpha1
+            l2diff = jnp.sum(jnp.square((x1 - state.r1) * m_mask))
+
+            def reest(_):
+                g_new = _clamp_gamma(1.0 / (1.0 / eta1 + l2diff / Mt))
+                p_ = update_prior(state.r1, g_new, pr, m_mask, Mt,
+                                  em_max_iter=cfg.em_max_iter,
+                                  em_err_thr=cfg.em_err_thr,
+                                  learn_vars=cfg.learn_vars)
+                return g_new, p_.probs, p_.vars
+
+            gam1n, probs, vars_ = jax.lax.cond(
+                it > 1, reest, lambda _: (gam1, probs, vars_), None)
+            return _cast_like((i + 1, x1, gam1n, alpha1, eta1, probs, vars_, gam1),
+                              carry)
+
+        def revar_cond(carry):
+            i, _, gam1, _, _, _, _, prev = carry
+            return (i < cfg.auto_var_max_iter) & ((i == 0) | (it > 1)) & \
+                   ((i == 0) | (jnp.abs(gam1 - prev) >= cfg.revar_tol))
+
+        carry0 = (jnp.asarray(0), state.x1, state.gam1, state.alpha1,
+                  jnp.asarray(0.0, dt), state.probs, state.vars,
+                  jnp.asarray(jnp.inf, dt))
+        _, x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.while_loop(
+            revar_cond, revar_body, carry0)[:7]
+
+        rho = jnp.asarray(cfg.rho, dt)
+        damp = it > 1
+        x1 = jnp.where(damp, rho * x1 + (1 - rho) * state.x1, x1)
+        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
+
+        gam2 = _clamp_gamma(eta1 - gam1)
+        r2 = ((eta1 * x1 - gam1 * state.r1) / gam2) * m_mask
+
+        # ---- denoise z with the Huber proximal (vamp_Huber.cpp:225-262) ----
+        p1f = state.p1.reshape(-1)
+        tau1 = state.tau1
+        delta = state.deltaH
+        z1f = g1_huber(p1f, tau1, delta, yf) * nm
+        beta1 = jnp.sum(g1d_huber_der(p1f, tau1, delta, yf) * nm) / N
+        zeta1 = tau1 / beta1
+        l2zp = jnp.sum(jnp.square(z1f - p1f) * nm)
+        tau1 = jnp.where(it >= 2,
+                         _clamp_gamma(1.0 / (1.0 / zeta1 + l2zp / N)), tau1)
+
+        # deltaH MC-EM grid update (vamp_Huber.cpp:259-260)
+        key, sub = jax.random.split(state.key)
+        delta = em_deltaH(sub, p1f, tau1, delta, yf, nm, num_mc=cfg.mc_steps)
+
+        p2f = ((z1f - beta1 * p1f) / (1.0 - beta1)) * nm
+        tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)
+
+        # ---- LMMSE x (vamp_Huber.cpp:297-330) ------------------------------
+        nb = state.p2.shape[-1]
+        v = tau2 * atx_fn(op, p2f.reshape(4, nb)) + gam2 * r2
+        mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, tau2, gam2)
+        diag = cg.jacobi_diag(tau2, gam2, N)
+        sol = cg.solve(mult, v, jnp.zeros_like(v), diag, gam2,
+                       cfg.cg_max_iter, err_tol=cfg.cg_err_tol)
+        x2 = sol.mu * m_mask
+
+        probe = cg.solve(mult, aux.bern, jnp.zeros_like(aux.bern), diag, gam2,
+                         cfg.cg_max_iter, onsager=True,
+                         onsager_tol=cfg.onsager_tol)
+        alpha2 = gam2 * jnp.sum(aux.bern * probe.mu)
+        eta2 = gam2 / alpha2
+        l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask))
+        gam2 = jnp.where(it > 1,
+                         _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
+        r1 = ((x2 - alpha2 * r2) / (1.0 - alpha2)) * m_mask
+        gam1_new = gam2 * (1.0 - alpha2) / alpha2
+
+        # ---- LMMSE z (vamp_Huber.cpp:368-412) ------------------------------
+        z2 = ax_fn(op, x2)
+        z2f = z2.reshape(-1)
+        beta2 = Mt / N * (1.0 - alpha2)
+        zeta2 = tau2 / beta2
+        l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nm)
+        tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
+        p1_new = ((z2f - beta2 * p2f) / (1.0 - beta2)) * nm
+        tau1_new = _clamp_gamma(tau2 * (1.0 - beta2) / beta2)
+
+        rel_change = jnp.sqrt(
+            jnp.sum(jnp.square(x1_prev - x1)) /
+            jnp.maximum(jnp.sum(jnp.square(x1_prev)), 1e-30))
+
+        metrics = {
+            "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
+            "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
+            "deltaH": delta, "rel_change": rel_change, "cg_iters": sol.iters,
+            "probs": probs, "vars": vars_,
+        }
+        if with_truth:
+            ts = aux.ts
+            metrics["corr_x1"] = jnp.sum(x1 * ts) / jnp.sqrt(
+                jnp.sum(jnp.square(x1)) * jnp.sum(jnp.square(ts)))
+
+        new_state = RobustState(
+            it=it, x1=x1, x2=x2, r1=r1, r2=r2,
+            z1=z1f.reshape(4, nb), z2=z2,
+            p1=p1_new.reshape(4, nb), p2=p2f.reshape(4, nb),
+            gam1=gam1_new, gam2=gam2, tau1=tau1_new, tau2=tau2,
+            alpha1=alpha1, deltaH=delta, probs=probs, vars=vars_, key=key)
+        return _cast_like(new_state, state), metrics
+
+    return jax.jit(step)
+
+
+def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
+          verbose: bool = True, callbacks=None):
+    state = init_state(geno, cfg, probs, vars_user)
+    aux = make_aux(geno, cfg, true_signal=true_signal)
+    step = make_step(geno, cfg, with_truth=true_signal is not None)
+    history = []
+    for it in range(1, cfg.max_iter + 1):
+        state, metrics = step(state, aux)
+        m = {k: np.asarray(v) for k, v in metrics.items()}
+        history.append(m)
+        if verbose:
+            extra = f" corr={m['corr_x1']:.4f}" if "corr_x1" in m else ""
+            print(f"[robust it {it}] gam1={m['gam1']:.5g} tau1={m['tau1']:.5g} "
+                  f"deltaH={m['deltaH']:.4g} alpha2={m['alpha2']:.4g} "
+                  f"rel={m['rel_change']:.3e}{extra}", flush=True)
+        if callbacks:
+            for cb in callbacks:
+                cb(it, state, m, geno)
+        if it > 1 and float(m["rel_change"]) < cfg.stop_criteria_thr:
+            break
+    x1_stored = np.asarray(state.x1)[: geno.M] / np.sqrt(geno.N)
+    return x1_stored, state, history

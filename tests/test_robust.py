@@ -1,0 +1,70 @@
+"""Huber robust VAMP: proximal identities + heavy-tailed recovery."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gvamp_tpu import robust, sim
+from gvamp_tpu.data import GenoBed
+from test_data_layer import make_bed
+
+
+def test_huber_proximal_identity():
+    """g1_huber = y - prox of the Huber penalty scaled by var = 1/tau1."""
+    tau1, delta = 2.0, 0.5
+    var = 1 / tau1
+    p1 = np.linspace(-4, 4, 81)
+    y = 1.3
+    ours = np.asarray(robust.g1_huber(jnp.asarray(p1), tau1, delta, y))
+    # prox_{var*h_delta}(w): solves argmin_e 0.5(e-w)^2 + var*h_delta(e)
+    w = y - p1
+    thr = (1 + var) * delta
+    prox = np.where(np.abs(w) <= thr, w / (1 + var),
+                    np.where(w > thr, w - var * delta, w + var * delta))
+    np.testing.assert_allclose(ours, y - prox, rtol=1e-12)
+    # prox optimality: gradient of the objective at prox is ~0
+    for wi, ei in zip(w, prox):
+        grad = (ei - wi) + var * np.clip(ei, -delta, delta)
+        assert abs(grad) < 1e-10
+
+
+def test_huber_loss_values():
+    z = jnp.asarray([0.0, 1.0, 3.0])
+    y = 0.0
+    d = 1.5
+    got = np.asarray(robust.huber_loss(z, d, y))
+    np.testing.assert_allclose(got, [0.0, 0.5, 1.5 * (3 - 0.75)], rtol=1e-12)
+
+
+def test_em_deltaH_prefers_small_delta_for_heavy_tails():
+    """With huge outliers, the MC-EM objective should favor a small delta."""
+    import jax
+    rng = np.random.default_rng(0)
+    N = 2000
+    p1 = rng.normal(size=N)
+    y = p1 + np.where(rng.random(N) < 0.1, rng.standard_cauchy(N) * 10,
+                      rng.normal(size=N) * 0.1)
+    d = robust.em_deltaH(jax.random.key(0), jnp.asarray(p1), 25.0, 1.0,
+                         jnp.asarray(y), jnp.ones(N))
+    assert float(d) <= 0.4
+
+
+def test_robust_vamp_recovers_under_heavy_tails():
+    rng = np.random.default_rng(9)
+    N, M, CV, h2 = 1500, 300, 20, 0.9
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, CV, h2)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    # heavy-tailed noise: Student-t with 2.5 dof (sim_heavy_tails.cpp spirit)
+    x = geno.pad_m(beta * np.sqrt(N))
+    g = geno.deplanarize(geno.ax(jnp.asarray(x)))[:N]
+    noise = rng.standard_t(3.0, N) * 0.5
+    geno.set_phen(g + noise)
+
+    cfg = robust.RobustConfig(max_iter=6, rho=0.3, seed=5)
+    x_hat, state, hist = robust.infer(geno, cfg, probs_t, vars_t,
+                                      true_signal=beta, verbose=False)
+    corr = np.corrcoef(x_hat, beta)[0, 1]
+    assert corr > 0.6, f"corr {corr}"
+    assert np.isfinite(float(hist[-1]["deltaH"]))
