@@ -60,6 +60,8 @@ class VampConfig:
     cg_max_iter: int = 60
     learn_vars: bool = True
     use_lmmse_damp: bool = False
+    use_xxt: bool = False        # dual/N-space LMMSE (reference denoiserXXT.cpp)
+    cg_err_tol_xxt: float = 1e-4  # CG_solverAAT tol (denoiserXXT.cpp:121)
     auto_var_max_iter: int = 5   # reference vamp.hpp:37
     revar_tol: float = 1e-3      # reference vamp.cpp:335
     seed: int = 1
@@ -76,7 +78,8 @@ class LinState(NamedTuple):
     r1: jax.Array
     r2: jax.Array
     z1: jax.Array            # [4, Nb] planar
-    mu_cg: jax.Array         # warm start for the LMMSE CG
+    mu_cg: jax.Array         # warm start for the LMMSE CG (marker space)
+    mu_cg_n: jax.Array       # warm start for the XXT CG (sample space)
     gam1: jax.Array
     gam2: jax.Array
     gamw: jax.Array
@@ -114,6 +117,7 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         x1=x1, x2=zeros_m, r1=r1, r2=zeros_m,
         z1=jnp.zeros_like(geno.y_planar),
         mu_cg=zeros_m,
+        mu_cg_n=jnp.zeros_like(geno.y_planar),
         gam1=jnp.asarray(cfg.gam1_init if gam1 is None else gam1, dt),
         gam2=jnp.asarray(0.0, dt),
         gamw=jnp.asarray(cfg.gamw_init if gamw is None else gamw, dt),
@@ -148,10 +152,21 @@ class Aux(NamedTuple):
     frz: jax.Array        # freeze mask [Mpad]
     m_mask: jax.Array     # real-marker mask [Mpad]
     ts: jax.Array         # true signal (zeros when absent) [Mpad]
+    xxt_diag_base: jax.Array  # sum_m A_planar^2 per slot (XXT preconditioner)
 
 
 def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None) -> Aux:
     m_mask = geno.m_mask
+    if cfg.use_xxt:
+        # Jacobi diagonal of A A^T from people statistics: the reference's
+        # tau*((n_i-1)/sig_i^2 + mu_i^2 n_i)/N + gam2 (denoiserXXT.cpp:60)
+        # algebraically equals tau * sum_m value_im^2 / N + gam2.
+        mave_p, msig_p, numb_p = geno.compute_people_statistics()
+        sumsq = jnp.where(msig_p > 0, (numb_p - 1) / jnp.square(
+            jnp.where(msig_p == 0, 1.0, msig_p)), 0.0)             + jnp.square(mave_p) * numb_p
+        xxt_diag_base = sumsq.astype(geno.dtype) / geno.N
+    else:
+        xxt_diag_base = jnp.zeros_like(geno.y_planar)
     return Aux(
         op=geno.op,
         y=geno.filter_pheno(),
@@ -162,6 +177,7 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None) -> Aux:
         m_mask=m_mask,
         ts=geno.pad_m(true_signal) if true_signal is not None
            else jnp.zeros_like(m_mask),
+        xxt_diag_base=xxt_diag_base,
     )
 
 
@@ -268,13 +284,28 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
 
         # ---------------- LMMSE ----------------
         gamw = state.gamw
-        aty = atx_fn(op, y)
-        v = gamw * aty + gam2 * r2
-        mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, gamw, gam2)
         diag = cg.jacobi_diag(gamw, gam2, N)
-        sol = cg.solve(mult, v, state.mu_cg, diag, gam2, cfg.cg_max_iter,
-                       onsager=False, err_tol=cfg.cg_err_tol)
-        x2 = sol.mu * m_mask
+        if cfg.use_xxt:
+            # dual / N-space solve (lmmse_denoiserAAT, denoiserXXT.cpp:31-50):
+            # x2 = gamw A^T (gamw A A^T + gam2 I)^{-1} (y - A r2) + r2
+            def mult_aat(u):
+                return gamw * ax_fn(op, atx_fn(op, u)) + gam2 * u
+
+            v_n = y - ax_fn(op, r2)
+            diag_n = gamw * aux.xxt_diag_base + gam2
+            sol = cg.solve(mult_aat, v_n, state.mu_cg_n, diag_n, gam2,
+                           cfg.cg_max_iter, err_tol=cfg.cg_err_tol_xxt)
+            x2 = (gamw * atx_fn(op, sol.mu) + r2) * m_mask
+            mu_cg_new, mu_cg_n_new = state.mu_cg, sol.mu
+            mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, gamw, gam2)
+        else:
+            aty = atx_fn(op, y)
+            v = gamw * aty + gam2 * r2
+            mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, gamw, gam2)
+            sol = cg.solve(mult, v, state.mu_cg, diag, gam2, cfg.cg_max_iter,
+                           onsager=False, err_tol=cfg.cg_err_tol)
+            x2 = sol.mu * m_mask
+            mu_cg_new, mu_cg_n_new = sol.mu, state.mu_cg_n
 
         # Onsager trace probe (g2d_onsager, vamp.cpp:871-889)
         probe = cg.solve(mult, bern, jnp.zeros_like(bern), diag, gam2,
@@ -333,7 +364,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 diag_for(x2, r1, None)
 
         new_state = LinState(
-            it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=z1, mu_cg=sol.mu,
+            it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=z1,
+            mu_cg=mu_cg_new, mu_cg_n=mu_cg_n_new,
             gam1=gam1_new, gam2=gam2, gamw=gamw_new, eta1=eta1, eta2=eta2,
             alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs, vars=vars_)
         return _cast_like(new_state, state), metrics
