@@ -1,0 +1,101 @@
+"""LOO / LOCO p-values vs a direct scipy.linregress oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.stats as st
+
+from gvamp_tpu.data import GenoBed
+from gvamp_tpu.ops import pvals as pv
+from helpers import DenseOracle, random_dataset
+from test_data_layer import make_bed
+
+
+def _setup(N=300, M=40, seed=0):
+    rng = np.random.default_rng(seed)
+    codes, y = random_dataset(rng, N, M, miss_phen=0.08)
+    oracle = DenseOracle(codes, y)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64)
+    x1 = rng.normal(size=geno.Mpad) * np.asarray(geno.m_mask) * 0.1
+    return rng, oracle, geno, x1
+
+
+def _oracle_pvals(oracle, x1, y_target_dense):
+    """Direct per-marker t-test replicating data.cpp:1136-1183."""
+    N = oracle.N
+    out = np.zeros(oracle.M)
+    for k in range(oracle.M):
+        mask = oracle.b[k] * oracle.na
+        value = (oracle.a[k] - oracle.mave[k]) * oracle.msig[k] * mask
+        y_mark = y_target_dense + value / np.sqrt(N) * x1[k]
+        n = mask.sum()
+        sumx, sumsqx = value.sum(), (value**2).sum()
+        sumxy = (value * y_mark).sum()
+        sumy = (mask * y_mark).sum()
+        sumsqy = (mask * y_mark**2).sum()
+        s2y = (sumsqy - sumy**2 / n) / (n - 1)
+        s2x = (sumsqx - sumx**2 / n) / (n - 1)
+        sxy = (sumxy - sumx * sumy / n) / (n - 1)
+        rxy = sxy / np.sqrt(s2x * s2y)
+        t = rxy * np.sqrt((n - 2) / (1 - rxy**2))
+        out[k] = 2 * st.t.sf(abs(t), n - 2)
+    return out
+
+
+def test_loo_pvals_match_oracle():
+    rng, oracle, geno, x1 = _setup()
+    z1 = geno.ax(jnp.asarray(x1))
+    got = pv.loo_pvals(geno, z1, jnp.asarray(x1))
+    y_mod = oracle.y * oracle.na - geno.deplanarize(z1)
+    expect = _oracle_pvals(oracle, x1, y_mod)
+    np.testing.assert_allclose(got, expect, rtol=1e-7, atol=1e-12)
+
+
+def test_loo_pvals_null_uniformity():
+    """Under the null (x1=0, y independent), p-values are ~U(0,1)."""
+    rng = np.random.default_rng(7)
+    N, M = 500, 120
+    codes, y = random_dataset(rng, N, M, miss_geno=0.0, miss_phen=0.0)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64)
+    x1 = jnp.zeros(geno.Mpad)
+    got = pv.loo_pvals(geno, jnp.zeros_like(geno.y_planar), x1)
+    ks = st.kstest(got, "uniform")
+    assert ks.pvalue > 0.01, ks
+
+
+def test_loco_pvals_match_oracle():
+    rng, oracle, geno, x1 = _setup(seed=3)
+    chroms = np.repeat(np.arange(1, 5), oracle.M // 4)
+    z1 = geno.ax(jnp.asarray(x1))
+    preds = {}
+    got = pv.loco_pvals(geno, z1, jnp.asarray(x1), chroms,
+                        predictor_cb=lambda ch, yc: preds.__setitem__(ch, np.asarray(yc)))
+    assert set(preds) == {1, 2, 3, 4}
+
+    y_mod = oracle.y * oracle.na - geno.deplanarize(z1)
+    expect = np.zeros(oracle.M)
+    for ch in range(1, 5):
+        sel = chroms == ch
+        y_chrom = (oracle.A[sel].T @ x1[: oracle.M][sel]) * oracle.na
+        # predictor matches the masked ax pass
+        np.testing.assert_allclose(geno.deplanarize(preds[ch]), y_chrom,
+                                   rtol=1e-8, atol=1e-12)
+        p_all = _oracle_pvals(oracle, x1, y_mod + y_chrom)
+        expect[sel] = p_all[sel]
+    np.testing.assert_allclose(got, expect, rtol=1e-7, atol=1e-12)
+
+
+def test_true_associations_have_small_pvalues():
+    """Markers with real effects should reach tiny p-values."""
+    rng = np.random.default_rng(5)
+    N, M = 800, 60
+    codes, _ = random_dataset(rng, N, M, miss_geno=0.0, miss_phen=0.0)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    beta = np.zeros(M)
+    beta[:5] = 0.5
+    from gvamp_tpu import sim
+    y = sim.simulate_linear_phenotype(geno, beta, 20.0, rng)
+    geno.set_phen(y)
+    p = pv.loo_pvals(geno, jnp.zeros_like(geno.y_planar), jnp.zeros(geno.Mpad))
+    assert (p[:5] < 1e-6).all()
+    assert np.median(p[5:]) > 0.05
