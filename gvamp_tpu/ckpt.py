@@ -1,0 +1,82 @@
+"""Per-iteration estimate dumps + full-state checkpoint/resume.
+
+The reference dumps sharded float64 .bin estimates every iteration
+(vamp.cpp:446-462,538-542,608-612 via mpi_store_vec_to_file) and can restart
+from them (run-mode restart, main_real.cpp:453-486) — but loses the scalar
+state (probs/vars/rho/gam2...) across restarts (SURVEY.md §5).  We keep the
+reference-compatible .bin layout for interchange AND add a complete .npz
+state checkpoint that resumes exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import numpy as np
+
+from gvamp_tpu.io import vecio
+
+
+class IterDumper:
+    """Reference-layout per-iteration dumps (file names per model family)."""
+
+    def __init__(self, out_prefix: str, model: str = "linear",
+                 dump_every: int = 1, checkpoint: str = ""):
+        self.prefix = out_prefix
+        self.model = model
+        self.every = dump_every
+        self.checkpoint = checkpoint
+        # linear: "_it_N.bin"; probit: "_probit_it_N.bin"; robust: "_robust_it_N.bin"
+        self.tag = {"linear": "", "bin_class": "_probit", "robust": "_robust"}[model]
+
+    def __call__(self, it: int, state, metrics, geno) -> None:
+        if self.every == 0 or it % self.every:
+            return
+        scale = 1.0 / np.sqrt(geno.N)
+        S, M = geno.S, geno.M
+        pre, tag = self.prefix, self.tag
+        x1 = np.asarray(state.x1)[:M] * scale
+        r1 = np.asarray(state.r1)[:M] * scale
+        vecio.write_bin_shard(f"{pre}{tag}_it_{it}.bin", x1, S)
+        vecio.write_bin_shard(f"{pre}{tag}_r1_it_{it}.bin", r1, S)
+        if self.model == "linear":
+            vecio.write_bin_shard(f"{pre}_r2_it_{it}.bin",
+                                  np.asarray(state.r2)[:M] * scale, S)
+            vecio.write_bin_shard(f"{pre}_it_{it}_x2_hat.bin",
+                                  np.asarray(state.x2)[:M] * scale, S)
+            # z1 CSV over the padded 4*mbytes planar width, original order
+            z1 = geno.deplanarize(state.z1)
+            full = np.zeros(4 * geno.layout.mbytes)
+            full[: geno.N] = z1[: geno.N]
+            vecio.write_txt(f"{pre}_z1_it_{it}.csv", full)
+        if self.checkpoint:
+            save_state(self.checkpoint, state, it=it)
+
+
+def save_state(path: str, state, **extra) -> None:
+    """Full state -> npz (all pytree leaves + metadata)."""
+    arrs = {f"f_{name}": np.asarray(v) for name, v in zip(state._fields, state)}
+    arrs["_meta"] = np.frombuffer(
+        json.dumps({"fields": list(state._fields), **extra}).encode(), dtype=np.uint8)
+    np.savez(path, **arrs)
+
+
+def load_state(path: str, state_cls):
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["_meta"]).decode())
+    import jax.numpy as jnp
+    vals = [jnp.asarray(z[f"f_{name}"]) for name in meta["fields"]]
+    return state_cls(*vals), meta
+
+
+def write_scalar_history(prefix: str, history, keys=("gam1", "gam2")) -> None:
+    """gam1s/gam2s/R2trains CSVs at run end (vamp.cpp:778-794)."""
+    vecio.write_txt(prefix + "_gam1s.csv", np.array([h["gam1"] for h in history]))
+    vecio.write_txt(prefix + "_gam2s.csv", np.array([h["gam2"] for h in history]))
+    if "R2_train_1" in history[0]:
+        r2s = []
+        for h in history:  # err_measures pushes R2 after each half-step
+            r2s += [float(h["R2_train_1"]), float(h["R2_train_2"])]
+        vecio.write_txt(prefix + "_R2trains.csv", np.array(r2s))

@@ -1,0 +1,377 @@
+"""Run-mode driver: the L5 entry point (python -m gvamp_tpu.cli ...).
+
+Re-designs the reference executables (main_real.cpp, main_real_probit.cpp,
+sim.cpp et al.) as one CLI with the same run modes:
+
+  infere          fit the chosen model, dump per-iteration estimates
+                  (main_real.cpp:34-128)
+  test            R^2 sweep of stored estimates on a test set
+                  (main_real.cpp:129-244; probit variant reports CM/TPR/FPR,
+                  main_real_probit.cpp:117-157)
+  both            infere then test with intercept/scale de-standardization
+                  (main_real.cpp:245-330)
+  restart         resume with gam1/gamw injected + r1 from an estimate file
+                  (main_real.cpp:453-486)
+  predict         per-individual prediction CSVs over an iteration range of
+                  stored (Gibbs-format) estimates (main_real.cpp:487-551)
+  predict_single  one prediction CSV from one estimate (main_real.cpp:552-594)
+  pvals-calc      standalone LOO/LOCO association tests
+                  (main_real.cpp:331-452; store-pvals: 0=both 1=LOO 2=LOCO)
+  sim             simulate signal+phenotype from a .bed then infer (sim.cpp)
+
+Single-process host with the device mesh doing the sharding: divide_work
+(utilities.cpp:259-291) becomes the mesh partition of the padded marker axis.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gvamp_tpu.ckpt import IterDumper, load_state, save_state, write_scalar_history
+from gvamp_tpu.io import plink, vecio
+from gvamp_tpu.options import Options
+from gvamp_tpu.prior import initialize_prior
+
+
+def _jax():
+    import jax
+    return jax
+
+
+def _dtype(opt):
+    import jax.numpy as jnp
+    return jnp.float64 if opt.dtype == "float64" else jnp.float32
+
+
+def _mesh(opt):
+    import jax
+    from jax.sharding import Mesh
+    n = opt.devices or 0
+    devs = jax.devices()
+    if n <= 1 and len(devs) == 1:
+        return None
+    n = n or len(devs)
+    return Mesh(np.array(devs[:n]), ("m",))
+
+
+def _load_geno(opt: Options, test: bool = False):
+    from gvamp_tpu.data import GenoBed
+    bed = opt.bed_file_test if test else opt.bed_file
+    phen = (opt.phen_files_test if test else opt.phen_files)
+    phen = phen[0] if phen else None
+    N = opt.N_test if test else opt.N
+    Mt = opt.Mt_test if test else opt.Mt
+    geno = GenoBed.from_files(
+        bed, phen, N=N, Mt=Mt, alpha_scale=opt.alpha_scale,
+        mesh=_mesh(opt), backend=opt.backend, dtype=_dtype(opt),
+        bim_path=opt.bim_file)
+    if opt.cov_file and opt.C > 0:
+        geno.read_covariates(opt.cov_file, opt.C)
+    return geno
+
+
+def _prior(opt: Options, geno):
+    return initialize_prior(opt.probs or None, opt.vars or None,
+                            N=geno.N, Mt=geno.Mt)
+
+
+def _true_signal(opt: Options, geno):
+    if not opt.true_signal_files:
+        return None
+    return vecio.read_estimate(opt.true_signal_files[0], geno.M, geno.S)
+
+
+def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
+    """Model dispatch (reference vamp::infere, vamp.cpp:149-183)."""
+    probs, vars_user = _prior(opt, geno)
+    ts = _true_signal(opt, geno)
+    dump = IterDumper(opt.out_prefix, model=opt.model,
+                      dump_every=opt.dump_every, checkpoint=opt.checkpoint)
+    common = dict(verbose=opt.verbosity > 0, callbacks=[dump], true_signal=ts)
+
+    if opt.model == "linear":
+        from gvamp_tpu import linear
+        cfg = linear.VampConfig(
+            max_iter=opt.iterations, rho=opt.rho,
+            stop_criteria_thr=opt.stop_criteria_thr,
+            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
+            use_lmmse_damp=bool(opt.use_lmmse_damp),
+            use_xxt=bool(opt.use_XXT_denoiser), seed=opt.seed,
+            gam1_init=1e-6 if gam1 is None else gam1,
+            gamw_init=opt.gamw_default() if gamw is None else gamw)
+        freeze = None
+        if opt.use_freeze:
+            freeze = vecio.read_estimate(opt.freeze_index_file, geno.M, geno.S)
+        x1_init = None
+        if opt.init_est and opt.estimate_file:
+            x1_init = vecio.read_estimate(opt.estimate_file, geno.M, geno.S)
+        x_est, state, hist = linear.infer(
+            geno, cfg, probs, vars_user, freeze=freeze,
+            r1_init=r1_init, x1_init=x1_init, **common)
+        if hist:
+            write_scalar_history(opt.out_prefix, hist)
+        if opt.store_pvals:
+            _store_pvals_after_infer(opt, geno, state)
+        return x_est, state, hist
+
+    if opt.model == "bin_class":
+        from gvamp_tpu import probit
+        cfg = probit.ProbitConfig(
+            max_iter=opt.iterations, rho=opt.rho,
+            stop_criteria_thr=opt.stop_criteria_thr,
+            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
+            seed=opt.seed, probit_var=opt.probit_var,
+            gam1_init=1e-8 if gam1 is None else gam1)
+        return probit.infer(geno, cfg, probs, vars_user, **common)
+
+    if opt.model == "robust":
+        from gvamp_tpu import robust
+        cfg = robust.RobustConfig(
+            max_iter=opt.iterations, rho=opt.rho,
+            stop_criteria_thr=opt.stop_criteria_thr,
+            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
+            seed=opt.seed, gam1_init=1e-8 if gam1 is None else gam1)
+        return robust.infer(geno, cfg, probs, vars_user, **common)
+
+    raise SystemExit(f"invalid model {opt.model!r}")
+
+
+def _store_pvals_after_infer(opt, geno, state):
+    """End-of-run LOO (+LOCO if .bim) p-values (vamp.cpp:761-776)."""
+    from gvamp_tpu.ops import pvals as pv
+    p = pv.loo_pvals(geno, state.z1, state.x1)
+    vecio.write_bin_shard(opt.out_prefix + "_pvals.bin", p, geno.S)
+    print(f"pvals -> {opt.out_prefix}_pvals.bin")
+    if opt.bim_file:
+        ploco = pv.loco_pvals(
+            geno, state.z1, state.x1, geno.chromosomes(),
+            predictor_cb=_loco_predictor_writer(opt, geno))
+        vecio.write_bin_shard(opt.out_prefix + "_pvals_LOCO.bin", ploco, geno.S)
+        print(f"LOCO pvals -> {opt.out_prefix}_pvals_LOCO.bin")
+
+
+def _loco_predictor_writer(opt, geno, tag=""):
+    def cb(ch, y_chrom):
+        full = np.zeros(4 * geno.layout.mbytes)
+        full[: geno.N] = geno.deplanarize(y_chrom)[: geno.N]
+        vecio.write_txt(f"{opt.out_prefix}{tag}_LOCO_chr_{ch}.csv", full)
+    return cb
+
+
+# --------------------------------------------------------------------------
+# run modes
+# --------------------------------------------------------------------------
+
+
+def mode_infere(opt: Options):
+    geno = _load_geno(opt)
+    run_inference(opt, geno)
+
+
+def mode_restart(opt: Options):
+    """gam1/gamw injected + r1 from estimate file (main_real.cpp:453-486)."""
+    geno = _load_geno(opt)
+    if opt.resume:
+        # full-state resume (extension: complete scalar state comes back too)
+        from gvamp_tpu import linear
+        probs, vars_user = _prior(opt, geno)
+        cfg = linear.VampConfig(max_iter=opt.iterations, rho=opt.rho,
+                                cg_max_iter=opt.CG_max_iter, seed=opt.seed)
+        state, meta = load_state(opt.resume, linear.LinState)
+        aux = linear.make_aux(geno, cfg)
+        step = linear.make_step(geno, cfg)
+        dump = IterDumper(opt.out_prefix, model="linear",
+                          dump_every=opt.dump_every, checkpoint=opt.checkpoint)
+        hist = []
+        for it in range(int(state.it) + 1, int(state.it) + 1 + opt.iterations):
+            state, metrics = step(state, aux)
+            m = {k: np.asarray(v) for k, v in metrics.items()}
+            hist.append(m)
+            dump(it, state, m, geno)
+        write_scalar_history(opt.out_prefix, hist)
+        return
+    r1 = vecio.read_estimate(opt.estimate_file, geno.M, geno.S)
+    run_inference(opt, geno, gam1=opt.gam1_init, gamw=opt.gamw_init, r1_init=r1)
+
+
+def _estimate_series(opt, M, S):
+    """Yield (it, x_est) over the test iteration range (main_real.cpp:160-181)."""
+    lo, hi = opt.test_iter_range
+    path = opt.estimate_file
+    if lo == -1:
+        yield -1, vecio.read_estimate(path, M, S)
+        return
+    dot = path.rfind(".")
+    ext = path[dot + 1:]
+    stem = path[: path.rfind("it")]
+    for it in range(lo, hi + 1):
+        yield it, vecio.read_estimate(f"{stem}it_{it}.{ext}", M, S)
+
+
+def mode_test(opt: Options):
+    geno = _load_geno(opt, test=True)
+    import jax.numpy as jnp
+    y = np.asarray(geno.deplanarize(geno.filter_pheno()))[: geno.N]
+    best, best_it = -np.inf, -1
+    sqn = np.sqrt(geno.N)
+    for it, est in _estimate_series(opt, geno.M, geno.S):
+        z = geno.deplanarize(geno.ax(geno.pad_m(est * sqn)))[: geno.N]
+        if opt.model == "bin_class":
+            from gvamp_tpu.ops.special import normal_cdf
+            m_cov = np.zeros(geno.N)
+            if opt.cov_estimate_file and opt.C:
+                eff = vecio.read_estimate(opt.cov_estimate_file, opt.C, 0)
+                m_cov = geno.covs_np @ eff
+            prob = np.asarray(normal_cdf(jnp.asarray(z + m_cov)))
+            pred = prob >= 0.5
+            truth = y >= 0.5
+            tp = np.sum(pred & truth); fp = np.sum(pred & ~truth)
+            fn = np.sum(~pred & truth); tn = np.sum(~pred & ~truth)
+            tpr = tp / max(tp + fn, 1); fpr = fp / max(fp + tn, 1)
+            acc = (tp + tn) / geno.N
+            print(f"it {it}: TPR={tpr:.4f} FPR={fpr:.4f} acc={acc:.4f}")
+            score = acc
+        else:
+            err2 = float(np.sum((y - z) ** 2))
+            sd = np.std(y, ddof=1)
+            score = 1.0 - err2 / (sd * sd * geno.N)
+            print(f"it {it}: R2 = {score:.6f}")
+        if score > best:
+            best, best_it = score, it
+    print(f"max score = {best:.6f} at it = {best_it}")
+    return best, best_it
+
+
+def mode_both(opt: Options):
+    """infere on train, then test-set R^2 with train intercept/scale
+    de-standardization (main_real.cpp:245-330)."""
+    geno = _load_geno(opt)
+    x_est, state, hist = run_inference(opt, geno)
+    intercept, scale = geno.intercept, geno.scale
+    geno_t = _load_geno(opt, test=True)
+    sqn = np.sqrt(geno_t.N)
+    z = geno_t.deplanarize(geno_t.ax(geno_t.pad_m(
+        np.asarray(x_est)[: geno_t.M] * sqn)))[: geno_t.N]
+    z = intercept + scale * z
+    y = np.asarray(geno_t.deplanarize(geno_t.filter_pheno()))[: geno_t.N]
+    err2 = float(np.sum((y - z) ** 2))
+    sd = np.std(y, ddof=1)
+    r2 = 1.0 - err2 / (sd * sd * geno_t.N)
+    print(f"test R2 = {r2:.6f}")
+    return r2
+
+
+def mode_pvals_calc(opt: Options):
+    from gvamp_tpu.ops import pvals as pv
+    geno = _load_geno(opt)
+    sqn = np.sqrt(geno.N)
+    for it, est in _estimate_series(opt, geno.M, geno.S):
+        tag = f"_it_{it}" if it != -1 else ""
+        x1 = geno.pad_m(est * sqn)
+        z1 = geno.ax(x1)
+        if opt.store_pvals in (0, 1):
+            p = pv.loo_pvals(geno, z1, x1)
+            vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals.bin", p, geno.S)
+        if opt.bim_file and opt.store_pvals in (0, 2):
+            p = pv.loco_pvals(geno, z1, x1, geno.chromosomes(),
+                              predictor_cb=_loco_predictor_writer(opt, geno, tag))
+            vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals_LOCO.bin",
+                                  p, geno.S)
+
+
+def mode_predict(opt: Options, single: bool = False):
+    from gvamp_tpu.data import GenoBed
+    geno = GenoBed.from_files(
+        opt.bed_file_test, None, N=opt.N_test, Mt=opt.Mt_test,
+        alpha_scale=opt.alpha_scale, mesh=_mesh(opt), backend=opt.backend,
+        dtype=_dtype(opt), standardize_phen=False)
+    sqn = np.sqrt(geno.N)
+    if single:
+        est = vecio.read_estimate(opt.estimate_file, geno.M, geno.S)
+        z = geno.deplanarize(geno.ax(geno.pad_m(est * sqn)))
+        full = np.zeros(4 * geno.layout.mbytes)
+        full[: geno.N] = z[: geno.N]
+        vecio.write_txt(opt.out_prefix + "_predict.csv", full)
+        return
+    # Gibbs-estimate naming: <stem>temp_<it>_<it>_gibbs_est.<ext>
+    # (main_real.cpp:519-521)
+    lo, hi = opt.test_iter_range
+    path = opt.estimate_file
+    dot = path.find(".")
+    ext = path[dot + 1:]
+    stem = path[: path.rfind("temp")]
+    zs = []
+    for it in range(lo, hi + 1):
+        est = vecio.read_estimate(f"{stem}temp_{it}_{it}_gibbs_est.{ext}",
+                                  geno.M, geno.S)
+        zs.append(geno.deplanarize(geno.ax(geno.pad_m(est * sqn)))[: geno.N])
+    zs = np.stack(zs, axis=1)  # [N, n_iters]
+    for i in range(geno.N):
+        vecio.write_txt(f"{opt.out_prefix}_predict_{i}.csv", zs[i])
+
+
+def mode_sim(opt: Options):
+    """Simulation driver (sim.cpp): simulate truth + phenotype on a real .bed,
+    save them, then infer with truth-aware diagnostics."""
+    from gvamp_tpu import sim
+    geno = _load_geno(opt)
+    rng = np.random.default_rng(opt.seed)
+    h2 = opt.h2 if opt.h2 != -1 else 0.5
+    cv = opt.CV or max(geno.Mt // 100, 1)
+    vars_t, probs_t = sim.two_group_prior(geno.Mt, cv, h2)
+    if opt.true_signal_files:
+        beta = vecio.read_estimate(opt.true_signal_files[0], geno.M, geno.S)
+        y = vecio.read_txt_shard(opt.phen_files[0], geno.N, 0)
+    else:
+        beta = sim.simulate_mixture(rng, geno.M, vars_t, probs_t)
+        gamw = 1.0 / (1.0 - h2)
+        y = sim.simulate_linear_phenotype(geno, beta, gamw, rng)
+        vecio.write_bin_shard(opt.out_prefix + "_beta_true.bin", beta, geno.S)
+        vecio.write_txt(opt.out_prefix + "_y.txt", y)
+    geno.set_phen(y)
+    opt2 = opt
+    if not opt.vars:
+        opt2 = Options(**{**vars(opt), "vars": list(vars_t),
+                          "probs": list(probs_t)})
+    opt2.true_signal_files = []
+    probs, vars_user = _prior(opt2, geno)
+    ts = beta
+    from gvamp_tpu import linear
+    cfg = linear.VampConfig(
+        max_iter=opt.iterations, rho=opt.rho, cg_max_iter=opt.CG_max_iter,
+        stop_criteria_thr=opt.stop_criteria_thr, seed=opt.seed,
+        gam1_init=1e-8, gamw_init=2.0,
+        em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+        learn_vars=bool(opt.learn_vars))
+    dump = IterDumper(opt.out_prefix, model="linear", dump_every=opt.dump_every)
+    x_est, state, hist = linear.infer(geno, cfg, probs, vars_user,
+                                      true_signal=ts, callbacks=[dump],
+                                      verbose=opt.verbosity > 0)
+    write_scalar_history(opt.out_prefix, hist)
+    return x_est
+
+
+MODES = {
+    "infere": mode_infere,
+    "test": mode_test,
+    "both": mode_both,
+    "restart": mode_restart,
+    "pvals-calc": mode_pvals_calc,
+    "predict": lambda o: mode_predict(o, single=False),
+    "predict_single": lambda o: mode_predict(o, single=True),
+    "sim": mode_sim,
+}
+
+
+def main(argv=None):
+    opt = Options.from_args(argv)
+    return MODES[opt.run_mode](opt)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

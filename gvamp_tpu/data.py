@@ -159,7 +159,7 @@ class GenoBed:
             sqn = float(np.sqrt((nonas - 1) / np.nansum((y_raw - avg) ** 2)))
         else:
             avg, sqn = 0.0, 1.0
-        y = np.where(isna, 0.0, y_raw * sqn)  # scaled, NOT centered; NA -> 0
+        y = np.where(isna, 0.0, y_raw) * sqn  # scaled, NOT centered; NA -> 0
         na = (~isna).astype(np.float64)
 
         sharding = None
@@ -520,7 +520,7 @@ class GenoDense:
             sqn = float(np.sqrt((nonas - 1) / np.nansum((y_raw - avg) ** 2)))
         else:
             avg, sqn = 0.0, 1.0
-        y = np.where(isna, 0.0, y_raw * sqn)
+        y = np.where(isna, 0.0, y_raw) * sqn
         na = (~isna).astype(np.float64)
 
         na_dense = na  # [N]

@@ -1,0 +1,143 @@
+"""CLI options — flag-for-flag compatible with the reference parser.
+
+The reference hand-rolls an exact-match strcmp loop over ~40 flags
+(options.cpp:18-429) with defaults in options.hpp:107-142.  Same flag names
+and defaults here, argparse-based, plus validation (check_options,
+options.cpp:444-492) and out-dir auto-creation (options.cpp:274-277).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Options:
+    run_mode: str = "infere"
+    model: str = "linear"               # linear | bin_class | robust
+    bed_file: str = ""
+    bed_file_test: str = ""
+    phen_files: List[str] = dataclasses.field(default_factory=list)
+    phen_files_test: List[str] = dataclasses.field(default_factory=list)
+    true_signal_files: List[str] = dataclasses.field(default_factory=list)
+    cov_file: str = ""
+    bim_file: str = ""
+    estimate_file: str = ""
+    cov_estimate_file: str = ""
+    freeze_index_file: str = ""
+    out_dir: str = ""
+    out_name: str = ""
+    N: int = 0
+    Mt: int = 0
+    N_test: int = 0
+    Mt_test: int = 0
+    iterations: int = 1
+    num_mix_comp: int = 0
+    vars: List[float] = dataclasses.field(default_factory=list)
+    probs: List[float] = dataclasses.field(default_factory=list)
+    test_iter_range: List[int] = dataclasses.field(default_factory=lambda: [-1, -1])
+    rho: float = 0.15
+    h2: float = -1.0
+    CV: int = 0
+    C: int = 0
+    stop_criteria_thr: float = 1e-4
+    EM_err_thr: float = 1e-2
+    EM_max_iter: int = 2
+    CG_max_iter: int = 60
+    learn_vars: int = 1
+    store_pvals: int = 0
+    use_lmmse_damp: int = 0
+    use_XXT_denoiser: int = 0
+    use_freeze: int = 0
+    init_est: int = 0
+    red: int = 0
+    seed: int = 1
+    alpha_scale: float = 1.0
+    probit_var: float = 1.0
+    gamw_init: float = 0.0
+    gam1_init: float = -1.0
+    gamma_damp: float = 1.0
+    # extensions beyond the reference CLI:
+    dtype: str = "float32"          # compute dtype (reference: f64 only)
+    backend: str = "auto"           # pallas | xla | auto
+    devices: int = 0                # mesh size (0 = all available)
+    dump_every: int = 1             # per-iteration estimate dumps (0 = off)
+    checkpoint: str = ""            # full-state checkpoint path ("" = off)
+    resume: str = ""                # resume from a full-state checkpoint
+    verbosity: int = 1
+
+    @classmethod
+    def parser(cls) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(
+            prog="gvamp-tpu",
+            description="TPU-native gVAMP: whole-genome VAMP regression")
+
+        def flag(name, **kw):
+            p.add_argument(name, dest=name.lstrip("-").replace("-", "_"), **kw)
+
+        flag("--run-mode", default="infere",
+             choices=["infere", "test", "both", "restart", "predict",
+                      "predict_single", "pvals-calc", "sim"])
+        flag("--model", default="linear",
+             choices=["linear", "bin_class", "robust"])
+        for f in ["--bed-file", "--bed-file-test", "--cov-file", "--bim-file",
+                  "--estimate-file", "--cov-estimate-file",
+                  "--freeze-index-file", "--out-dir", "--out-name",
+                  "--checkpoint", "--resume"]:
+            flag(f, default="")
+        for f, d in [("--N", 0), ("--Mt", 0), ("--N-test", 0), ("--Mt-test", 0),
+                     ("--iterations", 1), ("--num-mix-comp", 0), ("--CV", 0),
+                     ("--C", 0), ("--EM-max-iter", 2), ("--CG-max-iter", 60),
+                     ("--learn-vars", 1), ("--store-pvals", 0),
+                     ("--use-lmmse-damp", 0), ("--use-XXT-denoiser", 0),
+                     ("--use-freeze", 0), ("--init-est", 0), ("--red", 0),
+                     ("--seed", 1), ("--devices", 0), ("--dump-every", 1),
+                     ("--verbosity", 1)]:
+            flag(f, type=int, default=d)
+        for f, d in [("--rho", 0.15), ("--h2", -1.0),
+                     ("--stop-criteria-thr", 1e-4), ("--EM-err-thr", 1e-2),
+                     ("--alpha-scale", 1.0), ("--probit-var", 1.0),
+                     ("--gamw-init", 0.0), ("--gam1-init", -1.0),
+                     ("--gamma-damp", 1.0)]:
+            flag(f, type=float, default=d)
+        for f in ["--phen-files", "--phen-files-test", "--true-signal-files"]:
+            flag(f, type=lambda s: s.split(","), default=[])
+        flag("--vars", type=lambda s: [float(x) for x in s.split(",")], default=[])
+        flag("--probs", type=lambda s: [float(x) for x in s.split(",")], default=[])
+        flag("--test-iter-range", type=lambda s: [int(x) for x in s.split(",")],
+             default=[-1, -1])
+        flag("--dtype", default="float32", choices=["float32", "float64"])
+        flag("--backend", default="auto", choices=["auto", "pallas", "xla"])
+        return p
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None) -> "Options":
+        ns = cls.parser().parse_args(argv)
+        opt = cls(**vars(ns))
+        opt.check()
+        return opt
+
+    def check(self) -> None:
+        """Minimal validation (reference check_options, options.cpp:444-458)."""
+        if self.run_mode != "sim" and not self.bed_file and not self.bed_file_test:
+            raise SystemExit("FATAL: no bed file provided! Use --bed-file.")
+        if self.vars and self.probs and len(self.vars) != len(self.probs):
+            raise SystemExit("FATAL: --vars and --probs lengths differ.")
+        if self.out_dir and not os.path.isdir(self.out_dir):
+            os.makedirs(self.out_dir, exist_ok=True)
+
+    @property
+    def out_prefix(self) -> str:
+        d = self.out_dir
+        if d and not d.endswith("/"):
+            d += "/"
+        return d + self.out_name
+
+    def gamw_default(self) -> float:
+        """gamw init: 1/(1-h2) if h2 given, else 2 (main_real.cpp:67-73)."""
+        if self.gamw_init:
+            return self.gamw_init
+        return 2.0 if self.h2 == -1 else 1.0 / (1.0 - self.h2)

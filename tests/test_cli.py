@@ -1,0 +1,139 @@
+"""End-to-end CLI tests: sim -> infere -> test / pvals-calc / restart / predict
+on a tiny dataset in a tmpdir (run-mode parity with main_real.cpp)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gvamp_tpu import cli, sim
+from gvamp_tpu.io import plink, vecio
+from gvamp_tpu.options import Options
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """A small .bed/.phen/.bim trio with known truth."""
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(21)
+    N, M, CV, h2 = 600, 200, 15, 0.8
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    bed = str(d / "t.bed")
+    plink.write_bed(bed, codes)
+    from gvamp_tpu.data import GenoBed
+    from tests_shim import make_bed_bytes
+    geno = GenoBed.from_arrays(make_bed_bytes(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, CV, h2)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_linear_phenotype(geno, beta, 1 / (1 - h2), rng)
+    plink.write_phen(str(d / "t.phen"), y)
+    chroms = np.repeat(np.arange(1, 5), M // 4)
+    plink.write_bim(str(d / "t.bim"), chroms)
+    return dict(dir=d, bed=bed, phen=str(d / "t.phen"), bim=str(d / "t.bim"),
+                N=N, M=M, beta=beta, vars=vars_t, probs=probs_t, y=y)
+
+
+def _base_args(ds, out_name, **extra):
+    args = [
+        "--run-mode", "infere", "--model", "linear",
+        "--bed-file", ds["bed"], "--phen-files", ds["phen"],
+        "--N", str(ds["N"]), "--Mt", str(ds["M"]),
+        "--iterations", "6", "--rho", "0.3",
+        "--vars", ",".join(map(str, ds["vars"])),
+        "--probs", ",".join(map(str, ds["probs"])),
+        "--out-dir", str(ds["dir"]), "--out-name", out_name,
+        "--dtype", "float64", "--verbosity", "0",
+    ]
+    for k, v in extra.items():
+        args += [f"--{k}", str(v)]
+    return args
+
+
+def test_infere_and_test_modes(dataset):
+    ds = dataset
+    cli.main(_base_args(ds, "run1"))
+    # per-iteration dumps exist and are reference-layout float64
+    est = vecio.read_bin_shard(str(ds["dir"] / "run1_it_6.bin"), ds["M"], 0)
+    assert est.shape == (ds["M"],)
+    corr = np.corrcoef(est, ds["beta"])[0, 1]
+    assert corr > 0.85, corr
+    assert os.path.exists(ds["dir"] / "run1_gam1s.csv")
+    assert os.path.exists(ds["dir"] / "run1_z1_it_6.csv")
+
+    # test mode sweep over stored estimates (self-test on train data)
+    best, best_it = cli.main([
+        "--run-mode", "test", "--bed-file-test", ds["bed"],
+        "--phen-files-test", ds["phen"],
+        "--N-test", str(ds["N"]), "--Mt-test", str(ds["M"]),
+        "--estimate-file", str(ds["dir"] / "run1_it_6.bin"),
+        "--test-iter-range", "2,6", "--dtype", "float64",
+        "--out-dir", str(ds["dir"]), "--out-name", "t1"])
+    assert best > 0.4
+    assert 2 <= best_it <= 6
+
+
+def test_pvals_calc_mode(dataset):
+    ds = dataset
+    cli.main([
+        "--run-mode", "pvals-calc", "--bed-file", ds["bed"],
+        "--phen-files", ds["phen"], "--bim-file", ds["bim"],
+        "--N", str(ds["N"]), "--Mt", str(ds["M"]),
+        "--estimate-file", str(ds["dir"] / "run1_it_6.bin"),
+        "--store-pvals", "0", "--dtype", "float64",
+        "--out-dir", str(ds["dir"]), "--out-name", "pv"])
+    p = vecio.read_bin_shard(str(ds["dir"] / "pv_pvals.bin"), ds["M"], 0)
+    assert ((p >= 0) & (p <= 1)).all()
+    ploco = vecio.read_bin_shard(str(ds["dir"] / "pv_pvals_LOCO.bin"), ds["M"], 0)
+    assert ((ploco >= 0) & (ploco <= 1)).all()
+    assert os.path.exists(ds["dir"] / "pv_LOCO_chr_1.csv")
+    # strong signals -> small p-values at true effect markers
+    strong = np.abs(ds["beta"]) > 0.1
+    if strong.sum():
+        assert np.median(p[strong]) < 1e-3
+
+
+def test_restart_mode(dataset):
+    ds = dataset
+    cli.main(_base_args(ds, "run2") + ["--checkpoint", str(ds["dir"] / "ck.npz")])
+    args = _base_args(ds, "run3")
+    args[args.index("infere")] = "restart"
+    cli.main(args + ["--estimate-file", str(ds["dir"] / "run2_r1_it_6.bin"),
+                     "--gam1-init", "1.0", "--gamw-init", "3.0"])
+    est = vecio.read_bin_shard(str(ds["dir"] / "run3_it_1.bin"), ds["M"], 0)
+    assert np.isfinite(est).all()
+
+    # full-state resume (extension)
+    args = _base_args(ds, "run4")
+    args[args.index("infere")] = "restart"
+    cli.main(args + ["--resume", str(ds["dir"] / "ck.npz"), "--iterations", "2"])
+    est = vecio.read_bin_shard(str(ds["dir"] / "run4_it_8.bin"), ds["M"], 0)
+    assert np.corrcoef(est, ds["beta"])[0, 1] > 0.85
+
+
+def test_predict_single_mode(dataset):
+    ds = dataset
+    cli.main([
+        "--run-mode", "predict_single", "--bed-file-test", ds["bed"],
+        "--N-test", str(ds["N"]), "--Mt-test", str(ds["M"]),
+        "--estimate-file", str(ds["dir"] / "run1_it_6.bin"),
+        "--dtype", "float64",
+        "--out-dir", str(ds["dir"]), "--out-name", "pr"])
+    z = np.loadtxt(ds["dir"] / "pr_predict.csv")
+    assert z.shape[0] >= ds["N"]
+    # prediction correlates with the phenotype
+    assert np.corrcoef(z[: ds["N"]], ds["y"])[0, 1] > 0.6
+
+
+def test_sim_mode(dataset):
+    ds = dataset
+    cli.main([
+        "--run-mode", "sim", "--bed-file", ds["bed"],
+        "--N", str(ds["N"]), "--Mt", str(ds["M"]),
+        "--iterations", "4", "--rho", "0.3", "--h2", "0.8", "--CV", "15",
+        "--seed", "4", "--dtype", "float64", "--verbosity", "0",
+        "--out-dir", str(ds["dir"]), "--out-name", "sim1"])
+    bt = vecio.read_bin_shard(str(ds["dir"] / "sim1_beta_true.bin"), ds["M"], 0)
+    est = vecio.read_bin_shard(str(ds["dir"] / "sim1_it_4.bin"), ds["M"], 0)
+    assert np.corrcoef(bt, est)[0, 1] > 0.6
