@@ -370,6 +370,9 @@ MODES = {
 
 def main(argv=None):
     opt = Options.from_args(argv)
+    if opt.dtype == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
     return MODES[opt.run_mode](opt)
 
 
