@@ -371,6 +371,49 @@ class GenoBed:
 
         return ax_fn, atx_fn
 
+    def fns_multi(self):
+        """(axm_fn, atxm_fn) — B right-hand sides per decode pass.
+
+        One pass over the packed matrix serves all B columns (block-CG,
+        multi-trait, LOCO batching); signatures (op, X[Mpad, B]) ->
+        z[4, Nb, B] and (op, V[4, Nb, B]) -> [Mpad, B].
+        """
+        backend, mesh, dtype = self.backend, self.mesh, self.dtype
+        scale = self.inv_sqrt_n
+
+        if backend == "pallas":
+            axm_raw = matvec.axm_pallas
+            atxm_raw = matvec.atxm_pallas
+        else:
+            axm_raw = lambda g, W, U: matvec.axm_xla(g, W, U, dtype=dtype)
+            atxm_raw = lambda g, V: matvec.atxm_xla(g, V, dtype=dtype)
+
+        if mesh is not None:
+            axm_sh = jax.shard_map(
+                lambda g, W, U: jax.lax.psum(axm_raw(g, W, U), "m"),
+                mesh=mesh, in_specs=(P(None, "m"), P("m", None), P("m", None)),
+                out_specs=P(None, None, None))
+            atxm_sh = jax.shard_map(
+                atxm_raw, mesh=mesh,
+                in_specs=(P(None, "m"), P(None, None, None)),
+                out_specs=(P("m", None), P("m", None)))
+        else:
+            axm_sh, atxm_sh = axm_raw, atxm_raw
+
+        def axm_fn(op: BedOp, X):
+            W = op.msig[:, None] * X.astype(op.msig.dtype)
+            U = op.mave[:, None] * W
+            z = axm_sh(op.words, W, U)
+            return z.astype(dtype) * op.na_planar[:, :, None] * scale
+
+        def atxm_fn(op: BedOp, V):
+            v = V.astype(dtype) * op.na_planar[:, :, None]
+            av, bv = atxm_sh(op.words, v)
+            return ((av.astype(dtype) - op.mave[:, None] * bv.astype(dtype))
+                    * op.msig[:, None] * scale)
+
+        return axm_fn, atxm_fn
+
     def ax(self, x: jax.Array) -> jax.Array:
         ax_fn, _ = self.fns()
         return ax_fn(self.op, x)
@@ -378,6 +421,14 @@ class GenoBed:
     def atx(self, v_planar: jax.Array) -> jax.Array:
         _, atx_fn = self.fns()
         return atx_fn(self.op, v_planar)
+
+    def axm(self, X: jax.Array) -> jax.Array:
+        axm_fn, _ = self.fns_multi()
+        return axm_fn(self.op, X)
+
+    def atxm(self, V: jax.Array) -> jax.Array:
+        _, atxm_fn = self.fns_multi()
+        return atxm_fn(self.op, V)
 
     def _raw_ax_once(self, w, u):
         """Unscaled, unmasked sum_m a*w - b*u (people-stats helper)."""
@@ -581,6 +632,26 @@ class GenoDense:
 
         return ax_fn, atx_fn
 
+    def fns_multi(self):
+        """Batched (B-column) variants; see GenoBed.fns_multi."""
+        dtype, scale = self.dtype, self.inv_sqrt_n
+        idx = jnp.asarray(self.layout.orig_to_planar())
+        nb = self.layout.n_bytes
+
+        def axm_fn(op: DenseOp, X):
+            W = op.msig[:, None] * X.astype(dtype)           # [Mpad, B]
+            Z = op.X.T @ W - (op.mave[:, None] * W).sum(0)   # [N, B]
+            B = Z.shape[1]
+            zp = jnp.zeros((4 * nb, B), Z.dtype).at[idx].set(Z).reshape(4, nb, B)
+            return zp * op.na_planar[:, :, None] * scale
+
+        def atxm_fn(op: DenseOp, V):
+            v = (V * op.na_planar[:, :, None]).reshape(4 * nb, -1)[idx]  # [N, B]
+            av = op.X @ v
+            return (av - op.mave[:, None] * v.sum(0)) * op.msig[:, None] * scale
+
+        return axm_fn, atxm_fn
+
     def ax(self, x):
         ax_fn, _ = self.fns()
         return ax_fn(self.op, x)
@@ -588,6 +659,14 @@ class GenoDense:
     def atx(self, v_planar):
         _, atx_fn = self.fns()
         return atx_fn(self.op, v_planar)
+
+    def axm(self, X):
+        axm_fn, _ = self.fns_multi()
+        return axm_fn(self.op, X)
+
+    def atxm(self, V):
+        _, atxm_fn = self.fns_multi()
+        return atxm_fn(self.op, V)
 
     def filter_pheno(self):
         return self.y_planar * self.na_planar

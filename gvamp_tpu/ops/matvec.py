@@ -15,16 +15,32 @@ data.cpp:728-801 + vamp.cpp:219).
 Storage layout: packed words are kept **word-major**: ``uint32[Nw, M]`` —
 N-words on sublanes, markers on lanes.  Inside the Pallas kernels a
 ``pltpu.bitcast(u32 -> int8)`` expands each word-row into four byte-rows
-(empirically verified: byte ``b`` of word-row ``i`` lands at row ``4i+b`` on
-both Mosaic and interpret backends), which is exactly the byte-position axis
-of :class:`gvamp_tpu.ops.layout.PlanarLayout`.  Decode is pure SWAR arithmetic
-on u32 lanes — ~2.75 VPU ops per genotype — and the contraction runs on the
-MXU, so a full pass over the packed matrix streams HBM once with no gathers.
+(byte ``b`` of word-row ``i`` lands at row ``4i+b`` on both Mosaic and
+interpret backends), which is exactly the byte-position axis of
+:class:`gvamp_tpu.ops.layout.PlanarLayout`.  Decode is pure SWAR arithmetic
+on u32 lanes — the arithmetic replacement for the reference's 1024-entry
+gather tables (dotp_lut.hpp) — so a full pass streams HBM once, gather-free.
+
+Two kernel families (measured on TPU v5e; packed HBM bandwidth is the metric
+because 2-bit data expands 16x into f32 lanes and the decode is the bound):
+
+* **Single-vector** ``ax_pallas`` / ``atx_pallas``: the multiply-accumulate
+  runs on the VPU (a width-1 MXU matvec is weight-load-bound at ~1/128
+  utilization and measured 6x slower).  Exact f32.
+* **Wide-RHS (block)** ``axm_pallas`` / ``atxm_pallas``: B right-hand sides
+  per decode pass.  Decode dominates, so the MXU consumes extra columns
+  nearly free (measured: B=32 costs ~1.5x a width-1 pass — ~20x effective).
+  f32 operands are split into three exact bf16 parts (the decoded
+  matrix is integer, hence bf16-exact), giving ~1e-8 relative accuracy from
+  single-pass bf16 MXU dots.  Used by block-CG (LMMSE solve + Onsager probes
+  jointly) and multi-trait / LOCO batching.
 
 Both backends compute, in planar layout:
 
-    ax : z[k, p]  = sum_m a_k[m, p] * w[m] - b_k[m, p] * u[m]
-    atx: av[m]    = sum_{k,p} a_k[m, p] * v[k, p]   (and bv[m] likewise on b)
+    ax : z[k, p]     = sum_m a_k[m, p] * w[m] - b_k[m, p] * u[m]
+    atx: av[m]       = sum_{k,p} a_k[m, p] * v[k, p]  (bv likewise on b)
+    axm: z[k, p, j]  = sum_m a_k[m, p] * W[m, j] - b_k[m, p] * U[m, j]
+    atxm: av[m, j]   = sum_{k,p} a_k[m, p] * V[k, p, j]
 
 with w = msig*x*scale and u = mave*msig*x*scale folded by the caller.
 """
@@ -42,15 +58,29 @@ from jax.experimental.pallas import tpu as pltpu
 _M1 = np.uint32(0x01010101)
 _M3 = np.uint32(0x03030303)
 
-# Default tiles: word-rows (sublanes) x markers (lanes).
-_TNW = 32
+# Default marker-tile (lanes). Word-tiles (sublanes) are picked per shape.
 _TM = 512
-
-_HI = jax.lax.Precision.HIGHEST
 
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _pick_tnw(nw: int, prefer: int) -> int:
+    """Largest word-tile <= prefer that divides nw (layout aligns nw to 32)."""
+    for t in (256, 128, 64, 32):
+        if t <= prefer and nw % t == 0:
+            return t
+    if nw % 32 == 0:
+        return 32
+    return nw  # tiny unpadded arrays (tests)
+
+
+def _pick_tm(m: int) -> int:
+    for t in (_TM, 256, 128):
+        if m % t == 0:
+            return t
+    return m
 
 
 def _swar(words, k: int):
@@ -67,6 +97,23 @@ def _swar(words, k: int):
     a = (notlo << np.uint32(1)) - (hi & notlo)
     b = hi | notlo
     return a, b
+
+
+def _split_hi_lo(x: jax.Array, axis: int) -> jax.Array:
+    """f32 -> three exact bf16 parts concatenated along ``axis``.
+
+    x ~= hi + mid + lo with all parts bf16; against an integer-valued (hence
+    bf16-exact) left matrix, three single-pass bf16 MXU dots reproduce the
+    f32 product to ~1e-8 relative — far cheaper than precision=HIGHEST
+    (measured 4x wall-clock on v5e for the width-1..32 shapes used here,
+    because HIGHEST's 6-pass f32 emulation is latency-bound).
+    """
+    x = x.astype(jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=axis)
 
 
 # --------------------------------------------------------------------------
@@ -107,17 +154,36 @@ def atx_xla(words, v_planar, dtype=jnp.float32):
     return av, bv
 
 
+def axm_xla(words, W, U, dtype=jnp.float32):
+    a, b = decode_planar_dense(words, dtype)
+    return jnp.einsum("knm,mj->knj", a, W.astype(dtype)) - jnp.einsum(
+        "knm,mj->knj", b, U.astype(dtype)
+    )
+
+
+def atxm_xla(words, V, dtype=jnp.float32):
+    a, b = decode_planar_dense(words, dtype)
+    v = V.astype(dtype)
+    av = jnp.einsum("knm,knj->mj", a, v)
+    bv = jnp.einsum("knm,knj->mj", b, v)
+    return av, bv
+
+
 # --------------------------------------------------------------------------
-# Pallas TPU kernels
+# Pallas TPU kernels — single vector (VPU multiply-accumulate)
 # --------------------------------------------------------------------------
 
 
-def _decode_tile_f32(g, k: int):
-    """uint32[TNW, TM] tile -> (a, b) float32[4*TNW, TM] for plane k."""
+def _decode_tile(g, k: int, dtype=jnp.float32):
+    """uint32[TNW, TM] tile -> (a, b) dtype[4*TNW, TM] for plane k."""
     a_sw, b_sw = _swar(g, k)
-    af = pltpu.bitcast(a_sw, jnp.int8).astype(jnp.float32)
-    bf = pltpu.bitcast(b_sw, jnp.int8).astype(jnp.float32)
+    af = pltpu.bitcast(a_sw, jnp.int8).astype(dtype)
+    bf = pltpu.bitcast(b_sw, jnp.int8).astype(dtype)
     return af, bf
+
+
+# kept under its historical name: callers/tests use it as the tile oracle
+_decode_tile_f32 = _decode_tile
 
 
 def _ax_kernel(g_ref, w_ref, u_ref, z_ref):
@@ -128,29 +194,23 @@ def _ax_kernel(g_ref, w_ref, u_ref, z_ref):
         z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
 
     g = g_ref[...]
-    w = w_ref[...]  # [TM, 1]
+    w = w_ref[...]  # [1, TM]
     u = u_ref[...]
     for k in range(4):
-        a, b = _decode_tile_f32(g, k)
-        za = jax.lax.dot_general(
-            a, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )  # [4*TNW, 1]
-        zb = jax.lax.dot_general(
-            b, u, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-        z_ref[k, :] += (za - zb)[:, 0]
+        a, b = _decode_tile(g, k)
+        z_ref[k, :] += jnp.sum(a * w - b * u, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("tnw", "tm"))
-def ax_pallas(words, w, u, tnw=_TNW, tm=_TM):
+def ax_pallas(words, w, u, tnw=0, tm=0):
     """Fused decode+matvec: planar z[4, Nb] from uint32[Nw, M] packed words.
 
-    Nw and M must be multiples of (tnw, tm); pad markers with msig=0 columns
-    and words with 0x55 bytes (both contribute exactly zero).
+    Pad markers with msig=0 columns and words with 0x55 bytes (both
+    contribute exactly zero).
     """
     Nw, M = words.shape
+    tnw = tnw or _pick_tnw(Nw, 32)
+    tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     grid = (Nw // tnw, M // tm)
     return pl.pallas_call(
@@ -158,13 +218,13 @@ def ax_pallas(words, w, u, tnw=_TNW, tm=_TM):
         grid=grid,
         in_specs=[
             pl.BlockSpec((tnw, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, 4 * tnw), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, 4 * Nw), jnp.float32),
         interpret=_interpret(),
-    )(words, w.astype(jnp.float32).reshape(M, 1), u.astype(jnp.float32).reshape(M, 1))
+    )(words, w.astype(jnp.float32).reshape(1, M), u.astype(jnp.float32).reshape(1, M))
 
 
 def _atx_kernel(g_ref, v_ref, av_ref, bv_ref):
@@ -176,27 +236,23 @@ def _atx_kernel(g_ref, v_ref, av_ref, bv_ref):
         bv_ref[...] = jnp.zeros(bv_ref.shape, bv_ref.dtype)
 
     g = g_ref[...]
-    av = jnp.zeros(av_ref.shape, av_ref.dtype)
-    bv = jnp.zeros(bv_ref.shape, bv_ref.dtype)
+    av = jnp.zeros(av_ref.shape, jnp.float32)
+    bv = jnp.zeros(bv_ref.shape, jnp.float32)
     for k in range(4):
-        a, b = _decode_tile_f32(g, k)  # [4*TNW, TM]
+        a, b = _decode_tile(g, k)  # [4*TNW, TM]
         vk = v_ref[k, :][:, None]  # [4*TNW, 1]
-        av += jax.lax.dot_general(
-            a, vk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )  # [TM, 1]
-        bv += jax.lax.dot_general(
-            b, vk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
+        av += jnp.sum(a * vk, axis=0, keepdims=True)
+        bv += jnp.sum(b * vk, axis=0, keepdims=True)
     av_ref[...] += av
     bv_ref[...] += bv
 
 
 @functools.partial(jax.jit, static_argnames=("tnw", "tm"))
-def atx_pallas(words, v_planar, tnw=_TNW, tm=_TM):
+def atx_pallas(words, v_planar, tnw=0, tm=0):
     """Fused decode+transposed matvec: (av[M], bv[M]) from planar v[4, Nb]."""
     Nw, M = words.shape
+    tnw = tnw or _pick_tnw(Nw, 256)
+    tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     grid = (M // tm, Nw // tnw)
     av, bv = pl.pallas_call(
@@ -207,13 +263,128 @@ def atx_pallas(words, v_planar, tnw=_TNW, tm=_TM):
             pl.BlockSpec((4, 4 * tnw), lambda j, i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tm, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
         ],
         interpret=_interpret(),
     )(words, v_planar.astype(jnp.float32))
-    return av[:, 0], bv[:, 0]
+    return av[0], bv[0]
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU kernels — wide RHS (MXU, bf16 hi/lo exact splitting)
+# --------------------------------------------------------------------------
+
+
+def _axm_kernel(g_ref, w2_ref, u2_ref, z_ref, *, B):
+    im = pl.program_id(1)
+
+    @pl.when(im == 0)
+    def _():
+        z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+
+    g = g_ref[...]
+    w2 = w2_ref[...]  # [TM, 3B] bf16 (hi | mid | lo)
+    u2 = u2_ref[...]
+    for k in range(4):
+        a, b = _decode_tile(g, k, jnp.bfloat16)
+        za = jax.lax.dot_general(
+            a, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [4*TNW, 3B]
+        zb = jax.lax.dot_general(
+            b, u2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        d = za - zb
+        z_ref[k] += d[:, :B] + d[:, B : 2 * B] + d[:, 2 * B :]
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def axm_pallas(words, W, U, tnw=0, tm=0):
+    """Block matvec: planar z[4, Nb, B] from W, U: f32[M, B].
+
+    One decode pass serves all B columns; bf16 3-way splitting keeps ~1e-8
+    relative accuracy through single-pass MXU dots.
+    """
+    Nw, M = words.shape
+    B = W.shape[1]
+    tnw = tnw or _pick_tnw(Nw, 64)
+    tm = tm or _pick_tm(M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    grid = (Nw // tnw, M // tm)
+    kern = functools.partial(_axm_kernel, B=B)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 3 * B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 3 * B), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, 4 * tnw, B), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, 4 * Nw, B), jnp.float32),
+        interpret=_interpret(),
+    )(words, _split_hi_lo(W, 1), _split_hi_lo(U, 1))
+
+
+def _atxm_kernel(g_ref, v2_ref, av_ref, bv_ref, *, B):
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _():
+        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
+        bv_ref[...] = jnp.zeros(bv_ref.shape, bv_ref.dtype)
+
+    g = g_ref[...]
+    av = jnp.zeros(av_ref.shape, jnp.float32)
+    bv = jnp.zeros(bv_ref.shape, jnp.float32)
+    for k in range(4):
+        a, b = _decode_tile(g, k, jnp.bfloat16)  # [4*TNW, TM]
+        vk = v2_ref[k]  # [4*TNW, 3B] bf16
+        da = jax.lax.dot_general(
+            a, vk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [TM, 3B]
+        db = jax.lax.dot_general(
+            b, vk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        av += da[:, :B] + da[:, B : 2 * B] + da[:, 2 * B :]
+        bv += db[:, :B] + db[:, B : 2 * B] + db[:, 2 * B :]
+    av_ref[...] += av
+    bv_ref[...] += bv
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def atxm_pallas(words, V, tnw=0, tm=0):
+    """Block transposed matvec: (av[M, B], bv[M, B]) from planar V[4, Nb, B]."""
+    Nw, M = words.shape
+    B = V.shape[2]
+    tnw = tnw or _pick_tnw(Nw, 64)
+    tm = tm or _pick_tm(M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    grid = (M // tm, Nw // tnw)
+    kern = functools.partial(_atxm_kernel, B=B)
+    av, bv = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, 4 * tnw, 3 * B), lambda j, i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, B), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, B), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, B), jnp.float32),
+            jax.ShapeDtypeStruct((M, B), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(words, _split_hi_lo(V, 2))
+    return av, bv

@@ -137,3 +137,44 @@ def test_dense_container_matches_bed_when_no_missing():
         np.asarray(dense.atx(dense.planarize(v)))[:M],
         rtol=1e-8,
     )
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_batched_matvec_matches_single(backend):
+    """axm/atxm (wide-RHS block kernels) == column-wise ax/atx."""
+    rng = np.random.default_rng(11)
+    N, M, B = 130, 40, 3
+    codes, y = random_dataset(rng, N, M)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+                               backend=backend)
+    X = rng.normal(size=(geno.Mpad, B)) * np.asarray(geno.m_mask)[:, None]
+    Z = np.asarray(geno.axm(jnp.asarray(X)))
+    for j in range(B):
+        zj = np.asarray(geno.ax(jnp.asarray(X[:, j])))
+        np.testing.assert_allclose(Z[:, :, j], zj, rtol=2e-6, atol=1e-6)
+
+    V = np.stack([np.asarray(geno.planarize(rng.normal(size=N)))
+                  for _ in range(B)], axis=-1)
+    R = np.asarray(geno.atxm(jnp.asarray(V)))
+    for j in range(B):
+        rj = np.asarray(geno.atx(jnp.asarray(V[:, :, j])))
+        np.testing.assert_allclose(R[:, j], rj, rtol=2e-6, atol=1e-6)
+
+
+def test_batched_matvec_dense_container():
+    rng = np.random.default_rng(12)
+    N, M, B = 48, 16, 2
+    X = rng.normal(size=(M, N))
+    y = rng.normal(size=N)
+    dense = GenoDense.from_arrays(X, y, N=N, dtype=jnp.float64)
+    XB = rng.normal(size=(dense.Mpad, B)) * np.asarray(dense.m_mask)[:, None]
+    Z = np.asarray(dense.axm(jnp.asarray(XB)))
+    for j in range(B):
+        np.testing.assert_allclose(
+            Z[:, :, j], np.asarray(dense.ax(jnp.asarray(XB[:, j]))), rtol=1e-9)
+    V = np.stack([np.asarray(dense.planarize(rng.normal(size=N)))
+                  for _ in range(B)], axis=-1)
+    R = np.asarray(dense.atxm(jnp.asarray(V)))
+    for j in range(B):
+        np.testing.assert_allclose(
+            R[:, j], np.asarray(dense.atx(jnp.asarray(V[:, :, j]))), rtol=1e-9)
