@@ -70,9 +70,10 @@ def main():
     gam1 = float(metrics["gam1"])
     dt_iter = (time.perf_counter() - t0) / K_ITERS
 
-    # matvec passes per iteration: lmmse CG (2 per it incl init) + probe CG
-    # + z1 + ATy + noise-prec (3) + err measures
-    passes = 2 * (cg_it + 1) + 2 * (probe_it + 1) + 2 + 3
+    # single-pass-equivalents per iteration after the block-CG redesign:
+    # joint block CG (width 2, ax+atx per it incl init) + z1 + the final
+    # width-2 axm for [x2, invq]; ATy and A@bern are precomputed in aux.
+    passes = 2 * (max(cg_it, probe_it) + 1) + 1 + 1
     packed_bytes = lay.n_words * 4 * mpad
     eff_gbs = passes * packed_bytes / dt_iter / 1e9
 

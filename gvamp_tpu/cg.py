@@ -21,6 +21,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class CGResult(NamedTuple):
@@ -89,6 +90,89 @@ def solve(
 
     out = jax.lax.while_loop(cond, body, s0)
     return CGResult(mu=out.mu, iters=out.i, rel_err=out.rel_err)
+
+
+def solve_block(
+    mult_block: Callable[[jax.Array], jax.Array],
+    V: jax.Array,             # [M, B] right-hand sides
+    mu_start: jax.Array,      # [M, B]
+    diag,                     # scalar or [M] Jacobi preconditioner
+    gam2,
+    max_iter: int,
+    modes: tuple,             # per column: 0 = residual exit, 1 = onsager exit
+    err_tol: float = 1e-5,
+    onsager_tol: float = 1e-8,
+) -> CGResult:
+    """Batched CG: each column runs its own CG recursion, but every iteration
+    costs ONE wide-RHS pass over the packed matrix (axm+atxm) instead of one
+    pass per column — the block reshape of the reference's two sequential
+    ``precondCG_solver`` calls (LMMSE solve vamp.cpp:594-596 + Onsager probe
+    vamp.cpp:871-889).  Converged columns freeze (alpha=0) while the rest
+    keep iterating; the loop exits when all columns are done.
+    """
+    dt = V.dtype
+    B = V.shape[1]
+    modes = jnp.asarray(np.asarray(modes), jnp.int32)
+    diag_c = jnp.asarray(diag, dt)
+    diag_c = diag_c[:, None] if diag_c.ndim == 1 else diag_c
+
+    r0 = V - mult_block(mu_start)
+    z0 = r0 / diag_c
+    norm_v = jnp.sqrt(jnp.sum(jnp.square(V), axis=0))  # [B]
+
+    class S(NamedTuple):
+        i: jax.Array
+        mu: jax.Array         # [M, B]
+        r: jax.Array
+        z: jax.Array
+        p: jax.Array
+        rz: jax.Array         # [B]
+        prev_ons: jax.Array   # [B]
+        rel_err: jax.Array    # [B]
+        done: jax.Array       # bool[B]
+        iters: jax.Array      # int[B] per-column iteration counts
+
+    s0 = S(jnp.asarray(0), mu_start, r0, z0, z0,
+           jnp.sum(r0 * z0, axis=0), jnp.zeros((B,), dt),
+           jnp.full((B,), jnp.inf, dt), jnp.zeros((B,), bool),
+           jnp.zeros((B,), jnp.int32))
+
+    def cond(s: S):
+        return (s.i < max_iter) & (~jnp.all(s.done))
+
+    def body(s: S):
+        d = mult_block(s.p)
+        pd = jnp.sum(d * s.p, axis=0)
+        alpha = jnp.where(s.done | (pd == 0), 0.0,
+                          s.rz / jnp.where(pd == 0, 1.0, pd))
+        mu = s.mu + alpha[None, :] * s.p
+        ons = gam2 * jnp.sum(V * mu, axis=0)
+        ons_rel = jnp.where(ons != 0, jnp.abs((ons - s.prev_ons) / ons), 1.0)
+        r = s.r - alpha[None, :] * d
+        z = r / diag_c
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(s.done | (s.rz == 0), 0.0,
+                         rz_new / jnp.where(s.rz == 0, 1.0, s.rz))
+        p = z + beta[None, :] * s.p
+        rel_err = jnp.sqrt(jnp.sum(jnp.square(r), axis=0)) / norm_v
+        done = s.done | jnp.where(modes == 1, ons_rel < onsager_tol,
+                                  rel_err < err_tol)
+        out = S(s.i + 1, mu, r, z, p, rz_new, ons, rel_err, done,
+                s.iters + (~s.done).astype(jnp.int32))
+        return jax.tree_util.tree_map(
+            lambda n, ref: jnp.asarray(n, ref.dtype), out, s)
+
+    out = jax.lax.while_loop(cond, body, s0)
+    return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err)
+
+
+def make_lmmse_mult_block(axm_fn, atxm_fn, op, tau, gam2):
+    """P[M, B] -> tau * A^T(A P) + gam2 * P, one wide pass per call."""
+
+    def mult(P):
+        return tau * atxm_fn(op, axm_fn(op, P)) + gam2 * P
+
+    return mult
 
 
 def make_lmmse_mult(ax_fn, atx_fn, op, tau, gam2):

@@ -69,6 +69,8 @@ class VampConfig:
     gamw_init: float = 2.0      # main_real.cpp:69-73 (h2 == -1)
     cg_err_tol: float = 1e-5
     onsager_tol: float = 1e-8
+    n_probes: int = 1            # Onsager trace probes (reference uses 1;
+                                 # extra probes ride the same block-CG pass)
 
 
 class LinState(NamedTuple):
@@ -80,6 +82,7 @@ class LinState(NamedTuple):
     z1: jax.Array            # [4, Nb] planar
     mu_cg: jax.Array         # warm start for the LMMSE CG (marker space)
     mu_cg_n: jax.Array       # warm start for the XXT CG (sample space)
+    mu_probe: jax.Array      # warm starts for the Onsager probe CG [Mpad, P]
     gam1: jax.Array
     gam2: jax.Array
     gamw: jax.Array
@@ -118,6 +121,7 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         z1=jnp.zeros_like(geno.y_planar),
         mu_cg=zeros_m,
         mu_cg_n=jnp.zeros_like(geno.y_planar),
+        mu_probe=jnp.zeros((Mp, cfg.n_probes), dt),
         gam1=jnp.asarray(cfg.gam1_init if gam1 is None else gam1, dt),
         gam2=jnp.asarray(0.0, dt),
         gamw=jnp.asarray(cfg.gamw_init if gamw is None else gamw, dt),
@@ -129,16 +133,19 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
     )
 
 
-def make_bern_probe(geno, seed: int) -> jax.Array:
-    """Deterministic Rademacher probe u ~ +-1/sqrt(Mt) (vamp.cpp:871-883).
+def make_bern_probe(geno, seed: int, n_probes: int = 1) -> jax.Array:
+    """Deterministic Rademacher probes u_j ~ +-1/sqrt(Mt) as [Mpad, P]
+    (vamp.cpp:871-883).
 
     The reference seeds mt19937 with (seed + S) per rank and regenerates the
     SAME probe every iteration; we draw once from fold_in(seed, S) — same
     determinism contract, different (statistically equivalent) bit-stream.
+    Extra probes (P > 1) sharpen the Hutchinson trace estimate at almost no
+    cost: they ride the same wide-RHS block-CG passes.
     """
     key = jax.random.fold_in(jax.random.key(seed), geno.S)
-    u = jax.random.rademacher(key, (geno.Mpad,), dtype=jnp.int8)
-    return u.astype(geno.dtype) * geno.m_mask / np.sqrt(geno.Mt)
+    u = jax.random.rademacher(key, (geno.Mpad, n_probes), dtype=jnp.int8)
+    return u.astype(geno.dtype) * geno.m_mask[:, None] / np.sqrt(geno.Mt)
 
 
 class Aux(NamedTuple):
@@ -148,7 +155,9 @@ class Aux(NamedTuple):
 
     op: object            # BedOp / DenseOp pytree
     y: jax.Array          # filtered planar phenotype [4, Nb]
-    bern: jax.Array       # Onsager probe [Mpad]
+    bern: jax.Array       # Onsager probes [Mpad, P]
+    aty: jax.Array        # A^T y, iteration-invariant (one pass, amortized)
+    z_bern: jax.Array     # A @ probes [4, Nb, P], iteration-invariant
     frz: jax.Array        # freeze mask [Mpad]
     m_mask: jax.Array     # real-marker mask [Mpad]
     ts: jax.Array         # true signal (zeros when absent) [Mpad]
@@ -167,10 +176,13 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None) -> Aux:
         xxt_diag_base = sumsq.astype(geno.dtype) / geno.N
     else:
         xxt_diag_base = jnp.zeros_like(geno.y_planar)
+    bern = make_bern_probe(geno, cfg.seed, cfg.n_probes)
     return Aux(
         op=geno.op,
         y=geno.filter_pheno(),
-        bern=make_bern_probe(geno, cfg.seed),
+        bern=bern,
+        aty=geno.atx(geno.filter_pheno()),
+        z_bern=geno.axm(bern),
         # freeze: 1 = pinned coordinate, excluded from the Onsager sum and
         # damping (vamp.cpp:207-209,308,353)
         frz=geno.pad_m(freeze) if freeze is not None else jnp.zeros_like(m_mask),
@@ -188,6 +200,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
     Mt = float(geno.Mt)
     N = float(geno.N)
     ax_fn, atx_fn = geno.fns()
+    axm_fn, atxm_fn = geno.fns_multi()
 
     def denoise(state: LinState, aux: Aux):
         m_mask, frz = aux.m_mask, aux.frz
@@ -285,6 +298,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         # ---------------- LMMSE ----------------
         gamw = state.gamw
         diag = cg.jacobi_diag(gamw, gam2, N)
+        P = cfg.n_probes
+        multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, gamw, gam2)
         if cfg.use_xxt:
             # dual / N-space solve (lmmse_denoiserAAT, denoiserXXT.cpp:31-50):
             # x2 = gamw A^T (gamw A A^T + gam2 I)^{-1} (y - A r2) + r2
@@ -293,26 +308,36 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
 
             v_n = y - ax_fn(op, r2)
             diag_n = gamw * aux.xxt_diag_base + gam2
-            sol = cg.solve(mult_aat, v_n, state.mu_cg_n, diag_n, gam2,
-                           cfg.cg_max_iter, err_tol=cfg.cg_err_tol_xxt)
-            x2 = (gamw * atx_fn(op, sol.mu) + r2) * m_mask
-            mu_cg_new, mu_cg_n_new = state.mu_cg, sol.mu
-            mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, gamw, gam2)
+            sol_n = cg.solve(mult_aat, v_n, state.mu_cg_n, diag_n, gam2,
+                             cfg.cg_max_iter, err_tol=cfg.cg_err_tol_xxt)
+            x2 = (gamw * atx_fn(op, sol_n.mu) + r2) * m_mask
+            # marker-space probe block (g2d_onsager with the primal operator)
+            probe = cg.solve_block(multb, bern, state.mu_probe, diag, gam2,
+                                   cfg.cg_max_iter, modes=(1,) * P,
+                                   onsager_tol=cfg.onsager_tol)
+            invq = probe.mu
+            mu_cg_new, mu_cg_n_new = state.mu_cg, sol_n.mu
+            cg_iters, cg_rel_err = sol_n.iters, sol_n.rel_err
+            probe_iters = jnp.max(probe.iters)
         else:
-            aty = atx_fn(op, y)
-            v = gamw * aty + gam2 * r2
-            mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, gamw, gam2)
-            sol = cg.solve(mult, v, state.mu_cg, diag, gam2, cfg.cg_max_iter,
-                           onsager=False, err_tol=cfg.cg_err_tol)
-            x2 = sol.mu * m_mask
-            mu_cg_new, mu_cg_n_new = sol.mu, state.mu_cg_n
+            # joint block solve: column 0 = LMMSE RHS (residual exit,
+            # vamp.cpp:594-596), columns 1.. = Onsager probes (quadform
+            # early-exit, vamp.cpp:871-889).  One wide pass per CG iteration.
+            v = gamw * aux.aty + gam2 * r2
+            V = jnp.concatenate([v[:, None], bern], axis=1)
+            mu0 = jnp.concatenate([state.mu_cg[:, None], state.mu_probe], axis=1)
+            sol = cg.solve_block(multb, V, mu0, diag, gam2, cfg.cg_max_iter,
+                                 modes=(0,) + (1,) * P,
+                                 err_tol=cfg.cg_err_tol,
+                                 onsager_tol=cfg.onsager_tol)
+            x2 = sol.mu[:, 0] * m_mask
+            invq = sol.mu[:, 1:]
+            mu_cg_new, mu_cg_n_new = sol.mu[:, 0], state.mu_cg_n
+            cg_iters, cg_rel_err = sol.iters[0], sol.rel_err[0]
+            probe_iters = jnp.max(sol.iters[1:])
 
-        # Onsager trace probe (g2d_onsager, vamp.cpp:871-889)
-        probe = cg.solve(mult, bern, jnp.zeros_like(bern), diag, gam2,
-                         cfg.cg_max_iter, onsager=True,
-                         onsager_tol=cfg.onsager_tol)
-        invq_bern = probe.mu
-        alpha2 = gam2 * jnp.sum(bern * invq_bern)
+        # Hutchinson trace: alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>
+        alpha2 = gam2 * jnp.mean(jnp.sum(bern * invq, axis=0))
         eta2 = gam2 / alpha2
 
         # gam2 re-estimate (vamp.cpp:691-693)
@@ -324,10 +349,14 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         gam1_new = _clamp_gamma(eta2 - gam2)
         r1 = ((eta2 * x2 - gam2 * r2) / gam1_new) * m_mask
 
-        # noise precision EM update (updateNoisePrec, vamp.cpp:892-927)
-        ax2 = ax_fn(op, x2)
+        # noise precision EM update (updateNoisePrec, vamp.cpp:892-927):
+        # one wide pass computes A x2 and A invq_j; the trace correction uses
+        # <u_j, A^T A q_j> = <A u_j, A q_j> with A u_j precomputed in aux.
+        Z2 = axm_fn(op, jnp.concatenate([x2[:, None], invq], axis=1))
+        ax2 = Z2[..., 0]
         resid2 = jnp.sum(jnp.square(ax2 - y))
-        trace_corr = jnp.sum(bern * atx_fn(op, ax_fn(op, invq_bern))) * Mt
+        trace_corr = jnp.mean(
+            jnp.sum(aux.z_bern * Z2[..., 1:], axis=(0, 1))) * Mt
         gamw_new = N / (resid2 + trace_corr)
 
         # train metrics after LMMSE (err_measures ind=2)
@@ -342,8 +371,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             "it": it, "gam1": gam1, "gam2": gam2, "gamw": gamw_new,
             "eta1": eta1, "eta2": eta2, "alpha1": alpha1, "alpha2": alpha2,
             "rho": rho, "R2_train_1": R2_1, "R2_train_2": R2_2,
-            "rel_change": rel_change, "cg_iters": sol.iters,
-            "cg_rel_err": sol.rel_err, "probe_iters": probe.iters,
+            "rel_change": rel_change, "cg_iters": cg_iters,
+            "cg_rel_err": cg_rel_err, "probe_iters": probe_iters,
             "probs": probs, "vars": vars_,
         }
         if with_truth:
@@ -365,7 +394,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
 
         new_state = LinState(
             it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=z1,
-            mu_cg=mu_cg_new, mu_cg_n=mu_cg_n_new,
+            mu_cg=mu_cg_new, mu_cg_n=mu_cg_n_new, mu_probe=invq,
             gam1=gam1_new, gam2=gam2, gamw=gamw_new, eta1=eta1, eta2=eta2,
             alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs, vars=vars_)
         return _cast_like(new_state, state), metrics
