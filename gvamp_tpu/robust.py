@@ -165,6 +165,7 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False):
     Mt = float(geno.Mt)
     N = float(geno.N)
     ax_fn, atx_fn = geno.fns()
+    axm_fn, atxm_fn = geno.fns_multi()
 
     def step(state: RobustState, aux: RobustAux):
         op, m_mask = aux.op, aux.m_mask
@@ -235,16 +236,16 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False):
         # ---- LMMSE x (vamp_Huber.cpp:297-330) ------------------------------
         nb = state.p2.shape[-1]
         v = tau2 * atx_fn(op, p2f.reshape(4, nb)) + gam2 * r2
-        mult = cg.make_lmmse_mult(ax_fn, atx_fn, op, tau2, gam2)
+        # joint block solve: LMMSE RHS + Onsager probe in one wide-RHS CG
+        multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, tau2, gam2)
         diag = cg.jacobi_diag(tau2, gam2, N)
-        sol = cg.solve(mult, v, jnp.zeros_like(v), diag, gam2,
-                       cfg.cg_max_iter, err_tol=cfg.cg_err_tol)
-        x2 = sol.mu * m_mask
-
-        probe = cg.solve(mult, aux.bern, jnp.zeros_like(aux.bern), diag, gam2,
-                         cfg.cg_max_iter, onsager=True,
-                         onsager_tol=cfg.onsager_tol)
-        alpha2 = gam2 * jnp.sum(aux.bern * probe.mu)
+        V = jnp.concatenate([v[:, None], aux.bern], axis=1)
+        sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
+                             cfg.cg_max_iter, modes=(0,) + (1,) * aux.bern.shape[1],
+                             err_tol=cfg.cg_err_tol,
+                             onsager_tol=cfg.onsager_tol)
+        x2 = sol.mu[:, 0] * m_mask
+        alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
         eta2 = gam2 / alpha2
         l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask))
         gam2 = jnp.where(it > 1,
@@ -269,7 +270,7 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False):
         metrics = {
             "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
             "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
-            "deltaH": delta, "rel_change": rel_change, "cg_iters": sol.iters,
+            "deltaH": delta, "rel_change": rel_change, "cg_iters": sol.iters[0],
             "probs": probs, "vars": vars_,
         }
         if with_truth:
