@@ -57,13 +57,14 @@ def _mesh(opt):
 
 
 def _load_geno(opt: Options, test: bool = False):
-    from gvamp_tpu.data import GenoBed
+    from gvamp_tpu.data import GenoBed, GenoDense
     bed = opt.bed_file_test if test else opt.bed_file
     phen = (opt.phen_files_test if test else opt.phen_files)
     phen = phen[0] if phen else None
     N = opt.N_test if test else opt.N
     Mt = opt.Mt_test if test else opt.Mt
-    geno = GenoBed.from_files(
+    container = GenoDense if opt.type_data == "meth" else GenoBed
+    geno = container.from_files(
         bed, phen, N=N, Mt=Mt, alpha_scale=opt.alpha_scale,
         mesh=_mesh(opt), backend=opt.backend, dtype=_dtype(opt),
         bim_path=opt.bim_file)
@@ -316,21 +317,44 @@ def mode_predict(opt: Options, single: bool = False):
 
 
 def mode_sim(opt: Options):
-    """Simulation driver (sim.cpp): simulate truth + phenotype on a real .bed,
-    save them, then infer with truth-aware diagnostics."""
+    """Simulation drivers: simulate truth + phenotype on a real .bed/.meth,
+    save them, then infer with truth-aware diagnostics.
+
+    --sim-model selects the recipe: default = 2-component truth {0, h2/CV}
+    (sim.cpp:78-79), realistic = 7-component empirical mixture
+    (sim_realistic.cpp:88-95), heavy-tails = spike + {v,10v,100v} slabs
+    (sim_heavy_tails.cpp:87-89), probit = binary link sampling with
+    alternating +-0.25 covariate effects (sim_probit.cpp:170-205).
+    """
     from gvamp_tpu import sim
     geno = _load_geno(opt)
     rng = np.random.default_rng(opt.seed)
     h2 = opt.h2 if opt.h2 != -1 else 0.5
     cv = opt.CV or max(geno.Mt // 100, 1)
-    vars_t, probs_t = sim.two_group_prior(geno.Mt, cv, h2)
+    if opt.sim_model == "realistic":
+        vars_t, probs_t = sim.realistic_prior(geno.Mt, h2)
+    elif opt.sim_model == "heavy-tails":
+        vars_t, probs_t = sim.heavy_tails_prior(geno.Mt, cv, h2)
+    else:
+        vars_t, probs_t = sim.two_group_prior(geno.Mt, cv, h2)
+
+    cov_eff = None
+    if opt.sim_model == "probit" and opt.cov_file and opt.C > 0:
+        geno.read_covariates(opt.cov_file, opt.C)
+        # alternating -0.25/+0.25 effects (sim_probit.cpp:177-178)
+        cov_eff = (2.0 * (np.arange(opt.C) % 2) - 1.0) * 0.25
+
     if opt.true_signal_files:
         beta = vecio.read_estimate(opt.true_signal_files[0], geno.M, geno.S)
         y = vecio.read_txt_shard(opt.phen_files[0], geno.N, 0)
     else:
         beta = sim.simulate_mixture(rng, geno.M, vars_t, probs_t)
-        gamw = 1.0 / (1.0 - h2)
-        y = sim.simulate_linear_phenotype(geno, beta, gamw, rng)
+        if opt.sim_model == "probit":
+            y = sim.simulate_probit_phenotype(geno, beta, opt.probit_var, rng,
+                                              cov_effects=cov_eff)
+        else:
+            gamw = 1.0 / (1.0 - h2)
+            y = sim.simulate_linear_phenotype(geno, beta, gamw, rng)
         vecio.write_bin_shard(opt.out_prefix + "_beta_true.bin", beta, geno.S)
         vecio.write_txt(opt.out_prefix + "_y.txt", y)
     geno.set_phen(y)
@@ -341,6 +365,23 @@ def mode_sim(opt: Options):
     opt2.true_signal_files = []
     probs, vars_user = _prior(opt2, geno)
     ts = beta
+
+    if opt.sim_model == "probit":
+        from gvamp_tpu import probit
+        cfg = probit.ProbitConfig(
+            max_iter=opt.iterations, rho=opt.rho, cg_max_iter=opt.CG_max_iter,
+            stop_criteria_thr=opt.stop_criteria_thr, seed=opt.seed,
+            probit_var=opt.probit_var, gam1_init=1e-8,
+            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+            learn_vars=bool(opt.learn_vars))
+        dump = IterDumper(opt.out_prefix, model="bin_class",
+                          dump_every=opt.dump_every)
+        x_est, state, hist = probit.infer(geno, cfg, probs, vars_user,
+                                          true_signal=ts, callbacks=[dump],
+                                          verbose=opt.verbosity > 0)
+        write_scalar_history(opt.out_prefix, hist)
+        return x_est
+
     from gvamp_tpu import linear
     cfg = linear.VampConfig(
         max_iter=opt.iterations, rho=opt.rho, cg_max_iter=opt.CG_max_iter,

@@ -595,6 +595,26 @@ class GenoDense:
             bim_path=bim_path, mesh=mesh, dtype=dtype,
         )
 
+    @classmethod
+    def from_files(
+        cls, meth_path: str, phen_path: str | None, N: int, Mt: int,
+        S: int = 0, M: int | None = None, **kw,
+    ) -> "GenoDense":
+        """Load a raw-double methylation slab + phenotype (reference
+        read_methylation_data, data.cpp:241-278; only phenotype NAs are
+        supported, matching the 'only non-missing methylation' restriction
+        at data.cpp:498)."""
+        M = Mt if M is None else M
+        X = plink.read_meth_slab(meth_path, N, M, S)
+        if phen_path:
+            y, isna = plink.read_phen(phen_path)
+            y = np.where(isna, np.nan, y)
+            assert y.shape[0] == N, (y.shape, N)
+        else:
+            y = np.zeros(N)
+        kw.pop("backend", None)  # dense path is plain XLA matmul
+        return cls.from_arrays(X, y, N=N, Mt=Mt, S=S, **kw)
+
     @property
     def inv_sqrt_n(self) -> float:
         return 1.0 / float(np.sqrt(self.N))
@@ -697,6 +717,20 @@ class GenoDense:
             y = y * sqn
         self.na_planar = jnp.asarray(self.layout.planarize((~isna).astype(np.float64)), self.dtype)
         self.y_planar = jnp.asarray(self.layout.planarize(np.where(isna, 0.0, y)), self.dtype)
+        # marker stats depend on the phenotype NA mask (reference recomputes
+        # them after every phen change, main_meth_ex.cpp -> data ctor)
+        na = (~isna).astype(np.float64)
+        X = np.asarray(self.X, np.float64)
+        cnt = max(na.sum(), 1.0)
+        mave = (X * na).sum(1) / cnt
+        sumsqr = (((X - mave[:, None]) * na) ** 2).sum(1)
+        sd = np.sqrt(sumsqr / max(self.nonas - 1.0, 1.0))
+        msig = np.where(sumsqr != 0,
+                        1.0 / np.power(np.where(sd == 0, 1.0, sd), self.alpha_scale), 1.0)
+        mave[self.M:] = 0.0
+        msig[self.M:] = 0.0
+        self.mave = jnp.asarray(mave, self.dtype)
+        self.msig = jnp.asarray(msig, self.dtype)
 
     def chromosomes(self):
         if self._chroms is None:

@@ -153,3 +153,22 @@ def write_bim(path: str, chroms: np.ndarray) -> None:
     with open(path, "w") as f:
         for i, c in enumerate(chroms):
             f.write(f"{int(c)} snp{i} 0 {i} A B\n")
+
+
+def read_meth_slab(path: str, n_samples: int, m_markers: int,
+                   s_offset: int = 0) -> np.ndarray:
+    """Raw methylation matrix slab: float64[m_markers, n_samples], row-major,
+    starting at marker ``s_offset`` (reference read_methylation_data,
+    data.cpp:241-278 — binary doubles, no header)."""
+    out = np.fromfile(path, dtype="<f8", count=m_markers * n_samples,
+                      offset=8 * s_offset * n_samples)
+    if out.size != m_markers * n_samples:
+        raise ValueError(
+            f"{path}: expected {m_markers}x{n_samples} doubles at offset "
+            f"{s_offset}, got {out.size} values")
+    return out.reshape(m_markers, n_samples)
+
+
+def write_meth(path: str, X: np.ndarray) -> None:
+    """Write a dense methylation matrix as raw row-major doubles."""
+    np.asarray(X, dtype="<f8").tofile(path)

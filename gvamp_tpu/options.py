@@ -61,6 +61,11 @@ class Options:
     gam1_init: float = -1.0
     gamma_damp: float = 1.0
     # extensions beyond the reference CLI:
+    type_data: str = "bed"          # bed | meth (reference data ctor arg,
+                                    # data.hpp:93; meth = raw-double matrix
+                                    # at --bed-file)
+    sim_model: str = "default"      # sim run-mode recipe: default (sim.cpp),
+                                    # realistic, heavy-tails, probit
     dtype: str = "float32"          # compute dtype (reference: f64 only)
     backend: str = "auto"           # pallas | xla | auto
     devices: int = 0                # mesh size (0 = all available)
@@ -109,6 +114,9 @@ class Options:
         flag("--probs", type=lambda s: [float(x) for x in s.split(",")], default=[])
         flag("--test-iter-range", type=lambda s: [int(x) for x in s.split(",")],
              default=[-1, -1])
+        flag("--type-data", default="bed", choices=["bed", "meth"])
+        flag("--sim-model", default="default",
+             choices=["default", "realistic", "heavy-tails", "probit"])
         flag("--dtype", default="float32", choices=["float32", "float64"])
         flag("--backend", default="auto", choices=["auto", "pallas", "xla"])
         return p

@@ -137,3 +137,67 @@ def test_sim_mode(dataset):
     bt = vecio.read_bin_shard(str(ds["dir"] / "sim1_beta_true.bin"), ds["M"], 0)
     est = vecio.read_bin_shard(str(ds["dir"] / "sim1_it_4.bin"), ds["M"], 0)
     assert np.corrcoef(bt, est)[0, 1] > 0.6
+
+
+def test_meth_infere_mode(tmp_path):
+    """Dense methylation data path: --type-data meth on a raw-double matrix
+    (reference read_methylation_data data.cpp:241-278 + meth matvec branches
+    data.cpp:1013-1045)."""
+    rng = np.random.default_rng(33)
+    N, M = 300, 96
+    X = rng.standard_normal((M, N))
+    meth = str(tmp_path / "m.meth")
+    plink.write_meth(meth, X)
+    # simulate y from the dense container directly
+    from gvamp_tpu.data import GenoDense
+    geno = GenoDense.from_arrays(X, np.zeros(N), N=N, standardize_phen=False,
+                                 dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 8, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_linear_phenotype(geno, beta, 1 / (1 - 0.8), rng)
+    plink.write_phen(str(tmp_path / "m.phen"), y)
+
+    cli.main([
+        "--run-mode", "infere", "--model", "linear", "--type-data", "meth",
+        "--bed-file", meth, "--phen-files", str(tmp_path / "m.phen"),
+        "--N", str(N), "--Mt", str(M), "--iterations", "6", "--rho", "0.3",
+        "--vars", ",".join(map(str, vars_t)),
+        "--probs", ",".join(map(str, probs_t)),
+        "--out-dir", str(tmp_path), "--out-name", "meth1",
+        "--dtype", "float64", "--verbosity", "0",
+    ])
+    est = vecio.read_bin_shard(str(tmp_path / "meth1_it_6.bin"), M, 0)
+    corr = np.corrcoef(est, beta)[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_meth_slab_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((10, 7))
+    p = str(tmp_path / "x.meth")
+    plink.write_meth(p, X)
+    np.testing.assert_array_equal(plink.read_meth_slab(p, 7, 10), X)
+    np.testing.assert_array_equal(plink.read_meth_slab(p, 7, 4, 3), X[3:7])
+
+
+@pytest.mark.parametrize("sim_model", ["realistic", "heavy-tails", "probit"])
+def test_sim_model_variants(dataset, sim_model, tmp_path):
+    """sim run-mode recipes beyond sim.cpp: sim_realistic / sim_heavy_tails /
+    sim_probit drivers."""
+    ds = dataset
+    args = [
+        "--run-mode", "sim", "--sim-model", sim_model,
+        "--bed-file", ds["bed"], "--N", str(ds["N"]), "--Mt", str(ds["M"]),
+        "--iterations", "3", "--rho", "0.3", "--h2", "0.8",
+        "--CV", "15", "--seed", "4",
+        "--out-dir", str(tmp_path), "--out-name", f"sim_{sim_model}",
+        "--dtype", "float64", "--verbosity", "0",
+    ]
+    cli.main(args)
+    beta = vecio.read_bin_shard(
+        str(tmp_path / f"sim_{sim_model}_beta_true.bin"), ds["M"], 0)
+    assert np.isfinite(beta).all() and beta.std() > 0
+    suffix = "_probit_it_3.bin" if sim_model == "probit" else "_it_3.bin"
+    est = vecio.read_bin_shard(
+        str(tmp_path / f"sim_{sim_model}{suffix}"), ds["M"], 0)
+    assert np.isfinite(est).all()
