@@ -101,6 +101,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
             use_lmmse_damp=bool(opt.use_lmmse_damp),
             use_xxt=bool(opt.use_XXT_denoiser), seed=opt.seed,
+            gamma_damp=opt.gamma_damp,
+            use_cross_val=bool(opt.use_cross_val),
             gam1_init=1e-6 if gam1 is None else gam1,
             gamw_init=opt.gamw_default() if gamw is None else gamw)
         freeze = None

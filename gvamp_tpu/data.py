@@ -234,6 +234,32 @@ class GenoBed:
             y = np.zeros(N)
         return cls.from_arrays(bed, y, N=N, Mt=Mt, S=S, **kw)
 
+    def sample_window(self, sb: int, lb: int) -> "GenoBed":
+        """Sub-block of individuals [4*sb, 4*(sb+lb)) as a standalone container.
+
+        The TPU-native reshape of the reference's (SB, LB) byte-window matvec
+        arguments (data.cpp:728-801, 852), used by the cross-validation
+        damping tuner (vamp.cpp:356-409) and the reduced-subset CG path
+        (vamp.cpp:1096-1110).  Matches the reference's semantics: marker
+        statistics stay those of the FULL data (windowed dot_product receives
+        the full mave/msig, data.cpp:744-747) and the matvec scale becomes
+        1/sqrt(4*lb) (data.cpp:825-832); the phenotype window keeps the
+        full-data standardization.
+        """
+        by = self.layout.words_to_bytes(np.asarray(self.words).T[: self.M])
+        by_w = by[:, sb : sb + lb]
+        na = self.layout.deplanarize(np.asarray(self.na_planar))[: self.N]
+        yv = self.layout.deplanarize(np.asarray(self.y_planar))[: self.N]
+        y_raw = np.where(na > 0, yv, np.nan)
+        n_lo, n_hi = 4 * sb, min(4 * (sb + lb), self.N)
+        win = GenoBed.from_arrays(
+            by_w, y_raw[n_lo:n_hi], N=n_hi - n_lo, Mt=self.Mt, S=self.S,
+            standardize_phen=False, alpha_scale=self.alpha_scale,
+            mesh=self.mesh, backend=self.backend, dtype=self.dtype)
+        win.intercept, win.scale = self.intercept, self.scale
+        win.mave, win.msig = self.mave[: win.Mpad], self.msig[: win.Mpad]
+        return win
+
     def set_phen(self, y: np.ndarray, standardize: bool = False) -> None:
         """Replace the phenotype (simulation path; reference data.hpp:55 set_phen).
 

@@ -71,6 +71,13 @@ class VampConfig:
     onsager_tol: float = 1e-8
     n_probes: int = 1            # Onsager trace probes (reference uses 1;
                                  # extra probes ride the same block-CG pass)
+    gamma_damp: float = 1.0      # gam2 damping inside the LMMSE block
+                                 # (reference --gamma-damp, options.cpp:355;
+                                 # application lines vamp.cpp:553-554,642-643)
+    use_cross_val: bool = False  # held-out-R2 damping tuner (vamp.cpp:156-166,
+                                 # 356-409; dormant in the reference:
+                                 # use_cross_val=0 hardcoded at vamp.hpp:61)
+    cv_max_retry: int = 25       # inner re-damping retries (vamp.cpp:365)
 
 
 class LinState(NamedTuple):
@@ -93,6 +100,7 @@ class LinState(NamedTuple):
     rho: jax.Array
     probs: jax.Array
     vars: jax.Array
+    cv_r2: jax.Array         # cross-val: last accepted held-out R2
 
 
 def init_state(geno, cfg: VampConfig, probs, vars_user,
@@ -130,6 +138,7 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         rho=jnp.asarray(cfg.rho, dt),
         probs=jnp.asarray(probs, dt),
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
+        cv_r2=jnp.asarray(-1.0, dt),
     )
 
 
@@ -162,10 +171,34 @@ class Aux(NamedTuple):
     m_mask: jax.Array     # real-marker mask [Mpad]
     ts: jax.Array         # true signal (zeros when absent) [Mpad]
     xxt_diag_base: jax.Array  # sum_m A_planar^2 per slot (XXT preconditioner)
+    hold: object          # HoldAux (cross-val) or None
 
 
-def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None) -> Aux:
+class HoldAux(NamedTuple):
+    """Held-out sample window for the cross-validation damping tuner."""
+
+    op: object            # BedOp of the holdout window
+    y: jax.Array          # filtered planar holdout phenotype
+    rescale: jax.Array    # sqrt(N_hold / N_train): train-scale prediction
+    denom: jax.Array      # var(y_hold) * N_hold (reference vamp.cpp:382-383)
+
+
+def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
+             geno_hold=None) -> Aux:
     m_mask = geno.m_mask
+    hold = None
+    if geno_hold is not None:
+        y_h = geno_hold.filter_pheno()
+        yv = np.asarray(y_h).reshape(-1)
+        # calc_stdev over the raw window INCLUDING zero-filled NA/pad slots,
+        # matching the reference's y_cross stdev (vamp.cpp:377-383)
+        n_h = geno_hold.N
+        dense = geno_hold.deplanarize(np.asarray(y_h))[:n_h]
+        var_h = float(np.var(dense, ddof=1))
+        hold = HoldAux(
+            op=geno_hold.op, y=y_h,
+            rescale=jnp.asarray(np.sqrt(geno_hold.N / geno.N), geno.dtype),
+            denom=jnp.asarray(var_h * n_h, geno.dtype))
     if cfg.use_xxt:
         # Jacobi diagonal of A A^T from people statistics: the reference's
         # tau*((n_i-1)/sig_i^2 + mu_i^2 n_i)/N + gam2 (denoiserXXT.cpp:60)
@@ -190,17 +223,19 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None) -> Aux:
         ts=geno.pad_m(true_signal) if true_signal is not None
            else jnp.zeros_like(m_mask),
         xxt_diag_base=xxt_diag_base,
+        hold=hold,
     )
 
 
 def make_step(geno, cfg: VampConfig, init_est: bool = False,
-              with_truth: bool = False):
+              with_truth: bool = False, geno_hold=None):
     """Build the jitted per-iteration step: (state, aux) -> (state, metrics)."""
     dt = geno.dtype
     Mt = float(geno.Mt)
     N = float(geno.N)
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
+    hold_ax = geno_hold.fns()[0] if geno_hold is not None else None
 
     def denoise(state: LinState, aux: Aux):
         m_mask, frz = aux.m_mask, aux.frz
@@ -248,7 +283,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         rho = state.rho
         x1_d = jnp.where(damp & (frz == 0), rho * x1 + (1 - rho) * state.x1, x1)
         alpha1_d = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
-        return x1_d, gam1, alpha1_d, eta1, probs, vars_
+        return x1, x1_d, gam1, alpha1, alpha1_d, eta1, probs, vars_
 
     def step(state: LinState, aux: Aux):
         op, y, bern, m_mask = aux.op, aux.y, aux.bern, aux.m_mask
@@ -257,10 +292,46 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         x1_prev = state.x1
 
         # ---------------- denoising ----------------
-        x1, gam1, alpha1, eta1, probs, vars_ = denoise(state, aux)
+        x1_raw, x1, gam1, alpha1_raw, alpha1, eta1, probs, vars_ = \
+            denoise(state, aux)
         if init_est:
             # first iteration keeps the injected estimate (vamp.cpp:295-296)
             x1 = jnp.where(it == 1, state.r1, x1)
+
+        cv_r2 = state.cv_r2
+        if cfg.use_cross_val:
+            # within-iteration re-damping on held-out R2 (vamp.cpp:356-409):
+            # while the held-out R2 drops below the last accepted value,
+            # shrink rho_cross by 0.9 and re-damp x1 against the previous
+            # iterate; alpha1 is then damped with the accepted rho_cross.
+            hold = aux.hold
+
+            def hold_r2(xc):
+                z = hold_ax(hold.op, xc) * hold.rescale
+                return 1.0 - jnp.sum(jnp.square(hold.y - z)) / hold.denom
+
+            def cv_cond(c):
+                i, rho_c, xc, prev, done = c
+                return (i < cfg.cv_max_retry) & (~done)
+
+            def cv_body(c):
+                i, rho_c, xc, prev, done = c
+                r2v = hold_r2(xc)
+                accept = (r2v >= prev) | (it == 1)
+                prev_new = jnp.where(accept, r2v, prev)
+                rho_c2 = jnp.where(accept, rho_c, rho_c * 0.9)
+                xc2 = jnp.where(accept, xc,
+                                rho_c2 * x1_raw + (1 - rho_c2) * x1_prev)
+                out = (i + 1, rho_c2, xc2, prev_new, accept)
+                return _cast_like(out, c)
+
+            c0 = (jnp.asarray(0), state.rho, x1, cv_r2, jnp.asarray(False))
+            _, rho_cross, x1, cv_r2, _ = jax.lax.while_loop(
+                cv_cond, cv_body, c0)
+            alpha1 = jnp.where(it > 1,
+                               rho_cross * alpha1_raw
+                               + (1 - rho_cross) * state.alpha1, alpha1_raw)
+
         z1 = ax_fn(op, x1)
 
         gam_before = state.gam2
@@ -296,10 +367,14 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         R2_1 = 1.0 - jnp.sum(jnp.square(y - z1)) / l2y
 
         # ---------------- LMMSE ----------------
+        # gamma_damp scales gam2 for the whole LMMSE block (v, diag, CG,
+        # probe, alpha2) and is restored before the re-estimate
+        # (vamp.cpp:553-554, 642-643)
         gamw = state.gamw
-        diag = cg.jacobi_diag(gamw, gam2, N)
+        gam2_eff = gam2 * cfg.gamma_damp
+        diag = cg.jacobi_diag(gamw, gam2_eff, N)
         P = cfg.n_probes
-        multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, gamw, gam2)
+        multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, gamw, gam2_eff)
         if cfg.use_xxt:
             # dual / N-space solve (lmmse_denoiserAAT, denoiserXXT.cpp:31-50):
             # x2 = gamw A^T (gamw A A^T + gam2 I)^{-1} (y - A r2) + r2
@@ -312,8 +387,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                              cfg.cg_max_iter, err_tol=cfg.cg_err_tol_xxt)
             x2 = (gamw * atx_fn(op, sol_n.mu) + r2) * m_mask
             # marker-space probe block (g2d_onsager with the primal operator)
-            probe = cg.solve_block(multb, bern, state.mu_probe, diag, gam2,
-                                   cfg.cg_max_iter, modes=(1,) * P,
+            probe = cg.solve_block(multb, bern, state.mu_probe, diag,
+                                   gam2_eff, cfg.cg_max_iter, modes=(1,) * P,
                                    onsager_tol=cfg.onsager_tol)
             invq = probe.mu
             mu_cg_new, mu_cg_n_new = state.mu_cg, sol_n.mu
@@ -323,10 +398,10 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             # joint block solve: column 0 = LMMSE RHS (residual exit,
             # vamp.cpp:594-596), columns 1.. = Onsager probes (quadform
             # early-exit, vamp.cpp:871-889).  One wide pass per CG iteration.
-            v = gamw * aux.aty + gam2 * r2
+            v = gamw * aux.aty + gam2_eff * r2
             V = jnp.concatenate([v[:, None], bern], axis=1)
             mu0 = jnp.concatenate([state.mu_cg[:, None], state.mu_probe], axis=1)
-            sol = cg.solve_block(multb, V, mu0, diag, gam2, cfg.cg_max_iter,
+            sol = cg.solve_block(multb, V, mu0, diag, gam2_eff, cfg.cg_max_iter,
                                  modes=(0,) + (1,) * P,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol)
@@ -337,7 +412,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             probe_iters = jnp.max(sol.iters[1:])
 
         # Hutchinson trace: alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>
-        alpha2 = gam2 * jnp.mean(jnp.sum(bern * invq, axis=0))
+        alpha2 = gam2_eff * jnp.mean(jnp.sum(bern * invq, axis=0))
         eta2 = gam2 / alpha2
 
         # gam2 re-estimate (vamp.cpp:691-693)
@@ -375,6 +450,9 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             "cg_rel_err": cg_rel_err, "probe_iters": probe_iters,
             "probs": probs, "vars": vars_,
         }
+        if cfg.use_cross_val:
+            metrics["cv_r2"] = cv_r2
+            metrics["rho_cross"] = rho_cross
         if with_truth:
             ts = aux.ts
             sqn = jnp.sqrt(N)
@@ -396,7 +474,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=z1,
             mu_cg=mu_cg_new, mu_cg_n=mu_cg_n_new, mu_probe=invq,
             gam1=gam1_new, gam2=gam2, gamw=gamw_new, eta1=eta1, eta2=eta2,
-            alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs, vars=vars_)
+            alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs, vars=vars_,
+            cv_r2=cv_r2)
         return _cast_like(new_state, state), metrics
 
     return jax.jit(step)
@@ -410,12 +489,22 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
 
     ``x1_hat_stored`` is the /sqrt(N)-scaled estimate like the reference's
     return (vamp.cpp:802) and per-iteration .bin dumps.
+
+    With ``cfg.use_cross_val`` the first 98% of sample-bytes train and the
+    rest are held out for the within-iteration damping tuner
+    (SB_cross = 0.98 * mbytes, vamp.cpp:158-166).
     """
+    geno_hold = None
+    if cfg.use_cross_val:
+        sb_cross = int(0.98 * geno.layout.mbytes)
+        geno_hold = geno.sample_window(sb_cross, geno.layout.mbytes - sb_cross)
+        geno = geno.sample_window(0, sb_cross)
     state = init_state(geno, cfg, probs, vars_user,
                        r1_init=r1_init, x1_init=x1_init, gam1=gam1, gamw=gamw)
-    aux = make_aux(geno, cfg, freeze=freeze, true_signal=true_signal)
+    aux = make_aux(geno, cfg, freeze=freeze, true_signal=true_signal,
+                   geno_hold=geno_hold)
     step = make_step(geno, cfg, init_est=x1_init is not None,
-                     with_truth=true_signal is not None)
+                     with_truth=true_signal is not None, geno_hold=geno_hold)
     history = []
     sqn = float(np.sqrt(geno.N))
     for it in range(1, cfg.max_iter + 1):
@@ -437,3 +526,32 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
             break
     x1_stored = np.asarray(state.x1)[: geno.M] / sqn
     return x1_stored, state, history
+
+
+def state_evolution(key, prior: Prior, gam1, rho,
+                    prior_before: Prior, gam1_before, mt: int,
+                    n_mc: int | None = None):
+    """State-evolution prediction of (alpha1_bar, eta1_bar, gam2_bar).
+
+    MC re-design of the reference diagnostic ``state_evo`` ind=1
+    (vamp.cpp:1376-1401, dormant behind calc_state_evo=0 at vamp.hpp:38):
+    draw beta ~ current prior, corrupt with N(0, 1/gam1) noise, average the
+    damped denoiser derivative.  The ind=2 branch equals ``g2d_onsager`` and
+    is covered by the in-loop probe estimate.
+    """
+    n_mc = n_mc or mt
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    def draw_mix(kc, kn, pr):
+        comp = jax.random.categorical(kc, jnp.log(pr.probs), shape=(n_mc,))
+        return jax.random.normal(kn, (n_mc,)) * jnp.sqrt(pr.vars[comp])
+
+    beta = draw_mix(k1, k2, prior)
+    beta_b = draw_mix(k3, k4, prior_before)
+    noise = jax.random.normal(k5, (n_mc,)) / jnp.sqrt(gam1)
+    noise_b = jax.random.normal(k6, (n_mc,)) / jnp.sqrt(gam1_before)
+    d = rho * g1d(beta + noise, gam1, prior) \
+        + (1 - rho) * g1d(beta_b + noise_b, gam1_before, prior)
+    alpha_bar = jnp.mean(d)
+    eta_bar = gam1 / alpha_bar
+    return alpha_bar, eta_bar, eta_bar - gam1

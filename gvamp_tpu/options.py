@@ -60,6 +60,8 @@ class Options:
     gamw_init: float = 0.0
     gam1_init: float = -1.0
     gamma_damp: float = 1.0
+    use_cross_val: int = 0          # live version of the reference's dormant
+                                    # cross-validated damping (vamp.hpp:61)
     # extensions beyond the reference CLI:
     type_data: str = "bed"          # bed | meth (reference data ctor arg,
                                     # data.hpp:93; meth = raw-double matrix
@@ -99,6 +101,7 @@ class Options:
                      ("--learn-vars", 1), ("--store-pvals", 0),
                      ("--use-lmmse-damp", 0), ("--use-XXT-denoiser", 0),
                      ("--use-freeze", 0), ("--init-est", 0), ("--red", 0),
+                     ("--use-cross-val", 0),
                      ("--seed", 1), ("--devices", 0), ("--dump-every", 1),
                      ("--verbosity", 1)]:
             flag(f, type=int, default=d)

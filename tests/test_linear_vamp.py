@@ -86,3 +86,62 @@ def test_restart_from_estimate():
     # restart should start roughly where the first run ended, not from scratch
     corr = np.corrcoef(x_b, x_a)[0, 1]
     assert corr > 0.8
+
+
+def test_sample_window_matches_reference_semantics():
+    """Windowed container: full-data marker stats + 1/sqrt(4*lb) scaling
+    (reference data.cpp:728-801, 825-832)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gvamp_tpu.data import GenoBed
+    from helpers import DenseOracle, random_dataset
+    from tests_shim import make_bed_bytes
+
+    rng = np.random.default_rng(17)
+    N, M = 160, 24
+    codes, y = random_dataset(rng, N, M)
+    geno = GenoBed.from_arrays(make_bed_bytes(codes), y, N=N, dtype=jnp.float64)
+    sb, lb = 8, 24                       # individuals [32, 128)
+    win = geno.sample_window(sb, lb)
+    assert win.N == 4 * lb
+
+    oracle = DenseOracle(codes, y)
+    x = rng.normal(size=geno.Mpad) * np.asarray(geno.m_mask)
+    z = win.deplanarize(win.ax(jnp.asarray(x)))[: win.N]
+    # dense oracle on the window with FULL-data stats and 1/sqrt(4*lb) scale
+    vals = (oracle.a - oracle.mave[:, None]) * oracle.b * oracle.msig[:, None]
+    zo = (vals[:, 4 * sb: 4 * (sb + lb)].T @ x[:M]) / np.sqrt(4 * lb)
+    zo = zo * oracle.na[4 * sb: 4 * (sb + lb)]
+    np.testing.assert_allclose(z, zo, rtol=1e-8, atol=1e-10)
+
+
+def test_cross_val_and_gamma_damp_smoke():
+    """use_cross_val + gamma_damp run and converge on the sim problem."""
+    geno, beta, vars_t, probs_t = build_sim(N=700, M=256)
+    cfg = linear.VampConfig(max_iter=4, rho=0.3, use_cross_val=True,
+                            gamma_damp=0.9, cg_max_iter=30,
+                            gam1_init=1e-8, gamw_init=2.0)
+    x_est, state, hist = linear.infer(geno, cfg, probs_t, vars_t,
+                                      verbose=False)
+    assert np.isfinite(x_est).all()
+    assert "cv_r2" in hist[-1]
+    # holdout R2 should become meaningfully positive on this easy problem
+    assert float(hist[-1]["cv_r2"]) > 0.2, hist[-1]["cv_r2"]
+
+
+def test_state_evolution_predicts_alpha1():
+    """SE alpha_bar ~ realized alpha1 once the prior/precisions stabilize."""
+    from gvamp_tpu.prior import Prior
+
+    geno, beta, vars_t, probs_t = build_sim(N=700, M=256)
+    cfg = linear.VampConfig(max_iter=6, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0)
+    x_est, state, hist = linear.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    pr = Prior(probs=state.probs, vars=state.vars)
+    alpha_bar, eta_bar, gam_bar = linear.state_evolution(
+        jax.random.key(0), pr, state.gam1, state.rho, pr, state.gam1,
+        geno.Mt, n_mc=200_000)
+    realized = float(hist[-1]["alpha1"])
+    assert np.isfinite(float(alpha_bar))
+    assert abs(float(alpha_bar) - realized) < 0.5 * max(realized, 0.05), (
+        float(alpha_bar), realized)
