@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gvamp_tpu import native
 from gvamp_tpu.io import plink
 from gvamp_tpu.ops import matvec
 from gvamp_tpu.ops.layout import PlanarLayout
@@ -149,8 +150,13 @@ class GenoBed:
 
         n_shards = mesh.devices.size if mesh is not None else 1
         Mpad = _round_up(max(M, 1), marker_align * n_shards)
-        words_np = np.full((lay.n_words, Mpad), 0x55555555, dtype=np.uint32)
-        words_np[:, :M] = lay.pack_words(bed_bytes).T
+        # native OpenMP blocked-transpose repack (gvamp_tpu/native) with a
+        # numpy fallback — the loader is the framework's C++ layer, mirroring
+        # the reference's C++/MPI-IO read path (data.cpp:201-234)
+        words_np = native.bed_to_words(bed_bytes, N, lay.n_words, Mpad)
+        if words_np is None:
+            words_np = np.full((lay.n_words, Mpad), 0x55555555, dtype=np.uint32)
+            words_np[:, :M] = lay.pack_words(bed_bytes).T
 
         isna = np.isnan(y_raw)
         nonas = int((~isna).sum())
@@ -225,13 +231,32 @@ class GenoBed:
         S: int = 0, M: int | None = None, **kw,
     ) -> "GenoBed":
         M = Mt if M is None else M
-        bed = plink.read_bed_slab(bed_path, N, M, S)
         if phen_path:
             y, isna = plink.read_phen(phen_path)
             y = np.where(isna, np.nan, y)
             assert y.shape[0] == N, (y.shape, N)
         else:
             y = np.zeros(N)
+
+        # fast path: native reader transposes straight from the file into the
+        # planar word layout (no marker-major intermediate)
+        lay = PlanarLayout.create(N, word_align=kw.get("word_align", 32))
+        mesh = kw.get("mesh")
+        n_shards = mesh.devices.size if mesh is not None else 1
+        Mpad = _round_up(max(M, 1), kw.get("marker_align", 512) * n_shards)
+        words = native.read_bed_words(bed_path, N, M, S, lay.n_words, Mpad)
+        if words is not None:
+            import jax as _jax
+            sharding = (NamedSharding(mesh, P(None, "m"))
+                        if mesh is not None else None)
+            obj = cls.from_device_words(
+                _jax.device_put(words, sharding), y, N=N, M=M, Mt=Mt, S=S,
+                **{k: v for k, v in kw.items()
+                   if k in ("standardize_phen", "alpha_scale", "mesh",
+                            "backend", "dtype", "bim_path")})
+            return obj
+
+        bed = plink.read_bed_slab(bed_path, N, M, S)
         return cls.from_arrays(bed, y, N=N, Mt=Mt, S=S, **kw)
 
     def sample_window(self, sb: int, lb: int) -> "GenoBed":
