@@ -311,7 +311,7 @@ def axm_pallas(words, W, U, tnw=0, tm=0):
     """
     Nw, M = words.shape
     B = W.shape[1]
-    tnw = tnw or _pick_tnw(Nw, 64)
+    tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     grid = (Nw // tnw, M // tm)
@@ -363,7 +363,7 @@ def atxm_pallas(words, V, tnw=0, tm=0):
     """Block transposed matvec: (av[M, B], bv[M, B]) from planar V[4, Nb, B]."""
     Nw, M = words.shape
     B = V.shape[2]
-    tnw = tnw or _pick_tnw(Nw, 64)
+    tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     grid = (M // tm, Nw // tnw)
