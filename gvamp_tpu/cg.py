@@ -113,8 +113,10 @@ def solve_block(
     dt = V.dtype
     B = V.shape[1]
     modes = jnp.asarray(np.asarray(modes), jnp.int32)
+    # diag: scalar, [M] (per-row Jacobi), or [1|M, B] (per-column operators)
     diag_c = jnp.asarray(diag, dt)
     diag_c = diag_c[:, None] if diag_c.ndim == 1 else diag_c
+    gam2_b = jnp.asarray(gam2, dt) * jnp.ones((B,), dt)  # per-column quadform
 
     r0 = V - mult_block(mu_start)
     z0 = r0 / diag_c
@@ -146,7 +148,7 @@ def solve_block(
         alpha = jnp.where(s.done | (pd == 0), 0.0,
                           s.rz / jnp.where(pd == 0, 1.0, pd))
         mu = s.mu + alpha[None, :] * s.p
-        ons = gam2 * jnp.sum(V * mu, axis=0)
+        ons = gam2_b * jnp.sum(V * mu, axis=0)
         ons_rel = jnp.where(ons != 0, jnp.abs((ons - s.prev_ons) / ons), 1.0)
         r = s.r - alpha[None, :] * d
         z = r / diag_c

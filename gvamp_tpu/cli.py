@@ -92,6 +92,36 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
                       dump_every=opt.dump_every, checkpoint=opt.checkpoint)
     common = dict(verbose=opt.verbosity > 0, callbacks=[dump], true_signal=ts)
 
+    if opt.model == "linear" and len(opt.phen_files) > 1:
+        # multi-trait extension: all phenotypes in one run, sharing every
+        # decode pass (gvamp_tpu/multi.py; the reference handles one
+        # phenotype per run, main_real.cpp:52)
+        from gvamp_tpu import linear, multi
+        ys = []
+        for pf in opt.phen_files:
+            y, isna = plink.read_phen(pf)
+            ys.append(np.where(isna, np.nan, y))
+        cfg = linear.VampConfig(
+            max_iter=opt.iterations, rho=opt.rho,
+            stop_criteria_thr=opt.stop_criteria_thr,
+            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
+            seed=opt.seed, gam1_init=1e-6 if gam1 is None else gam1,
+            gamw_init=opt.gamw_default() if gamw is None else gamw)
+        mp = multi.MultiPhen.build(geno, ys)
+
+        def dump_cb(it, state, metrics, g):
+            if opt.dump_every and it % opt.dump_every == 0:
+                x = np.asarray(state.x1)[: g.M] / np.sqrt(g.N)
+                for t in range(mp.T):
+                    vecio.write_bin_shard(
+                        f"{opt.out_prefix}_phen{t}_it_{it}.bin", x[:, t], g.S)
+
+        x_est, state, hist = multi.infer(mp, cfg, probs, vars_user,
+                                         verbose=opt.verbosity > 0,
+                                         callbacks=[dump_cb])
+        return x_est, state, hist
+
     if opt.model == "linear":
         from gvamp_tpu import linear
         cfg = linear.VampConfig(

@@ -308,28 +308,33 @@ class GenoBed:
 
     # ---------------------------------------------------------------- stats
 
-    def compute_marker_statistics(self) -> None:
+    def marker_stats_for(self, na_planar, nonas):
+        """(mave, msig) over an arbitrary phenotype-NA support — shared by the
+        container's own stats and the multi-trait binder (multi.MultiPhen)."""
         use64 = self.dtype == jnp.float64
         block = min(512, self.Mpad)
         if self.mesh is not None:
             stats = jax.jit(
                 jax.shard_map(
                     lambda wd, na: _marker_stats_kernel(
-                        wd, na, float(self.nonas), float(self.alpha_scale),
+                        wd, na, float(nonas), float(self.alpha_scale),
                         block=block, use64=use64),
                     mesh=self.mesh,
                     in_specs=(P(None, "m"), P(None, None)),
                     out_specs=P("m"),
                 )
             )
-            mave, msig = stats(self.words, self.na_planar)
+            mave, msig = stats(self.words, na_planar)
         else:
             mave, msig = _marker_stats_kernel(
-                self.words, self.na_planar, float(self.nonas),
+                self.words, na_planar, float(nonas),
                 float(self.alpha_scale), block=block, use64=use64)
         pad_mask = (jnp.arange(self.Mpad) < self.M)
-        self.mave = jnp.where(pad_mask, mave, 0.0).astype(self.dtype)
-        self.msig = jnp.where(pad_mask, msig, 0.0).astype(self.dtype)
+        return (jnp.where(pad_mask, mave, 0.0).astype(self.dtype),
+                jnp.where(pad_mask, msig, 0.0).astype(self.dtype))
+
+    def compute_marker_statistics(self) -> None:
+        self.mave, self.msig = self.marker_stats_for(self.na_planar, self.nonas)
 
     def compute_people_statistics(self):
         """Per-individual stats for the XXT preconditioner (data.cpp:558-716).

@@ -1,0 +1,409 @@
+"""Multi-trait linear VAMP: T phenotypes in one run over a shared .bed.
+
+A TPU-native extension beyond the reference, which processes one phenotype
+per run (main_real.cpp:52 "currently only one phenotype file is supported").
+Because the packed-matvec decode dominates wall-clock and wide-RHS columns
+ride it nearly free (ops/matvec.py), running T traits together costs ~1.5x a
+single-trait run instead of T times: every marker-space vector gains a
+trailing trait axis, every scalar becomes a [T] vector, the denoisers/EM
+vmap over traits, and all T LMMSE solves + T*P Onsager probes share ONE
+block-CG (cg.solve_block with per-column (gamw_t, gam2_t) operators).
+
+Per-trait semantics are identical to the single-trait engine (linear.py):
+each trait gets its own marker statistics over its own phenotype-NA support
+(reference data.cpp:446-483), its own prior/EM trajectory, noise precision,
+damping, and stopping; traits that converge freeze while the rest continue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from gvamp_tpu import cg
+from gvamp_tpu.data import GenoBed
+from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma
+from gvamp_tpu.ops import matvec
+from gvamp_tpu.prior import Prior, g1, g1d, update_prior
+
+
+class MultiOp(NamedTuple):
+    """Shared packed matrix + per-trait standardization arrays."""
+
+    words: jax.Array   # uint32[Nw, Mpad] (shared)
+    mave: jax.Array    # f[Mpad, T]
+    msig: jax.Array    # f[Mpad, T]
+    na: jax.Array      # f[4, Nb, T] per-trait phenotype-NA indicator
+    m_mask: jax.Array  # f[Mpad]
+
+
+@dataclasses.dataclass
+class MultiPhen:
+    """T phenotypes bound to one GenoBed's packed matrix."""
+
+    geno: GenoBed
+    T: int
+    mave: jax.Array    # [Mpad, T]
+    msig: jax.Array
+    na: jax.Array      # [4, Nb, T]
+    y: jax.Array       # [4, Nb, T] standardized, NA slots zero
+    nonas: np.ndarray  # int[T]
+    intercepts: np.ndarray
+    scales: np.ndarray
+
+    @classmethod
+    def build(cls, geno: GenoBed, ys: list, standardize: bool = True
+              ) -> "MultiPhen":
+        """Per-trait standardization + marker statistics (each trait's stats
+        use its own NA support, reference data.cpp:128-192, 446-483)."""
+        lay = geno.layout
+        dt = geno.dtype
+        maves, msigs, nas, yps = [], [], [], []
+        nonas, icepts, scales = [], [], []
+        for y_raw in ys:
+            y_raw = np.asarray(y_raw, np.float64)
+            isna = np.isnan(y_raw)
+            nn = int((~isna).sum())
+            if standardize and nn > 1:
+                avg = float(np.nanmean(y_raw))
+                sqn = float(np.sqrt((nn - 1) / np.nansum((y_raw - avg) ** 2)))
+            else:
+                avg, sqn = 0.0, 1.0
+            y = np.where(isna, 0.0, y_raw) * sqn
+            na_p = jnp.asarray(lay.planarize((~isna).astype(np.float64)), dt)
+            mave, msig = geno.marker_stats_for(na_p, nn)
+            maves.append(mave)
+            msigs.append(msig)
+            nas.append(na_p)
+            yps.append(jnp.asarray(lay.planarize(y), dt))
+            nonas.append(nn); icepts.append(avg); scales.append(sqn)
+        return cls(
+            geno=geno, T=len(ys),
+            mave=jnp.stack(maves, axis=1), msig=jnp.stack(msigs, axis=1),
+            na=jnp.stack(nas, axis=-1), y=jnp.stack(yps, axis=-1),
+            nonas=np.asarray(nonas), intercepts=np.asarray(icepts),
+            scales=np.asarray(scales))
+
+    @property
+    def op(self) -> MultiOp:
+        return MultiOp(words=self.geno.words, mave=self.mave, msig=self.msig,
+                       na=self.na, m_mask=self.geno.m_mask)
+
+    def filter_pheno(self) -> jax.Array:
+        return self.y * self.na
+
+    def fns(self):
+        """(axm_fn, atxm_fn) with PER-COLUMN standardization: inputs/outputs
+        carry a trailing column axis whose stats columns are given by `cols`
+        (a trait index per column), so block-CG can mix traits and probes."""
+        geno = self.geno
+        backend, mesh, dtype = geno.backend, geno.mesh, geno.dtype
+        scale = geno.inv_sqrt_n
+
+        if backend == "pallas":
+            axm_raw = matvec.axm_pallas
+            atxm_raw = matvec.atxm_pallas
+        else:
+            axm_raw = lambda g, W, U: matvec.axm_xla(g, W, U, dtype=dtype)
+            atxm_raw = lambda g, V: matvec.atxm_xla(g, V, dtype=dtype)
+
+        if mesh is not None:
+            axm_sh = jax.shard_map(
+                lambda g, W, U: jax.lax.psum(axm_raw(g, W, U), "m"),
+                mesh=mesh, in_specs=(P(None, "m"), P("m", None), P("m", None)),
+                out_specs=P(None, None, None))
+            atxm_sh = jax.shard_map(
+                atxm_raw, mesh=mesh,
+                in_specs=(P(None, "m"), P(None, None, None)),
+                out_specs=(P("m", None), P("m", None)))
+        else:
+            axm_sh, atxm_sh = axm_raw, atxm_raw
+
+        def axm_fn(op: MultiOp, X, cols):
+            ms = op.msig[:, cols]
+            W = ms * X.astype(dtype)
+            U = op.mave[:, cols] * W
+            z = axm_sh(op.words, W, U)
+            return z.astype(dtype) * op.na[:, :, cols] * scale
+
+        def atxm_fn(op: MultiOp, V, cols):
+            v = V.astype(dtype) * op.na[:, :, cols]
+            av, bv = atxm_sh(op.words, v)
+            return ((av.astype(dtype) - op.mave[:, cols] * bv.astype(dtype))
+                    * op.msig[:, cols] * scale)
+
+        return axm_fn, atxm_fn
+
+
+class MultiState(NamedTuple):
+    it: jax.Array
+    x1: jax.Array        # [Mpad, T]
+    x2: jax.Array
+    r1: jax.Array
+    r2: jax.Array
+    z1: jax.Array        # [4, Nb, T]
+    mu_cg: jax.Array     # [Mpad, T]
+    mu_probe: jax.Array  # [Mpad, T*P]
+    gam1: jax.Array      # [T]
+    gam2: jax.Array
+    gamw: jax.Array
+    eta1: jax.Array
+    eta2: jax.Array
+    alpha1: jax.Array
+    alpha2: jax.Array
+    rho: jax.Array
+    probs: jax.Array     # [T, L]
+    vars: jax.Array      # [T, L]
+    stopped: jax.Array   # bool[T] — converged traits freeze
+
+
+def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
+    dt = mp.geno.dtype
+    Mp, T, L = mp.geno.Mpad, mp.T, np.asarray(probs).shape[-1]
+    zeros = jnp.zeros((Mp, T), dt)
+    probs_t = jnp.broadcast_to(jnp.asarray(probs, dt), (T, L))
+    vars_t = jnp.broadcast_to(
+        jnp.asarray(np.asarray(vars_user) * mp.geno.N, dt), (T, L))
+    return MultiState(
+        it=jnp.asarray(0), x1=zeros, x2=zeros, r1=zeros, r2=zeros,
+        z1=jnp.zeros_like(mp.y), mu_cg=zeros,
+        mu_probe=jnp.zeros((Mp, T * cfg.n_probes), dt),
+        gam1=jnp.full((T,), cfg.gam1_init, dt),
+        gam2=jnp.zeros((T,), dt), gamw=jnp.full((T,), cfg.gamw_init, dt),
+        eta1=jnp.zeros((T,), dt), eta2=jnp.zeros((T,), dt),
+        alpha1=jnp.zeros((T,), dt), alpha2=jnp.zeros((T,), dt),
+        rho=jnp.full((T,), cfg.rho, dt),
+        probs=probs_t, vars=vars_t, stopped=jnp.zeros((T,), bool))
+
+
+class MultiAux(NamedTuple):
+    op: MultiOp
+    y: jax.Array        # [4, Nb, T] filtered
+    bern: jax.Array     # [Mpad, P] shared probes
+    aty: jax.Array      # [Mpad, T] per-trait A_t^T y_t
+    z_bern: jax.Array   # [4, Nb, T*P] per-trait A_t @ probes
+    m_mask: jax.Array
+
+
+def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:
+    from gvamp_tpu.linear import make_bern_probe
+
+    P_ = cfg.n_probes
+    T = mp.T
+    bern = make_bern_probe(mp.geno, cfg.seed, P_)
+    axm_fn, atxm_fn = mp.fns()
+    yf = mp.filter_pheno()
+    cols_t = np.arange(T)
+    aty = atxm_fn(mp.op, yf, cols_t)
+    cols_tp = np.repeat(np.arange(T), P_)
+    bern_tp = jnp.tile(bern, (1, T))  # [Mpad, T*P] (probe j of trait t)
+    z_bern = axm_fn(mp.op, bern_tp, cols_tp)
+    return MultiAux(op=mp.op, y=yf, bern=bern, aty=aty, z_bern=z_bern,
+                    m_mask=mp.geno.m_mask)
+
+
+def make_step(mp: MultiPhen, cfg: VampConfig):
+    dt = mp.geno.dtype
+    Mt = float(mp.geno.Mt)
+    N = float(mp.geno.N)
+    T = mp.T
+    P_ = cfg.n_probes
+    axm_fn, atxm_fn = mp.fns()
+    cols_t = np.arange(T)
+    cols_tp = np.repeat(np.arange(T), P_)
+    cols_all = np.concatenate([cols_t, cols_tp])
+
+    g1_t = jax.vmap(g1, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    g1d_t = jax.vmap(g1d, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    upd_t = jax.vmap(
+        lambda r, g, pr, mm: update_prior(
+            r, g, pr, mm, Mt, em_max_iter=cfg.em_max_iter,
+            em_err_thr=cfg.em_err_thr, learn_vars=cfg.learn_vars),
+        in_axes=(1, 0, Prior(0, 0), None))
+
+    def step(state: MultiState, aux: MultiAux):
+        op, y, bern, m_mask = aux.op, aux.y, aux.bern, aux.m_mask
+        it = state.it + 1
+        state = state._replace(it=it)
+        x1_prev = state.x1
+        live = ~state.stopped  # bool[T]
+
+        # ---- denoising: fixed-count re-estimation loop with per-trait
+        # convergence masking (linear.py revar loop, vamp.cpp:289-338)
+        def revar_body(i, carry):
+            x1, gam1, alpha1, eta1, probs, vars_, prev_gam1 = carry
+            pr = Prior(probs=probs, vars=vars_)
+            act = (i == 0) | ((it > 1)
+                              & (jnp.abs(gam1 - prev_gam1) >= cfg.revar_tol))
+            x1n = g1_t(state.r1, gam1, pr) * m_mask[:, None]
+            dn = g1d_t(state.r1, gam1, pr)
+            alpha1n = jnp.sum(dn * m_mask[:, None], axis=0) / Mt
+            eta1n = gam1 / alpha1n
+            l2diff = jnp.sum(jnp.square((x1n - state.r1) * m_mask[:, None]),
+                             axis=0)
+            gam1n = jnp.where(
+                it > 1, _clamp_gamma(1.0 / (1.0 / eta1n + l2diff / Mt)), gam1)
+            pr2 = upd_t(state.r1, gam1n, pr, m_mask)
+            sel = lambda n, o: jnp.where(act, n, o)
+            selm = lambda n, o: jnp.where(act[None, :], n, o)
+            # prior re-estimation only from it > 1 (vamp.cpp:318-330); at
+            # it == 1 the single update happens after the loop
+            actl = (act & (it > 1))[:, None]
+            sell = lambda n, o: jnp.where(actl, n, o)
+            out = (selm(x1n, x1), sel(gam1n, gam1), sel(alpha1n, alpha1),
+                   sel(eta1n, eta1), sell(pr2.probs, probs),
+                   sell(pr2.vars, vars_), sel(gam1, prev_gam1))
+            return _cast_like(out, carry)
+
+        big = jnp.full((T,), jnp.inf, dt)
+        carry = (state.x1, state.gam1, state.alpha1, state.eta1,
+                 state.probs, state.vars, big)
+        x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.fori_loop(
+            0, max(cfg.auto_var_max_iter, 1), revar_body, carry)[:6]
+
+        # prior update when the re-estimation loop is off or at it == 1
+        # (linear.py post-loop update, vamp.cpp:518-519)
+        pr1 = upd_t(state.r1, gam1, Prior(probs=probs, vars=vars_), m_mask)
+        first = jnp.asarray((cfg.auto_var_max_iter == 0) | (it <= 1))
+        probs = jnp.where(first, pr1.probs, probs)
+        vars_ = jnp.where(first, pr1.vars, vars_)
+
+        # damping + adaptive rho (vamp.cpp:348-414, 501-502)
+        damp = it > 1
+        rho = state.rho
+        x1 = jnp.where(damp, rho[None, :] * x1 + (1 - rho[None, :]) * state.x1,
+                       x1)
+        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1,
+                           alpha1)
+        xi = jnp.minimum(2.0 * jnp.minimum(alpha1, state.alpha2), 1.0)
+        rho = jnp.where(damp, jnp.maximum(rho, xi), rho)
+
+        # freeze converged traits
+        x1 = jnp.where(live[None, :], x1, state.x1)
+        gam1 = jnp.where(live, gam1, state.gam1)
+        alpha1 = jnp.where(live, alpha1, state.alpha1)
+        eta1 = jnp.where(live, eta1, state.eta1)
+
+        z1 = axm_fn(op, x1, cols_t)
+        gam2 = _clamp_gamma(eta1 - gam1)
+        r2 = ((eta1[None, :] * x1 - gam1[None, :] * state.r1)
+              / gam2[None, :]) * m_mask[:, None]
+        r2 = jnp.where(live[None, :], r2, state.r2)
+
+        l2y = jnp.sum(jnp.square(y), axis=(0, 1))
+        R2_1 = 1.0 - jnp.sum(jnp.square(y - z1), axis=(0, 1)) / l2y
+
+        # ---- LMMSE: T solves + T*P probes in ONE block CG ----------------
+        gamw = state.gamw
+        tau_cols = jnp.concatenate([gamw, gamw[cols_tp]])
+        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
+        diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
+
+        def multb(Pk):
+            return (tau_cols[None, :] * atxm_fn(op, axm_fn(op, Pk, cols_all),
+                                                cols_all)
+                    + gam2_cols[None, :] * Pk)
+
+        v = gamw[None, :] * aux.aty + gam2[None, :] * r2
+        bern_tp = jnp.tile(bern, (1, T))
+        V = jnp.concatenate([v, bern_tp], axis=1)
+        mu0 = jnp.concatenate([state.mu_cg, state.mu_probe], axis=1)
+        sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
+                             cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
+                             err_tol=cfg.cg_err_tol,
+                             onsager_tol=cfg.onsager_tol)
+        x2 = sol.mu[:, :T] * m_mask[:, None]
+        invq = sol.mu[:, T:]
+        x2 = jnp.where(live[None, :], x2, state.x2)
+
+        # per-trait Hutchinson trace
+        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
+        alpha2 = gam2 * quad
+        eta2 = gam2 / alpha2
+        l2_x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
+        gam2 = jnp.where((cfg.auto_var_max_iter >= 1) & (it > 2),
+                         _clamp_gamma(1.0 / (1.0 / eta2 + l2_x2r2 / Mt)), gam2)
+        gam1_new = _clamp_gamma(eta2 - gam2)
+        r1 = ((eta2[None, :] * x2 - gam2[None, :] * r2)
+              / gam1_new[None, :]) * m_mask[:, None]
+
+        # noise precision per trait (updateNoisePrec, vamp.cpp:892-927)
+        Z2 = axm_fn(op, jnp.concatenate([x2, invq], axis=1), cols_all)
+        ax2 = Z2[..., :T]
+        resid2 = jnp.sum(jnp.square(ax2 - y), axis=(0, 1))
+        tc = jnp.sum(aux.z_bern * Z2[..., T:], axis=(0, 1))
+        trace_corr = tc.reshape(T, P_).mean(axis=1) * Mt
+        gamw_new = N / (resid2 + trace_corr)
+        R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2), axis=(0, 1)) / l2y
+
+        rel_change = jnp.sqrt(
+            jnp.sum(jnp.square(x1_prev - x1), axis=0) /
+            jnp.maximum(jnp.sum(jnp.square(x1_prev), axis=0), 1e-300))
+        stopped = state.stopped | ((it > 1)
+                                   & (rel_change < cfg.stop_criteria_thr))
+
+        # freeze all trailing state of stopped traits
+        live_tp = live[np.asarray(cols_tp)]
+        new_state = MultiState(
+            it=it, x1=x1, x2=x2,
+            r1=jnp.where(live[None, :], r1, state.r1), r2=r2,
+            z1=jnp.where(live[None, None, :], z1, state.z1),
+            mu_cg=jnp.where(live[None, :], sol.mu[:, :T], state.mu_cg),
+            mu_probe=jnp.where(live_tp[None, :], invq, state.mu_probe),
+            gam1=jnp.where(live, gam1_new, state.gam1),
+            gam2=jnp.where(live, gam2, state.gam2),
+            gamw=jnp.where(live, gamw_new, state.gamw),
+            eta1=eta1, eta2=jnp.where(live, eta2, state.eta2),
+            alpha1=alpha1, alpha2=jnp.where(live, alpha2, state.alpha2),
+            rho=rho,
+            probs=jnp.where(live[:, None], probs, state.probs),
+            vars=jnp.where(live[:, None], vars_, state.vars),
+            stopped=stopped)
+        new_state = _cast_like(new_state, state)
+        metrics = {
+            "it": it, "gam1": gam1, "gam2": gam2, "gamw": gamw_new,
+            "alpha1": alpha1, "alpha2": alpha2, "rho": rho,
+            "R2_train_1": R2_1, "R2_train_2": R2_2,
+            "rel_change": rel_change, "cg_iters": sol.iters[:T],
+            "stopped": stopped,
+        }
+        return new_state, metrics
+
+    return jax.jit(step)
+
+
+def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
+          verbose: bool = True, callbacks=None):
+    """Run the joint multi-trait loop; returns (x_stored [M, T], state, hist).
+
+    Stops when every trait's rel-change criterion fires (converged traits
+    freeze in place while the rest continue).
+    """
+    state = init_state(mp, cfg, probs, vars_user)
+    aux = make_aux(mp, cfg)
+    step = make_step(mp, cfg)
+    history = []
+    sqn = float(np.sqrt(mp.geno.N))
+    for it in range(1, cfg.max_iter + 1):
+        state, metrics = step(state, aux)
+        m = {k: np.asarray(v) for k, v in metrics.items()}
+        history.append(m)
+        if verbose:
+            r2s = " ".join(f"{v:.4f}" for v in m["R2_train_1"])
+            print(f"[multi it {it}] R2=[{r2s}] "
+                  f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
+                  f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
+        if callbacks:
+            for cb in callbacks:
+                cb(it, state, m, mp.geno)
+        if bool(m["stopped"].all()):
+            if verbose:
+                print("all traits met the stopping criterion")
+            break
+    x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
+    return x_stored, state, history

@@ -1,0 +1,90 @@
+"""Multi-trait engine: per-trait parity with independent single-trait runs."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gvamp_tpu import linear, multi, sim
+from gvamp_tpu.data import GenoBed
+from test_data_layer import make_bed
+
+
+def _build(seed=23, N=500, M=256, T=3, h2s=(0.8, 0.5, 0.3)):
+    rng = np.random.default_rng(seed)
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    ys, betas, priors = [], [], []
+    for t in range(T):
+        vars_t, probs_t = sim.two_group_prior(M, 15, h2s[t])
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        y = sim.simulate_linear_phenotype(geno, beta, 1 / (1 - h2s[t]), rng)
+        if t == 1:  # one trait gets missing phenotypes
+            y[rng.choice(N, 25, replace=False)] = np.nan
+        ys.append(y)
+        betas.append(beta)
+        priors.append((probs_t, vars_t))
+    return geno, codes, ys, betas, priors
+
+
+def test_multi_trait_matches_single_runs():
+    geno, codes, ys, betas, priors = _build()
+    # all traits share the prior of trait 0 so the comparison is exact
+    probs_t, vars_t = priors[0]
+    cfg = linear.VampConfig(max_iter=5, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0, seed=3,
+                            stop_criteria_thr=0.0)  # no early stop
+    mp = multi.MultiPhen.build(geno, ys, standardize=False)
+    xm, sm, hm = multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+
+    for t, y in enumerate(ys):
+        g1 = GenoBed.from_arrays(make_bed(codes), y, N=geno.N,
+                                 standardize_phen=False, dtype=jnp.float64)
+        xs, ss, hs = linear.infer(g1, cfg, probs_t, vars_t, verbose=False)
+        np.testing.assert_allclose(xm[:, t], xs, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(float(hm[-1]["gam1"][t]),
+                                   float(hs[-1]["gam1"]), rtol=1e-6)
+        np.testing.assert_allclose(float(hm[-1]["gamw"][t]),
+                                   float(hs[-1]["gamw"]), rtol=1e-6)
+
+
+def test_multi_trait_recovers_signals():
+    geno, codes, ys, betas, priors = _build(N=800, M=400, T=2, h2s=(0.8, 0.6))
+    probs_t, vars_t = priors[0]
+    cfg = linear.VampConfig(max_iter=10, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0)
+    mp = multi.MultiPhen.build(geno, ys, standardize=False)
+    xm, sm, hm = multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+    for t in range(2):
+        corr = np.corrcoef(xm[:, t], betas[t])[0, 1]
+        assert corr > 0.85, (t, corr)
+
+
+def test_multi_trait_cli(tmp_path):
+    """--phen-files a,b,c triggers the joint multi-trait run."""
+    from gvamp_tpu import cli
+    from gvamp_tpu.io import plink, vecio
+
+    geno, codes, ys, betas, priors = _build(N=400, M=192, T=2, h2s=(0.8, 0.6))
+    plink.write_bed(str(tmp_path / "m.bed"), codes)
+    pfs = []
+    for t, y in enumerate(ys):
+        p = str(tmp_path / f"m{t}.phen")
+        plink.write_phen(p, y)
+        pfs.append(p)
+    probs_t, vars_t = priors[0]
+    cli.main([
+        "--run-mode", "infere", "--model", "linear",
+        "--bed-file", str(tmp_path / "m.bed"),
+        "--phen-files", ",".join(pfs),
+        "--N", str(geno.N), "--Mt", str(geno.M), "--iterations", "5",
+        "--rho", "0.3",
+        "--vars", ",".join(map(str, vars_t)),
+        "--probs", ",".join(map(str, probs_t)),
+        "--out-dir", str(tmp_path), "--out-name", "mt",
+        "--dtype", "float64", "--verbosity", "0",
+    ])
+    for t in range(2):
+        est = vecio.read_bin_shard(str(tmp_path / f"mt_phen{t}_it_5.bin"),
+                                   geno.M, 0)
+        corr = np.corrcoef(est, betas[t])[0, 1]
+        assert corr > 0.7, (t, corr)
