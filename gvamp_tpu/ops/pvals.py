@@ -113,21 +113,47 @@ def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
     reference's *_LOCO_chr_N.csv dumps).
     """
     y = geno.filter_pheno()
-    ym = (y - z1_planar) * geno.na_planar
+    na = geno.na_planar
+    ym = (y - z1_planar) * na
     chroms_pad = np.zeros(geno.Mpad, dtype=np.int32)
     chroms_pad[: geno.M] = np.asarray(chroms)
     pvals = np.ones(geno.Mpad, dtype=np.float64)
     block = min(256, geno.Mpad)
+    present = [ch for ch in range(1, 24) if (chroms_pad == ch).any()]
+    if not present:
+        return pvals[: geno.M]
 
-    for ch in range(1, 24):
+    # ONE wide pass builds every chromosome's genetic predictor
+    # (replacing the reference's per-chromosome accumulation +
+    # MPI_Iallreduce, data.cpp:1285-1289)
+    masks = np.stack([(chroms_pad == ch).astype(np.float64) for ch in present],
+                     axis=1)
+    y_chroms = geno.axm(x1_internal[:, None] * jnp.asarray(masks, geno.dtype))
+    if predictor_cb is not None:
+        for j, ch in enumerate(present):
+            predictor_cb(ch, y_chroms[..., j])
+
+    # ONE blocked decode pass accumulates all chromosomes' sufficient
+    # statistics: vecs = [na, yc_1, yc_1^2, yc_2, yc_2^2, ...]
+    ycs = [(ym + y_chroms[..., j]) * na for j in range(len(present))]
+    vecs = jnp.stack([na.astype(geno.dtype)]
+                     + [v for yc in ycs for v in (yc, yc * yc)])
+    av, bv, aa_na = _moments(geno.words, vecs, na.astype(geno.dtype),
+                             block=block)
+    mave, msig = geno.mave, geno.msig
+    a_na, b_na = av[0], bv[0]
+    sumx = msig * (a_na - mave * b_na)
+    sumsqx = msig**2 * (aa_na - 2 * mave * av[0] + mave**2 * b_na)
+    s = x1_internal * geno.inv_sqrt_n
+
+    for j, ch in enumerate(present):
+        a_y, b_y, b_yy = av[1 + 2 * j], bv[1 + 2 * j], bv[2 + 2 * j]
+        vy = msig * (a_y - mave * b_y)
+        sumxy = vy + s * sumsqx
+        sumy = b_y + s * sumx
+        sumsqy = b_yy + 2 * s * vy + s**2 * sumsqx
+        p = np.asarray(_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, b_na))
         sel = chroms_pad == ch
-        if not sel.any():
-            continue
-        mask_ch = jnp.asarray(sel.astype(np.float64), geno.dtype)
-        y_chrom = geno.ax(x1_internal * mask_ch)
-        if predictor_cb is not None:
-            predictor_cb(ch, y_chrom)
-        p = np.asarray(_pvals_from_target(geno, ym + y_chrom, x1_internal, block))
         pvals[sel] = p[sel]
 
     return pvals[: geno.M]
