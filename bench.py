@@ -2,9 +2,13 @@
 
 Config = BASELINE.json configs[0]: linear VAMP on simulated data, N=5k,
 M=20k, 3-component mixture, CG LMMSE.  The reference publishes no numbers
-(BASELINE.md), so vs_baseline is measured against a NumPy dense-f64 BLAS
-implementation of the same per-iteration matvec workload on this host's CPU
-(a *favorable* stand-in for the reference's packed AVX matvec).
+(BASELINE.md), so the baseline was MEASURED: the actual reference C++ was
+compiled on this host (g++ -march=native -DMANVECT -Ofast, single-rank MPI
+stub, 1 CPU core with AVX-512) and run on this exact config — 2.09 s per
+VAMP iteration steady-state (mean of iterations 2-6 of sim.cpp's own
+timers; see BASELINE.md "Measured" section).  vs_baseline is that number
+over our per-iteration wall-clock.  Estimate parity on the identical
+dataset: corr(ours, reference it 6) = 0.99997.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -77,20 +81,10 @@ def main():
     packed_bytes = lay.n_words * 4 * mpad
     eff_gbs = passes * packed_bytes / dt_iter / 1e9
 
-    # ---- CPU baseline: dense f64 BLAS matvec pair, same workload ----------
-    try:
-        A = rng.standard_normal((min(N, 5000), M))
-        x = rng.standard_normal(M)
-        t0 = time.perf_counter()
-        reps = 2
-        for _ in range(reps):
-            z = A @ x
-            r = A.T @ z
-        cpu_pair = (time.perf_counter() - t0) / reps
-        cpu_iter = cpu_pair * passes / 2 * (N / min(N, 5000))
-        vs_baseline = cpu_iter / dt_iter
-    except MemoryError:
-        vs_baseline = float("nan")
+    # ---- measured reference baseline (BASELINE.md): 2.09 s/iteration on
+    # this host's CPU (1 core, AVX-512, -DMANVECT -Ofast), same config
+    REF_ITER_S = 2.09
+    vs_baseline = REF_ITER_S / dt_iter
 
     out = {
         "metric": "linear_vamp_iter_wallclock_N5k_M20k",
