@@ -438,8 +438,10 @@ class GenoBed:
         scale = self.inv_sqrt_n
 
         if backend == "pallas":
-            axm_raw = matvec.axm_pallas
-            atxm_raw = matvec.atxm_pallas
+            # int8-MXU digit kernels: fastest AND hardware-exact to ~1e-7
+            # (the bf16-split variants remain as alternates; see matvec.py)
+            axm_raw = matvec.axm_i8_pallas
+            atxm_raw = matvec.atxm_i8_pallas
         else:
             axm_raw = lambda g, W, U: matvec.axm_xla(g, W, U, dtype=dtype)
             atxm_raw = lambda g, V: matvec.atxm_xla(g, V, dtype=dtype)

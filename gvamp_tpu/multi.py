@@ -106,8 +106,8 @@ class MultiPhen:
         scale = geno.inv_sqrt_n
 
         if backend == "pallas":
-            axm_raw = matvec.axm_pallas
-            atxm_raw = matvec.atxm_pallas
+            axm_raw = matvec.axm_i8_pallas
+            atxm_raw = matvec.atxm_i8_pallas
         else:
             axm_raw = lambda g, W, U: matvec.axm_xla(g, W, U, dtype=dtype)
             atxm_raw = lambda g, V: matvec.atxm_xla(g, V, dtype=dtype)

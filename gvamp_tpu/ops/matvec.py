@@ -109,9 +109,12 @@ def _split_hi_lo(x: jax.Array, axis: int) -> jax.Array:
     because HIGHEST's 6-pass f32 emulation is latency-bound).
     """
     x = x.astype(jnp.float32)
-    hi = x.astype(jnp.bfloat16)
+    # optimization_barrier: XLA's allow-excess-precision pass otherwise
+    # treats the f32->bf16->f32 round-trip as exact and folds the residuals
+    # to zero, silently degrading the product to single-bf16 accuracy
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.concatenate([hi, mid, lo], axis=axis)
 
@@ -388,3 +391,159 @@ def atxm_pallas(words, V, tnw=0, tm=0):
         interpret=_interpret(),
     )(words, _split_hi_lo(V, 2))
     return av, bv
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU kernels — wide RHS, int8 MXU path
+# --------------------------------------------------------------------------
+#
+# The bf16 wide kernels above still pay 2 x 16 int8->bf16 lane-converts per
+# packed word.  The MXU also runs int8 x int8 -> int32 natively, and the
+# decoded planes are ALREADY int8 after the bitcast — so quantizing the RHS
+# into ``_NDIG`` radix-127 int8 digits (x ~= sum_d digit_d * s0/127^d) skips
+# every convert: measured ~1.5x faster than the bf16 path on v5e.  Digit
+# recombination happens outside the kernel in f32; a and b products are
+# emitted separately because their digit scales differ.  Absolute error is
+# ~127^-_NDIG of the per-column max (~3.8e-9), on par with the bf16 3-split.
+
+_NDIG = 4
+
+
+def _quant_digits(x: jax.Array, axis: int):
+    """f32 -> (int8 digits concat along ``axis``, per-column base scales)."""
+    x = x.astype(jnp.float32)
+    red = tuple(i for i in range(x.ndim) if i != axis and x.shape[i] != 1)
+    m = jnp.max(jnp.abs(x), axis=red, keepdims=True)
+    s0 = jnp.where(m == 0, 1.0, m) / 127.0
+    digs = []
+    r = x
+    s = s0
+    for _ in range(_NDIG):
+        d = jnp.round(r / s)
+        digs.append(d.astype(jnp.int8))
+        r = r - d * s
+        s = s / 127.0
+    return jnp.concatenate(digs, axis=axis), s0
+
+
+def _fold_digits(z_i32: jax.Array, s0: jax.Array, B: int):
+    """int32 [..., NDIG*B] digit products + scales [..., B] -> f32 [..., B]."""
+    zf = z_i32.astype(jnp.float32)
+    out = zf[..., :B] * s0
+    scale = s0
+    for d in range(1, _NDIG):
+        scale = scale / 127.0
+        out = out + zf[..., d * B:(d + 1) * B] * scale
+    return out
+
+
+def _axm_i8_kernel(g_ref, w8_ref, u8_ref, za_ref, zb_ref):
+    im = pl.program_id(1)
+
+    @pl.when(im == 0)
+    def _():
+        za_ref[...] = jnp.zeros(za_ref.shape, za_ref.dtype)
+        zb_ref[...] = jnp.zeros(zb_ref.shape, zb_ref.dtype)
+
+    g = g_ref[...]
+    w8 = w8_ref[...]  # [TM, NDIG*B] int8
+    u8 = u8_ref[...]
+    for k in range(4):
+        a_sw, b_sw = _swar(g, k)
+        a8 = pltpu.bitcast(a_sw, jnp.int8)
+        b8 = pltpu.bitcast(b_sw, jnp.int8)
+        za_ref[k] += jax.lax.dot_general(
+            a8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        zb_ref[k] += jax.lax.dot_general(
+            b8, u8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def axm_i8_pallas(words, W, U, tnw=0, tm=0):
+    """int8-MXU block matvec: z[4, Nb, B] = A_a @ W - A_b @ U."""
+    Nw, M = words.shape
+    B = W.shape[1]
+    tnw = tnw or _pick_tnw(Nw, 256)
+    tm = tm or _pick_tm(M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    w8, ws = _quant_digits(W, 1)
+    u8, us = _quant_digits(U, 1)
+    grid = (Nw // tnw, M // tm)
+    D = _NDIG * B
+    za, zb = pl.pallas_call(
+        _axm_i8_kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, 4 * tnw, D), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4 * tnw, D), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, 4 * Nw, D), jnp.int32),
+            jax.ShapeDtypeStruct((4, 4 * Nw, D), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(words, w8, u8)
+    return _fold_digits(za, ws[0][None, None, :], B) - _fold_digits(
+        zb, us[0][None, None, :], B)
+
+
+def _atxm_i8_kernel(g_ref, v8_ref, av_ref, bv_ref):
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _():
+        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
+        bv_ref[...] = jnp.zeros(bv_ref.shape, bv_ref.dtype)
+
+    g = g_ref[...]
+    av = jnp.zeros(av_ref.shape, jnp.int32)
+    bv = jnp.zeros(bv_ref.shape, jnp.int32)
+    for k in range(4):
+        a_sw, b_sw = _swar(g, k)
+        a8 = pltpu.bitcast(a_sw, jnp.int8)
+        b8 = pltpu.bitcast(b_sw, jnp.int8)
+        vk = v8_ref[k]  # [4*TNW, NDIG*B] int8
+        av += jax.lax.dot_general(
+            a8, vk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        bv += jax.lax.dot_general(
+            b8, vk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    av_ref[...] += av
+    bv_ref[...] += bv
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def atxm_i8_pallas(words, V, tnw=0, tm=0):
+    """int8-MXU block transposed matvec: (av[M, B], bv[M, B])."""
+    Nw, M = words.shape
+    B = V.shape[2]
+    tnw = tnw or _pick_tnw(Nw, 256)
+    tm = tm or _pick_tm(M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    v8, vs = _quant_digits(V, 2)
+    grid = (M // tm, Nw // tnw)
+    D = _NDIG * B
+    av, bv = pl.pallas_call(
+        _atxm_i8_kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4 * tnw, D), lambda j, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, D), jnp.int32),
+            jax.ShapeDtypeStruct((M, D), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(words, v8)
+    s = vs[0, 0][None, :]
+    return _fold_digits(av, s, B), _fold_digits(bv, s, B)
