@@ -116,11 +116,11 @@ class MultiPhen:
             axm_sh = jax.shard_map(
                 lambda g, W, U: jax.lax.psum(axm_raw(g, W, U), "m"),
                 mesh=mesh, in_specs=(P(None, "m"), P("m", None), P("m", None)),
-                out_specs=P(None, None, None))
+                out_specs=P(None, None, None), check_vma=False)
             atxm_sh = jax.shard_map(
                 atxm_raw, mesh=mesh,
                 in_specs=(P(None, "m"), P(None, None, None)),
-                out_specs=(P("m", None), P("m", None)))
+                out_specs=(P("m", None), P("m", None)), check_vma=False)
         else:
             axm_sh, atxm_sh = axm_raw, atxm_raw
 

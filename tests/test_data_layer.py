@@ -178,3 +178,32 @@ def test_batched_matvec_dense_container():
     for j in range(B):
         np.testing.assert_allclose(
             R[:, j], np.asarray(dense.atx(jnp.asarray(V[:, :, j]))), rtol=1e-9)
+
+
+def test_pallas_backend_under_mesh():
+    """Pallas kernels (interpret mode on CPU) under shard_map on an 8-device
+    mesh agree with the unsharded XLA path — validates the in/out specs the
+    real multi-chip run uses."""
+    import jax
+
+    rng = np.random.default_rng(19)
+    N, M = 130, 40
+    codes, y = random_dataset(rng, N, M)
+    devs = jax.devices()[:8]
+    mesh = jax.sharding.Mesh(np.array(devs), ("m",))
+    g_sh = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+                               backend="pallas", mesh=mesh)
+    g_ref = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+                                backend="xla")
+    x = rng.normal(size=g_sh.Mpad) * np.asarray(g_sh.m_mask)
+    np.testing.assert_allclose(
+        np.asarray(g_sh.ax(jnp.asarray(x))),
+        np.asarray(g_ref.ax(jnp.asarray(x[: g_ref.Mpad]))), rtol=1e-5, atol=1e-7)
+    v = g_sh.planarize(rng.normal(size=N))
+    np.testing.assert_allclose(
+        np.asarray(g_sh.atx(v))[: M],
+        np.asarray(g_ref.atx(v))[: M], rtol=1e-5, atol=1e-7)
+    X = rng.normal(size=(g_sh.Mpad, 2)) * np.asarray(g_sh.m_mask)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(g_sh.axm(jnp.asarray(X))),
+        np.asarray(g_ref.axm(jnp.asarray(X[: g_ref.Mpad]))), rtol=1e-5, atol=1e-7)
