@@ -124,6 +124,7 @@ class GenoBed:
     dtype: jnp.dtype = jnp.float32
     covs: Optional[np.ndarray] = None  # [N, C] covariates (probit model)
     _chroms: Optional[np.ndarray] = None
+    _complete: Optional[bool] = None   # no missing genotypes (lazy-computed)
 
     # ---------------------------------------------------------------- build
 
@@ -384,11 +385,64 @@ class GenoBed:
         return BedOp(words=self.words, mave=self.mave, msig=self.msig,
                      na_planar=self.na_planar, m_mask=self.m_mask)
 
+    @property
+    def geno_complete(self) -> bool:
+        """True when no genotype is missing among real samples x markers.
+        Imputed biobank data is complete; the kernels then skip the whole
+        non-missing-indicator contraction (b = 1 collapses to scalars)."""
+        if self._complete is None:
+            nm = self.n_mask_planar.astype(jnp.float32)
+            if self.backend == "pallas":
+                raw = matvec.atx_pallas
+            else:
+                raw = lambda g, v: matvec.atx_xla(g, v, dtype=jnp.float32)
+            if self.mesh is not None:
+                fn = jax.jit(jax.shard_map(
+                    raw, mesh=self.mesh,
+                    in_specs=(P(None, "m"), P(None, None)),
+                    out_specs=(P("m"), P("m")), check_vma=False))
+                _, bv = fn(self.words, nm)
+            else:
+                _, bv = raw(self.words, nm)
+            cnt = np.asarray(bv)[: self.M]
+            self._complete = bool((cnt == float(self.N)).all())
+        return self._complete
+
     def fns(self):
         """(ax_fn, atx_fn) with signatures (op, x) / (op, v_planar); all
         static configuration (backend, mesh, dtype, scaling) baked in."""
         backend, mesh, dtype = self.backend, self.mesh, self.dtype
         scale = self.inv_sqrt_n
+
+        if backend == "pallas" and self.geno_complete:
+            # no-missing fast path: b == 1, its contractions are scalars
+            ax_a = lambda g, w_: matvec.axm_i8a_pallas(g, w_[:, None])[..., 0]
+            atx_a = matvec.atx_a_pallas
+            if mesh is not None:
+                ax_a_sh = jax.shard_map(
+                    lambda g, w_: jax.lax.psum(ax_a(g, w_), "m"),
+                    mesh=mesh, in_specs=(P(None, "m"), P("m")),
+                    out_specs=P(None, None), check_vma=False)
+                atx_a_sh = jax.shard_map(
+                    atx_a, mesh=mesh, in_specs=(P(None, "m"), P(None, None)),
+                    out_specs=P("m"), check_vma=False)
+            else:
+                ax_a_sh, atx_a_sh = ax_a, atx_a
+
+            def ax_fn(op: BedOp, x):
+                w = op.msig * x.astype(op.msig.dtype)
+                u = op.mave * w
+                z = ax_a_sh(op.words, w) - jnp.sum(u)
+                return z.astype(dtype) * op.na_planar * scale
+
+            def atx_fn(op: BedOp, v_planar):
+                v = v_planar.astype(dtype) * op.na_planar
+                av = atx_a_sh(op.words, v)
+                sv = jnp.sum(v)
+                return ((av.astype(dtype) - op.mave * sv)
+                        * op.msig * scale)
+
+            return ax_fn, atx_fn
 
         if backend == "pallas":
             # ax via the int8-MXU wide kernel at B=1 (measured faster than
@@ -440,6 +494,36 @@ class GenoBed:
         """
         backend, mesh, dtype = self.backend, self.mesh, self.dtype
         scale = self.inv_sqrt_n
+
+        if backend == "pallas" and self.geno_complete:
+            axm_a = matvec.axm_i8a_pallas
+            atxm_a = matvec.atxm_i8a_pallas
+            if mesh is not None:
+                axm_a_sh = jax.shard_map(
+                    lambda g, W: jax.lax.psum(axm_a(g, W), "m"),
+                    mesh=mesh, in_specs=(P(None, "m"), P("m", None)),
+                    out_specs=P(None, None, None), check_vma=False)
+                atxm_a_sh = jax.shard_map(
+                    atxm_a, mesh=mesh,
+                    in_specs=(P(None, "m"), P(None, None, None)),
+                    out_specs=P("m", None), check_vma=False)
+            else:
+                axm_a_sh, atxm_a_sh = axm_a, atxm_a
+
+            def axm_fn(op: BedOp, X):
+                W = op.msig[:, None] * X.astype(op.msig.dtype)
+                U = op.mave[:, None] * W
+                z = axm_a_sh(op.words, W) - jnp.sum(U, axis=0)[None, None, :]
+                return z.astype(dtype) * op.na_planar[:, :, None] * scale
+
+            def atxm_fn(op: BedOp, V):
+                v = V.astype(dtype) * op.na_planar[:, :, None]
+                av = atxm_a_sh(op.words, v)
+                sv = jnp.sum(v, axis=(0, 1))
+                return ((av.astype(dtype) - op.mave[:, None] * sv[None, :])
+                        * op.msig[:, None] * scale)
+
+            return axm_fn, atxm_fn
 
         if backend == "pallas":
             # int8-MXU digit kernels: fastest AND hardware-exact to ~1e-7

@@ -547,3 +547,137 @@ def atxm_i8_pallas(words, V, tnw=0, tm=0):
     )(words, v8)
     s = vs[0, 0][None, :]
     return _fold_digits(av, s, B), _fold_digits(bv, s, B)
+
+
+# --------------------------------------------------------------------------
+# No-missing fast path: a-only kernels
+# --------------------------------------------------------------------------
+#
+# Imputed datasets (the common production case) have NO missing genotypes:
+# the non-missing indicator b is identically 1 over real (n, m) pairs, so
+# its contractions collapse to scalars computed outside the kernel
+# (sum_m u_m for ax; sum_n v_n per column for atx) and the kernels do half
+# the work.  Containers detect completeness at load (data.py) and route here.
+
+
+def _axm_i8a_kernel(g_ref, w8_ref, za_ref):
+    im = pl.program_id(1)
+
+    @pl.when(im == 0)
+    def _():
+        za_ref[...] = jnp.zeros(za_ref.shape, za_ref.dtype)
+
+    g = g_ref[...]
+    w8 = w8_ref[...]
+    for k in range(4):
+        a_sw, _ = _swar(g, k)
+        a8 = pltpu.bitcast(a_sw, jnp.int8)
+        za_ref[k] += jax.lax.dot_general(
+            a8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def axm_i8a_pallas(words, W, tnw=0, tm=0):
+    """a-only int8 block matvec: A_a @ W -> [4, Nb, B] (caller subtracts the
+    scalar b-contraction)."""
+    Nw, M = words.shape
+    B = W.shape[1]
+    tnw = tnw or _pick_tnw(Nw, 256)
+    tm = tm or _pick_tm(M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    w8, ws = _quant_digits(W, 1)
+    grid = (Nw // tnw, M // tm)
+    D = _NDIG * B
+    za = pl.pallas_call(
+        _axm_i8a_kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, 4 * tnw, D), lambda i, j: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, 4 * Nw, D), jnp.int32),
+        interpret=_interpret(),
+    )(words, w8)
+    return _fold_digits(za, ws[0][None, None, :], B)
+
+
+def _atx_a_kernel(g_ref, v_ref, av_ref):
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _():
+        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
+
+    g = g_ref[...]
+    av = jnp.zeros(av_ref.shape, jnp.float32)
+    for k in range(4):
+        a, _ = _decode_tile(g, k)
+        vk = v_ref[k, :][:, None]
+        av += jnp.sum(a * vk, axis=0, keepdims=True)
+    av_ref[...] += av
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def atx_a_pallas(words, v_planar, tnw=0, tm=0):
+    """a-only VPU transposed matvec: av[M] (b-side = sum(v), by the caller)."""
+    Nw, M = words.shape
+    tnw = tnw or _pick_tnw(Nw, 256)
+    tm = tm or _pick_tm(M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    grid = (M // tm, Nw // tnw)
+    av = pl.pallas_call(
+        _atx_a_kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4 * tnw), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, M), jnp.float32),
+        interpret=_interpret(),
+    )(words, v_planar.astype(jnp.float32))
+    return av[0]
+
+
+def _atxm_i8a_kernel(g_ref, v8_ref, av_ref):
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _():
+        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
+
+    g = g_ref[...]
+    av = jnp.zeros(av_ref.shape, jnp.int32)
+    for k in range(4):
+        a_sw, _ = _swar(g, k)
+        a8 = pltpu.bitcast(a_sw, jnp.int8)
+        av += jax.lax.dot_general(
+            a8, v8_ref[k], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    av_ref[...] += av
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def atxm_i8a_pallas(words, V, tnw=0, tm=0):
+    """a-only int8 block transposed matvec: av[M, B]."""
+    Nw, M = words.shape
+    B = V.shape[2]
+    tnw = tnw or _pick_tnw(Nw, 256)
+    tm = tm or _pick_tm(M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    v8, vs = _quant_digits(V, 2)
+    grid = (M // tm, Nw // tnw)
+    D = _NDIG * B
+    av = pl.pallas_call(
+        _atxm_i8a_kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4 * tnw, D), lambda j, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, D), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.int32),
+        interpret=_interpret(),
+    )(words, v8)
+    return _fold_digits(av, vs[0, 0][None, :], B)

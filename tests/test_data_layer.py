@@ -207,3 +207,38 @@ def test_pallas_backend_under_mesh():
     np.testing.assert_allclose(
         np.asarray(g_sh.axm(jnp.asarray(X))),
         np.asarray(g_ref.axm(jnp.asarray(X[: g_ref.Mpad]))), rtol=1e-5, atol=1e-7)
+
+
+def test_no_missing_fast_path():
+    """Complete (imputed) genotypes route through the a-only kernels and
+    match the general path exactly."""
+    rng = np.random.default_rng(29)
+    N, M = 130, 40
+    codes = rng.choice([0, 2, 3], size=(M, N)).astype(np.uint8)  # no code 1
+    y = rng.normal(size=N)
+    y[rng.choice(N, 9, replace=False)] = np.nan  # phenotype NAs still exist
+    fast = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+                               backend="pallas")
+    ref = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+                              backend="xla")
+    assert fast.geno_complete and ref.geno_complete is True
+    x = rng.normal(size=fast.Mpad) * np.asarray(fast.m_mask)
+    np.testing.assert_allclose(np.asarray(fast.ax(jnp.asarray(x))),
+                               np.asarray(ref.ax(jnp.asarray(x))),
+                               rtol=1e-5, atol=1e-6)
+    v = fast.planarize(rng.normal(size=N))
+    np.testing.assert_allclose(np.asarray(fast.atx(v)),
+                               np.asarray(ref.atx(v)), rtol=1e-5, atol=1e-6)
+    X = rng.normal(size=(fast.Mpad, 2)) * np.asarray(fast.m_mask)[:, None]
+    np.testing.assert_allclose(np.asarray(fast.axm(jnp.asarray(X))),
+                               np.asarray(ref.axm(jnp.asarray(X))),
+                               rtol=1e-5, atol=1e-6)
+    V = np.stack([np.asarray(fast.planarize(rng.normal(size=N)))
+                  for _ in range(2)], axis=-1)
+    np.testing.assert_allclose(np.asarray(fast.atxm(jnp.asarray(V))),
+                               np.asarray(ref.atxm(jnp.asarray(V))),
+                               rtol=1e-5, atol=1e-6)
+    # incomplete data must NOT take the fast path
+    codes2, y2 = random_dataset(rng, N, M)
+    g2 = GenoBed.from_arrays(make_bed(codes2), y2, N=N, backend="pallas")
+    assert g2.geno_complete is False
