@@ -40,11 +40,15 @@ def main():
     lay = PlanarLayout.create(N)
     mpad = ((M + 511) // 512) * 512
 
-    # synthetic packed genotypes generated ON DEVICE (uniform 2-bit codes,
-    # ~25% missing — decode cost is content-independent)
-    words = jax.random.bits(jax.random.key(0), (lay.n_words, mpad), dtype=jnp.uint32)
-    # mask the planar tail (samples >= N) to the 0x55 missing pattern
-    tail = np.full((lay.n_words,), 0, dtype=np.uint32)
+    # synthetic packed genotypes generated ON DEVICE.  The measured reference
+    # baseline ran the sim.cpp recipe, whose genotypes have NO missing calls
+    # (BASELINE.md); generate the same: remap every 2-bit "01" missing code
+    # to "11" so the complete-data fast path engages, like imputed data.
+    raw = jax.random.bits(jax.random.key(0), (lay.n_words, mpad), dtype=jnp.uint32)
+    lo = raw & np.uint32(0x55555555)
+    hi = (raw >> np.uint32(1)) & np.uint32(0x55555555)
+    is01 = lo & ~hi
+    words = raw | (is01 << np.uint32(1))
     geno = GenoBed.from_device_words(words, np.zeros(N), N=N, M=M,
                                      standardize_phen=False)
 
