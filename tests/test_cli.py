@@ -201,3 +201,94 @@ def test_sim_model_variants(dataset, sim_model, tmp_path):
     est = vecio.read_bin_shard(
         str(tmp_path / f"sim_{sim_model}{suffix}"), ds["M"], 0)
     assert np.isfinite(est).all()
+
+
+def test_probit_with_covariates_cli(dataset, tmp_path):
+    """BASELINE config 3: bin_class with cov-file + C>0 through the CLI,
+    then test mode with cov-estimate (main_real_probit.cpp)."""
+    ds = dataset
+    rng = np.random.default_rng(8)
+    from gvamp_tpu.data import GenoBed
+    from tests_shim import make_bed_bytes
+    from scipy.stats import norm
+    C = 2
+    Z = rng.standard_normal((ds["N"], C))
+    plink.write_covariates(str(tmp_path / "c.cov"), Z)
+    # binary phenotype from the linear predictor + covariate effects
+    codes_bed = make_bed_bytes  # noqa
+    geno = GenoBed.from_arrays(
+        __import__("tests_shim").make_bed_bytes(
+            sim.random_genotypes(np.random.default_rng(21), ds["M"], ds["N"],
+                                 miss_rate=0.01)),
+        np.zeros(ds["N"]), N=ds["N"], standardize_phen=False,
+        dtype=jnp.float64)
+    g = geno.deplanarize(geno.ax(geno.pad_m(ds["beta"] * np.sqrt(ds["N"]))))[: ds["N"]]
+    eta = np.array([0.4, -0.3])
+    yb = (rng.random(ds["N"]) <= norm.cdf(g + Z @ eta)).astype(float)
+    plink.write_phen(str(tmp_path / "b.phen"), yb)
+
+    cli.main([
+        "--run-mode", "infere", "--model", "bin_class",
+        "--bed-file", ds["bed"], "--phen-files", str(tmp_path / "b.phen"),
+        "--cov-file", str(tmp_path / "c.cov"), "--C", str(C),
+        "--N", str(ds["N"]), "--Mt", str(ds["M"]), "--iterations", "4",
+        "--rho", "0.2",
+        "--vars", ",".join(map(str, ds["vars"])),
+        "--probs", ",".join(map(str, ds["probs"])),
+        "--out-dir", str(tmp_path), "--out-name", "pb",
+        "--dtype", "float64", "--verbosity", "0",
+    ])
+    est = vecio.read_bin_shard(str(tmp_path / "pb_probit_it_4.bin"), ds["M"], 0)
+    assert np.isfinite(est).all()
+    corr = np.corrcoef(est, ds["beta"])[0, 1]
+    assert corr > 0.3, corr
+
+
+def test_xxt_lmmse_damp_restart_cli(dataset, tmp_path):
+    """BASELINE config 4: use-XXT-denoiser + use-lmmse-damp, then restart
+    with gam1/gamw-init from a stored estimate."""
+    ds = dataset
+    args = [
+        "--run-mode", "infere", "--model", "linear",
+        "--bed-file", ds["bed"], "--phen-files", ds["phen"],
+        "--N", str(ds["N"]), "--Mt", str(ds["M"]), "--iterations", "5",
+        "--rho", "0.3", "--use-XXT-denoiser", "1", "--use-lmmse-damp", "1",
+        "--vars", ",".join(map(str, ds["vars"])),
+        "--probs", ",".join(map(str, ds["probs"])),
+        "--out-dir", str(tmp_path), "--out-name", "xxt",
+        "--dtype", "float64", "--verbosity", "0",
+    ]
+    cli.main(args)
+    est = vecio.read_bin_shard(str(tmp_path / "xxt_it_5.bin"), ds["M"], 0)
+    corr = np.corrcoef(est, ds["beta"])[0, 1]
+    assert corr > 0.8, corr
+
+    args[args.index("infere")] = "restart"
+    cli.main(args + ["--estimate-file", str(tmp_path / "xxt_r1_it_5.bin"),
+                     "--gam1-init", "1.0", "--gamw-init", "3.0",
+                     "--out-name", "xxt2"])
+    est2 = vecio.read_bin_shard(str(tmp_path / "xxt2_it_5.bin"), ds["M"], 0)
+    assert np.corrcoef(est2, ds["beta"])[0, 1] > 0.8
+
+
+def test_six_component_learn_vars_cli(dataset, tmp_path):
+    """BASELINE config 2: 6-component mixture with learn-vars EM + pvals."""
+    ds = dataset
+    cli.main([
+        "--run-mode", "infere", "--model", "linear",
+        "--bed-file", ds["bed"], "--phen-files", ds["phen"],
+        "--bim-file", ds["bim"],
+        "--N", str(ds["N"]), "--Mt", str(ds["M"]), "--iterations", "6",
+        "--rho", "0.3", "--learn-vars", "1", "--store-pvals", "1",
+        "--vars", "0.0,0.0001,0.001,0.01,0.05,0.1",
+        "--probs", "0.9,0.02,0.02,0.02,0.02,0.02",
+        "--out-dir", str(tmp_path), "--out-name", "mix6",
+        "--dtype", "float64", "--verbosity", "0",
+    ])
+    est = vecio.read_bin_shard(str(tmp_path / "mix6_it_6.bin"), ds["M"], 0)
+    corr = np.corrcoef(est, ds["beta"])[0, 1]
+    assert corr > 0.8, corr
+    p = np.fromfile(str(tmp_path / "mix6_pvals.bin"))
+    big = np.abs(ds["beta"]) > 0.15
+    if big.any():
+        assert p[big].max() < 1e-3
