@@ -62,21 +62,28 @@ def main():
     state = linear.init_state(geno, cfg, probs_t, vars_t)
     aux = linear.make_aux(geno, cfg)
     step = linear.make_step(geno, cfg)
+    scan_step = linear.make_scan_step(geno, cfg, K_ITERS)
 
-    # warmup: compile + 2 iterations (CG iteration counts stabilize)
+    # warmup: compile + 2 iterations (CG iteration counts stabilize), then
+    # TWO scan executions — the first post-compile run pays a one-time
+    # executable-upload/autotune cost through the tunnel
     state, metrics = step(state, aux)
     state, metrics = step(state, aux)
-    float(metrics["gam1"])  # sync
+    _s, _m = scan_step(state, aux)
+    float(_m["gam1"][-1])  # sync
+    _s, _m = scan_step(state, aux)
+    float(_m["gam1"][-1])
 
+    # throughput mode: K iterations per dispatch (linear.make_scan_step).
+    # Fetch results with device_get (a raw transfer) — jnp indexing would
+    # compile tiny gather programs through the remote-compile server.
     t0 = time.perf_counter()
-    passes = 0.0
-    for _ in range(K_ITERS):
-        state, metrics = step(state, aux)
-    # one tiny scalar fetch forces the whole chain
+    state, metrics = scan_step(state, aux)
+    metrics = {k: np.asarray(v)[-1] for k, v in jax.device_get(metrics).items()}
+    dt_iter = (time.perf_counter() - t0) / K_ITERS
     cg_it = float(metrics["cg_iters"])
     probe_it = float(metrics["probe_iters"])
     gam1 = float(metrics["gam1"])
-    dt_iter = (time.perf_counter() - t0) / K_ITERS
 
     # single-pass-equivalents per iteration after the block-CG redesign:
     # joint block CG (width 2, ax+atx per it incl init) + z1 + the final

@@ -228,7 +228,7 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
 
 
 def make_step(geno, cfg: VampConfig, init_est: bool = False,
-              with_truth: bool = False, geno_hold=None):
+              with_truth: bool = False, geno_hold=None, jit: bool = True):
     """Build the jitted per-iteration step: (state, aux) -> (state, metrics)."""
     dt = geno.dtype
     Mt = float(geno.Mt)
@@ -478,7 +478,27 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             cv_r2=cv_r2)
         return _cast_like(new_state, state), metrics
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
+
+
+def make_scan_step(geno, cfg: VampConfig, k: int, **kw):
+    """k VAMP iterations per dispatch via lax.scan (throughput mode).
+
+    One host round-trip per k iterations instead of per iteration — on
+    remote-attached TPUs the per-dispatch latency dominates small problems.
+    Returns (state, metrics) with every metric stacked along a leading [k]
+    axis; semantics are identical to calling the single step k times.
+    """
+    raw = make_step(geno, cfg, jit=False, **kw)
+
+    def multi(state, aux):
+        def body(s, _):
+            s2, m = raw(s, aux)
+            return s2, m
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    return jax.jit(multi)
 
 
 def infer(geno, cfg: VampConfig, probs, vars_user,

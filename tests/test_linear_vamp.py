@@ -145,3 +145,21 @@ def test_state_evolution_predicts_alpha1():
     assert np.isfinite(float(alpha_bar))
     assert abs(float(alpha_bar) - realized) < 0.5 * max(realized, 0.05), (
         float(alpha_bar), realized)
+
+
+def test_scan_step_matches_single_steps():
+    """make_scan_step(k) == k sequential make_step calls."""
+    geno, beta, vars_t, probs_t = build_sim(N=400, M=256)
+    cfg = linear.VampConfig(max_iter=4, rho=0.3, gam1_init=1e-8, gamw_init=2.0)
+    s1 = linear.init_state(geno, cfg, probs_t, vars_t)
+    aux = linear.make_aux(geno, cfg)
+    step = linear.make_step(geno, cfg)
+    for _ in range(4):
+        s1, m1 = step(s1, aux)
+    s4 = linear.init_state(geno, cfg, probs_t, vars_t)
+    scan4 = linear.make_scan_step(geno, cfg, 4)
+    s4, ms = scan4(s4, aux)
+    np.testing.assert_allclose(np.asarray(s1.x1), np.asarray(s4.x1),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(float(m1["gam1"]),
+                               float(np.asarray(ms["gam1"])[-1]), rtol=1e-10)
