@@ -143,7 +143,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             x1_init = vecio.read_estimate(opt.estimate_file, geno.M, geno.S)
         x_est, state, hist = linear.infer(
             geno, cfg, probs, vars_user, freeze=freeze,
-            r1_init=r1_init, x1_init=x1_init, **common)
+            r1_init=r1_init, x1_init=x1_init,
+            sync_every=opt.sync_every, **common)
         if hist:
             write_scalar_history(opt.out_prefix, hist)
         if opt.store_pvals:

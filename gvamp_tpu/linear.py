@@ -504,7 +504,7 @@ def make_scan_step(geno, cfg: VampConfig, k: int, **kw):
 def infer(geno, cfg: VampConfig, probs, vars_user,
           true_signal=None, freeze=None, callbacks=None,
           r1_init=None, x1_init=None, gam1=None, gamw=None,
-          verbose: bool = True):
+          verbose: bool = True, sync_every: int = 1):
     """Run the full linear VAMP loop; returns (x1_hat_stored, history).
 
     ``x1_hat_stored`` is the /sqrt(N)-scaled estimate like the reference's
@@ -513,6 +513,10 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
     With ``cfg.use_cross_val`` the first 98% of sample-bytes train and the
     rest are held out for the within-iteration damping tuner
     (SB_cross = 0.98 * mbytes, vamp.cpp:158-166).
+
+    ``sync_every`` > 1 runs chunks of that many iterations in ONE device
+    dispatch (lax.scan, see make_scan_step) — per-iteration metrics are
+    still recorded, but callbacks and the stopping check run per chunk.
     """
     geno_hold = None
     if cfg.use_cross_val:
@@ -523,24 +527,37 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
                        r1_init=r1_init, x1_init=x1_init, gam1=gam1, gamw=gamw)
     aux = make_aux(geno, cfg, freeze=freeze, true_signal=true_signal,
                    geno_hold=geno_hold)
-    step = make_step(geno, cfg, init_est=x1_init is not None,
-                     with_truth=true_signal is not None, geno_hold=geno_hold)
+    kw = dict(init_est=x1_init is not None,
+              with_truth=true_signal is not None, geno_hold=geno_hold)
+    chunk = max(1, int(sync_every))
+    step = (make_step(geno, cfg, **kw) if chunk == 1
+            else make_scan_step(geno, cfg, chunk, **kw))
     history = []
     sqn = float(np.sqrt(geno.N))
-    for it in range(1, cfg.max_iter + 1):
+    it = 0
+    while it < cfg.max_iter:
         state, metrics = step(state, aux)
-        m = {k: np.asarray(v) for k, v in metrics.items()}
-        history.append(m)
-        if verbose:
-            print(f"[it {it}] gam1={m['gam1']:.6g} gam2={m['gam2']:.6g} "
-                  f"gamw={m['gamw']:.6g} alpha1={m['alpha1']:.4g} "
-                  f"alpha2={m['alpha2']:.4g} R2={m['R2_train_1']:.4f} "
-                  f"rel={m['rel_change']:.3e} cg={int(m['cg_iters'])}",
-                  flush=True)
+        fetched = jax.device_get(metrics)
+        if chunk == 1:
+            chunk_ms = [{k: np.asarray(v) for k, v in fetched.items()}]
+        else:
+            chunk_ms = [{k: np.asarray(v)[i] for k, v in fetched.items()}
+                        for i in range(chunk)]
+        for m in chunk_ms:
+            it += 1
+            history.append(m)
+            if verbose:
+                print(f"[it {it}] gam1={m['gam1']:.6g} gam2={m['gam2']:.6g} "
+                      f"gamw={m['gamw']:.6g} alpha1={m['alpha1']:.4g} "
+                      f"alpha2={m['alpha2']:.4g} R2={m['R2_train_1']:.4f} "
+                      f"rel={m['rel_change']:.3e} cg={int(m['cg_iters'])}",
+                      flush=True)
+            if it >= cfg.max_iter:
+                break
         if callbacks:
             for cb in callbacks:
-                cb(it, state, m, geno)
-        if it > 1 and float(m["rel_change"]) < cfg.stop_criteria_thr:
+                cb(it, state, chunk_ms[-1], geno)
+        if it > 1 and float(chunk_ms[-1]["rel_change"]) < cfg.stop_criteria_thr:
             if verbose:
                 print(f"VAMP stopping criterion met (thr={cfg.stop_criteria_thr})")
             break

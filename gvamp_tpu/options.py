@@ -72,6 +72,8 @@ class Options:
     backend: str = "auto"           # pallas | xla | auto
     devices: int = 0                # mesh size (0 = all available)
     dump_every: int = 1             # per-iteration estimate dumps (0 = off)
+    sync_every: int = 1             # iterations per device dispatch
+                                    # (throughput mode, linear model)
     checkpoint: str = ""            # full-state checkpoint path ("" = off)
     resume: str = ""                # resume from a full-state checkpoint
     verbosity: int = 1
@@ -103,6 +105,7 @@ class Options:
                      ("--use-freeze", 0), ("--init-est", 0), ("--red", 0),
                      ("--use-cross-val", 0),
                      ("--seed", 1), ("--devices", 0), ("--dump-every", 1),
+                     ("--sync-every", 1),
                      ("--verbosity", 1)]:
             flag(f, type=int, default=d)
         for f, d in [("--rho", 0.15), ("--h2", -1.0),

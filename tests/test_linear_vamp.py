@@ -163,3 +163,17 @@ def test_scan_step_matches_single_steps():
                                rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(float(m1["gam1"]),
                                float(np.asarray(ms["gam1"])[-1]), rtol=1e-10)
+
+
+def test_infer_sync_every_matches():
+    geno, beta, vars_t, probs_t = build_sim(N=400, M=256)
+    cfg = linear.VampConfig(max_iter=6, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0, stop_criteria_thr=0.0)
+    x1, s1, h1 = linear.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    x3, s3, h3 = linear.infer(geno, cfg, probs_t, vars_t, verbose=False,
+                              sync_every=3)
+    np.testing.assert_allclose(x1, x3, rtol=1e-10, atol=1e-14)
+    assert len(h1) == len(h3) == 6
+    for a, b in zip(h1, h3):
+        np.testing.assert_allclose(float(a["gam1"]), float(b["gam1"]),
+                                   rtol=1e-10)
