@@ -268,7 +268,8 @@ def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
     )
 
 
-def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False):
+def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
+              jit: bool = True):
     dt = geno.dtype
     Mt = float(geno.Mt)
     N = float(geno.N)
@@ -412,7 +413,21 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False)
             alpha1=alpha1, probs=probs, vars=vars_, cov_eff=cov_eff)
         return _cast_like(new_state, state), metrics
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
+
+
+def make_scan_step(geno, cfg, k: int, **kw):
+    """k iterations per dispatch via lax.scan (see linear.make_scan_step)."""
+    raw = make_step(geno, cfg, jit=False, **kw)
+
+    def multi(state, aux):
+        def body(s, _):
+            s2, m = raw(s, aux)
+            return s2, m
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    return jax.jit(multi)
 
 
 def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,

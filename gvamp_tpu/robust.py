@@ -160,7 +160,8 @@ def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
     )
 
 
-def make_step(geno, cfg: RobustConfig, with_truth: bool = False):
+def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
+              jit: bool = True):
     dt = geno.dtype
     Mt = float(geno.Mt)
     N = float(geno.N)
@@ -286,7 +287,21 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False):
             alpha1=alpha1, deltaH=delta, probs=probs, vars=vars_, key=key)
         return _cast_like(new_state, state), metrics
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
+
+
+def make_scan_step(geno, cfg, k: int, **kw):
+    """k iterations per dispatch via lax.scan (see linear.make_scan_step)."""
+    raw = make_step(geno, cfg, jit=False, **kw)
+
+    def multi(state, aux):
+        def body(s, _):
+            s2, m = raw(s, aux)
+            return s2, m
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    return jax.jit(multi)
 
 
 def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,

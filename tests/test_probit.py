@@ -71,3 +71,26 @@ def test_probit_vamp_recovers_signal():
     # covariate effects estimated in the right ballpark
     np.testing.assert_allclose(np.asarray(hist[-1]["cov_eff"]),
                                cov_eff_true, atol=0.15)
+
+
+def test_probit_scan_step_matches():
+    rng = np.random.default_rng(6)
+    N, M = 500, 192
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 12, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_probit_phenotype(geno, beta, 1.0, rng)
+    geno.set_phen(y)
+    cfg = probit.ProbitConfig(max_iter=3, rho=0.2, gam1_init=1e-8)
+    s1 = probit.init_state(geno, cfg, probs_t, vars_t)
+    aux = probit.make_aux(geno, cfg)
+    step = probit.make_step(geno, cfg)
+    for _ in range(3):
+        s1, m1 = step(s1, aux)
+    s3 = probit.init_state(geno, cfg, probs_t, vars_t)
+    scan3 = probit.make_scan_step(geno, cfg, 3)
+    s3, ms = scan3(s3, aux)
+    np.testing.assert_allclose(np.asarray(s1.x1), np.asarray(s3.x1),
+                               rtol=1e-10, atol=1e-14)
