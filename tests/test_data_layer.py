@@ -242,3 +242,24 @@ def test_no_missing_fast_path():
     codes2, y2 = random_dataset(rng, N, M)
     g2 = GenoBed.from_arrays(make_bed(codes2), y2, N=N, backend="pallas")
     assert g2.geno_complete is False
+
+
+def test_decode_utility_matches_layout_oracle():
+    """ops.decode public API agrees with the layout dense oracle."""
+    from gvamp_tpu.ops import decode
+
+    rng = np.random.default_rng(31)
+    N, M = 61, 9
+    codes = rng.integers(0, 4, size=(M, N)).astype(np.uint8)
+    lay = PlanarLayout.create(N)
+    words = lay.pack_words(make_bed(codes))  # [M, Nw]
+    a, b = decode.decode_planar(jnp.asarray(words))  # [4, M, Nb]
+    dose, nm = lay.dense_from_words(words)
+    p2o = lay.planar_to_orig()  # [4, Nb]
+    for k in range(4):
+        for p in range(lay.n_bytes):
+            n = p2o[k, p]
+            if n < 0:
+                continue
+            np.testing.assert_array_equal(np.asarray(a)[k, :, p], dose[:, n])
+            np.testing.assert_array_equal(np.asarray(b)[k, :, p], nm[:, n])
