@@ -74,3 +74,28 @@ def student_t_sf2(t: jax.Array, df: jax.Array) -> jax.Array:
     t = jnp.abs(t)
     x = df / (df + jnp.square(t))
     return betainc(df / 2.0, 0.5, x)
+
+
+def log_mix_gauss_pdf_ratio(x, eta_nom, eta_den, pi_nom, pi_den):
+    """log of a ratio of two zero-mean Gaussian-mixture densities at x;
+    eta_* are the component VARIANCES (reference log_mix_gauss_pdf_ratio,
+    utilities.cpp:216-233 — kept for API parity; the reference itself has
+    no live callers).  Max-variance exponent shifting keeps both sums
+    overflow-free.
+    """
+    x = jnp.asarray(x)
+    eta_nom = jnp.asarray(eta_nom)
+    eta_den = jnp.asarray(eta_den)
+    pi_nom = jnp.asarray(pi_nom)
+    pi_den = jnp.asarray(pi_den)
+    x2 = jnp.square(x)[..., None]
+
+    def shifted_sum(eta, pi):
+        emax = jnp.max(eta)
+        t = pi / jnp.sqrt(eta) * jnp.exp(-x2 / 2 * (emax - eta) / (eta * emax))
+        return jnp.sum(t, axis=-1), emax
+
+    s_nom, e_nom = shifted_sum(eta_nom, pi_nom)
+    s_den, e_den = shifted_sum(eta_den, pi_den)
+    return (jnp.log(s_nom) - jnp.log(s_den)
+            - jnp.square(x) / 2 * (e_den - e_nom) / (e_den * e_nom))

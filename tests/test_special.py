@@ -42,3 +42,21 @@ def test_student_t_two_sided_pvalues():
     ours = np.asarray(special.student_t_sf2(jnp.asarray(t), jnp.asarray(df)))
     ref = 2 * st.t.sf(np.abs(t), df)
     np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+
+def test_log_mix_gauss_pdf_ratio():
+    """Matches a direct scipy density-ratio computation."""
+    import numpy as np
+    from scipy.stats import norm
+    from gvamp_tpu.ops.special import log_mix_gauss_pdf_ratio
+
+    rng = np.random.default_rng(3)
+    eta_n = np.array([1.0, 4.0, 0.25])      # variances
+    pi_n = np.array([0.5, 0.3, 0.2])
+    eta_d = np.array([2.0, 0.5])
+    pi_d = np.array([0.6, 0.4])
+    xs = rng.normal(size=7) * 2
+    got = np.asarray(log_mix_gauss_pdf_ratio(xs, eta_n, eta_d, pi_n, pi_d))
+    num = sum(p * norm.pdf(xs, scale=np.sqrt(e)) for p, e in zip(pi_n, eta_n))
+    den = sum(p * norm.pdf(xs, scale=np.sqrt(e)) for p, e in zip(pi_d, eta_d))
+    np.testing.assert_allclose(got, np.log(num / den), rtol=1e-10)
