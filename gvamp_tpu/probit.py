@@ -31,7 +31,7 @@ import numpy as np
 from gvamp_tpu import cg
 from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma, make_bern_probe
 from gvamp_tpu.ops.special import normal_logcdf, phi_over_Phi
-from gvamp_tpu.prior import Prior, g1, g1d, update_prior
+from gvamp_tpu.prior import GAMMA_MIN, Prior, g1, g1d, update_prior
 
 
 # --------------------------------------------------------------------------
@@ -371,6 +371,14 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
                              onsager_tol=cfg.onsager_tol)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
+        # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
+        # probe quadform can hit 1 when gam2 dominates the spectrum, which
+        # NaNs gam1 = gam2(1-alpha2)/alpha2 and the r1 division — a latent
+        # hazard the reference leaves unguarded (vamp_Huber.cpp:355,
+        # vamp_probit.cpp:571).  The upper bound must be representable in
+        # the compute dtype (1 - 1e-11 rounds to 1.0 in f32).
+        eps1 = 100.0 * jnp.finfo(jnp.asarray(alpha2).dtype).eps
+        alpha2 = jnp.clip(alpha2, GAMMA_MIN, 1.0 - eps1)
         eta2 = gam2 / alpha2
         l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask))
         gam2 = jnp.where(it > 1,

@@ -20,7 +20,7 @@ import numpy as np
 
 from gvamp_tpu import cg
 from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma, make_bern_probe
-from gvamp_tpu.prior import Prior, g1, g1d, update_prior
+from gvamp_tpu.prior import GAMMA_MIN, Prior, g1, g1d, update_prior
 
 # deltaH M-step grid (vamp_Huber.cpp:259)
 DELTA_GRID = np.array([1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1,
@@ -43,21 +43,33 @@ def g1_huber(p1, tau1, delta, y):
 
 
 def g1d_huber(p1, tau1, delta, y):
-    """d g1_huber / d p1 as written in the reference (vamp_Huber.cpp:474-503).
-
-    NB the reference branches the linear region on |p1| <= thr (not |w|),
-    a quirk documented in SURVEY.md §7 — replicated verbatim since it feeds
-    the published behavior.
-    """
+    """g1_huber - p1 in prox form (the reference's g1d_Huber,
+    vamp_Huber.cpp:464-482, corrected: the reference branches its linear
+    region on |p1| <= thr instead of |w| <= thr and leaves the
+    (|p1| > thr, |w| <= thr) case uninitialized — a documented quirk
+    (SURVEY.md §7); the Bradic-Chen Ex. 2 formulas branch on w)."""
     var = 1.0 / tau1
     thr = (1.0 + var) * delta
     w = y - p1
-    return jnp.where(jnp.abs(p1) <= thr, -var * w / (1.0 + var),
+    return jnp.where(jnp.abs(w) <= thr, -var * w / (1.0 + var),
                      jnp.where(w > thr, -var * delta, var * delta))
 
 
 def g1d_huber_der(p1, tau1, delta, y):
-    """The derivative used for beta1 (vamp_Huber.cpp:485-503)."""
+    """The beta1 "derivative" EXACTLY as the reference computes it
+    (vamp_Huber.cpp:485-503): branched on |p1| with -1 on the lower tail.
+
+    This is NOT the true prox derivative (that would be est'(w) in (0, 1],
+    branch on |w|) — but the reference's published dynamics depend on it:
+    its deltaH EM objective is monotone in delta (M_deltaH_update minimizes
+    E[huber_delta], which always selects the smallest grid point, 1e-6), so
+    the true derivative degenerates to beta1 -> 1 (the zero-information
+    limit) and the loop stalls.  With the reference's sign-mixed form,
+    beta1 ~ E[sign(w)]-ish stays informative and the robust model matches
+    the reference's (good) published behavior — measured corr-vs-truth
+    0.804 (ours) vs 0.759 (reference binary) on identical heavy-tailed
+    data.  The reference leaves the (|p1| > thr, |w| <= thr) case
+    uninitialized (UB); we define it as the lower-tail value."""
     var = 1.0 / tau1
     thr = (1.0 + var) * delta
     w = y - p1
@@ -247,6 +259,14 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
                              onsager_tol=cfg.onsager_tol)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
+        # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
+        # probe quadform can hit 1 when gam2 dominates the spectrum, which
+        # NaNs gam1 = gam2(1-alpha2)/alpha2 and the r1 division — a latent
+        # hazard the reference leaves unguarded (vamp_Huber.cpp:355,
+        # vamp_probit.cpp:571).  The upper bound must be representable in
+        # the compute dtype (1 - 1e-11 rounds to 1.0 in f32).
+        eps1 = 100.0 * jnp.finfo(jnp.asarray(alpha2).dtype).eps
+        alpha2 = jnp.clip(alpha2, GAMMA_MIN, 1.0 - eps1)
         eta2 = gam2 / alpha2
         l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask))
         gam2 = jnp.where(it > 1,
