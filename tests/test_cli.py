@@ -292,3 +292,23 @@ def test_six_component_learn_vars_cli(dataset, tmp_path):
     big = np.abs(ds["beta"]) > 0.15
     if big.any():
         assert p[big].max() < 1e-3
+
+
+def test_robust_cli_f32_stays_finite(dataset, tmp_path):
+    """Huber model through the CLI in float32 (the default dtype) — guards
+    the alpha2->1 NaN regression on Gaussian (non-heavy-tailed) data."""
+    ds = dataset
+    cli.main([
+        "--run-mode", "infere", "--model", "robust",
+        "--bed-file", ds["bed"], "--phen-files", ds["phen"],
+        "--N", str(ds["N"]), "--Mt", str(ds["M"]), "--iterations", "4",
+        "--rho", "0.3",
+        "--vars", ",".join(map(str, ds["vars"])),
+        "--probs", ",".join(map(str, ds["probs"])),
+        "--out-dir", str(tmp_path), "--out-name", "rb",
+        "--dtype", "float32", "--verbosity", "0",
+    ])
+    est = vecio.read_bin_shard(str(tmp_path / "rb_robust_it_4.bin"), ds["M"], 0)
+    assert np.isfinite(est).all()
+    corr = np.corrcoef(est, ds["beta"])[0, 1]
+    assert corr > 0.8, corr
