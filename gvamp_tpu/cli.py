@@ -392,7 +392,24 @@ def mode_sim(opt: Options):
         vecio.write_txt(opt.out_prefix + "_y.txt", y)
     geno.set_phen(y)
     opt2 = opt
-    if not opt.vars:
+    if not opt.vars and opt.num_mix_comp > 1:
+        # the reference sim drivers build the INIT prior from a CVhat
+        # heuristic when L = --num-mix-comp is given (sim_probit.cpp:53-77):
+        # spike 1 - CVhat/Mt, slab probs geometric /2, vars 0.01/CVhat * 10^i
+        L = opt.num_mix_comp
+        cvhat = max(cv // 2, 1)
+        prob_eq = cvhat / geno.Mt / (2.0 - 1.0 / 2.0 ** (L - 1))
+        min_vars = 0.01 / cvhat
+        probs_i = [1.0 - cvhat / geno.Mt]
+        vars_i = [0.0]
+        curr_var, pe = min_vars, prob_eq
+        for _ in range(1, L):
+            probs_i.append(pe)
+            vars_i.append(curr_var)
+            curr_var *= 10.0
+            pe /= 2.0
+        opt2 = Options(**{**vars(opt), "vars": vars_i, "probs": probs_i})
+    elif not opt.vars:
         opt2 = Options(**{**vars(opt), "vars": list(vars_t),
                           "probs": list(probs_t)})
     opt2.true_signal_files = []
