@@ -64,8 +64,13 @@ def _load_geno(opt: Options, test: bool = False):
     N = opt.N_test if test else opt.N
     Mt = opt.Mt_test if test else opt.Mt
     container = GenoDense if opt.type_data == "meth" else GenoBed
+    # binary phenotypes stay raw 0/1: the reference's ctor scales them by
+    # 1/sd before the (2y-1) denoiser logic (data.cpp:171-186 +
+    # vamp_probit.cpp:678), distorting case weights — its own sim_probit
+    # driver avoids the scaling via set_phen; we follow the sim semantics
     geno = container.from_files(
         bed, phen, N=N, Mt=Mt, alpha_scale=opt.alpha_scale,
+        standardize_phen=(opt.model != "bin_class"),
         mesh=_mesh(opt), backend=opt.backend, dtype=_dtype(opt),
         bim_path=opt.bim_file)
     if opt.cov_file and opt.C > 0:

@@ -39,16 +39,25 @@ from gvamp_tpu.prior import GAMMA_MIN, Prior, g1, g1d, update_prior
 # --------------------------------------------------------------------------
 
 
+def _sgn_y(y):
+    """+-1 case/control sign.  jnp.sign(2y-1) rather than the reference's
+    raw (2y-1) (vamp_probit.cpp:678): the reference's data ctor SCALES
+    binary phenotypes by 1/sd (data.cpp:171-186), so its real-data driver
+    feeds (2y-1) in {-1, 2/sd-1} — correct sign, wrong magnitude.  Using the
+    sign makes the denoiser exact for both raw 0/1 and scaled encodings."""
+    return jnp.sign(2.0 * y - 1.0)
+
+
 def g1_bin_class(p, tau1, y, m_cov, probit_var):
     """E[z | p, y] for y = 1{z + eps > 0}, eps ~ N(0, probit_var)."""
-    sgn = 2.0 * y - 1.0
+    sgn = _sgn_y(y)
     c = (p + m_cov) / jnp.sqrt(probit_var + 1.0 / tau1)
     ratio = phi_over_Phi(sgn * c)
     return p + sgn * ratio / tau1 / jnp.sqrt(probit_var + 1.0 / tau1)
 
 
 def g1d_bin_class(p, tau1, y, m_cov, probit_var):
-    sgn = 2.0 * y - 1.0
+    sgn = _sgn_y(y)
     c = (p + m_cov) / jnp.sqrt(probit_var + 1.0 / tau1)
     ratio = phi_over_Phi(sgn * c)
     return 1.0 - ratio / (1.0 + tau1 * probit_var) * (sgn * c + ratio)
@@ -62,14 +71,14 @@ def g1d_bin_class(p, tau1, y, m_cov, probit_var):
 def mlogL_probit(y, gg, probit_var, Z, eta, n_mask):
     """-1/N sum log Phi((2y-1)(gg + Z eta)/sqrt(pv)) (vamp_probit.cpp:841)."""
     g = gg + Z @ eta
-    arg = (2.0 * y - 1.0) / jnp.sqrt(probit_var) * g
+    arg = _sgn_y(y) / jnp.sqrt(probit_var) * g
     n = jnp.sum(n_mask)
     return -jnp.sum(normal_logcdf(arg) * n_mask) / n
 
 
 def grad_cov(y, gg, probit_var, Z, eta, n_mask):
     """Gradient of mlogL wrt eta (vamp_probit.cpp:814-839)."""
-    sgn = 2.0 * y - 1.0
+    sgn = _sgn_y(y)
     g = gg + Z @ eta
     ratio = phi_over_Phi(sgn / jnp.sqrt(probit_var) * g)
     n = jnp.sum(n_mask)
