@@ -88,3 +88,23 @@ def test_multi_trait_cli(tmp_path):
                                    geno.M, 0)
         corr = np.corrcoef(est, betas[t])[0, 1]
         assert corr > 0.7, (t, corr)
+
+
+def test_multi_trait_shard_invariance():
+    """Multi-trait results identical on 1 device and an 8-device mesh."""
+    import jax
+
+    geno1, codes, ys, betas, priors = _build(N=400, M=256, T=2, h2s=(0.8, 0.5))
+    probs_t, vars_t = priors[0]
+    cfg = linear.VampConfig(max_iter=3, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0, stop_criteria_thr=0.0)
+    mp1 = multi.MultiPhen.build(geno1, ys, standardize=False)
+    x1, s1, h1 = multi.infer(mp1, cfg, probs_t, vars_t, verbose=False)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("m",))
+    geno8 = GenoBed.from_arrays(make_bed(codes), np.zeros(geno1.N),
+                                N=geno1.N, standardize_phen=False,
+                                dtype=jnp.float64, mesh=mesh)
+    mp8 = multi.MultiPhen.build(geno8, ys, standardize=False)
+    x8, s8, h8 = multi.infer(mp8, cfg, probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(x1, x8, rtol=1e-8, atol=1e-12)
