@@ -156,6 +156,34 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             _store_pvals_after_infer(opt, geno, state)
         return x_est, state, hist
 
+    if opt.model == "bin_class" and len(opt.phen_files) > 1:
+        # multi-trait probit extension (gvamp_tpu/multi.py)
+        from gvamp_tpu import multi, probit
+        ys = []
+        for pf in opt.phen_files:
+            y, isna = plink.read_phen(pf)
+            ys.append(np.where(isna, np.nan, y))
+        cfg = probit.ProbitConfig(
+            max_iter=opt.iterations, rho=opt.rho,
+            stop_criteria_thr=opt.stop_criteria_thr,
+            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
+            seed=opt.seed, probit_var=opt.probit_var,
+            gam1_init=1e-8 if gam1 is None else gam1)
+        mp = multi.MultiPhen.build(geno, ys, standardize=False)
+
+        def dump_cb(it, state, metrics, g):
+            if opt.dump_every and it % opt.dump_every == 0:
+                x = np.asarray(state.x1)[: g.M] / np.sqrt(g.N)
+                for t in range(mp.T):
+                    vecio.write_bin_shard(
+                        f"{opt.out_prefix}_phen{t}_probit_it_{it}.bin",
+                        x[:, t], g.S)
+
+        return multi.infer_probit(mp, cfg, probs, vars_user,
+                                  verbose=opt.verbosity > 0,
+                                  callbacks=[dump_cb])
+
     if opt.model == "bin_class":
         from gvamp_tpu import probit
         cfg = probit.ProbitConfig(

@@ -407,3 +407,293 @@ def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
             break
     x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
+
+
+# --------------------------------------------------------------------------
+# multi-trait PROBIT (binary traits)
+# --------------------------------------------------------------------------
+#
+# Same batching as the linear multi-trait engine, with the probit z-step:
+# the erfcx-stable z-denoisers are elementwise and broadcast over a trailing
+# trait axis directly; per-trait covariate Newton solves vmap over traits;
+# the T LMMSE solves + T*P probes share one block-CG.  Per-trait semantics
+# follow probit.py / the reference's infere_bin_class (vamp_probit.cpp).
+
+
+class ProbitMultiState(NamedTuple):
+    it: jax.Array
+    x1: jax.Array        # [Mpad, T]
+    x2: jax.Array
+    r1: jax.Array
+    r2: jax.Array
+    z1: jax.Array        # [4, Nb, T]
+    z2: jax.Array
+    p1: jax.Array
+    p2: jax.Array
+    mu_probe: jax.Array  # [Mpad, T*P]
+    gam1: jax.Array      # [T]
+    gam2: jax.Array
+    tau1: jax.Array
+    tau2: jax.Array
+    alpha1: jax.Array
+    probs: jax.Array     # [T, L]
+    vars: jax.Array
+    cov_eff: jax.Array   # [C, T]
+    stopped: jax.Array   # bool[T]
+
+
+def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
+                      n_cov: int = 0) -> ProbitMultiState:
+    dt = mp.geno.dtype
+    Mp, T, L = mp.geno.Mpad, mp.T, np.asarray(probs).shape[-1]
+    zeros = jnp.zeros((Mp, T), dt)
+    zn = jnp.zeros_like(mp.y)
+    return ProbitMultiState(
+        it=jnp.asarray(0), x1=zeros, x2=zeros, r1=zeros, r2=zeros,
+        z1=zn, z2=zn, p1=zn, p2=zn,
+        mu_probe=jnp.zeros((Mp, T * cfg.n_probes), dt),
+        gam1=jnp.full((T,), cfg.gam1_init, dt),
+        gam2=jnp.zeros((T,), dt),
+        tau1=jnp.full((T,), cfg.gam1_init, dt),
+        tau2=jnp.ones((T,), dt),
+        alpha1=jnp.zeros((T,), dt),
+        probs=jnp.broadcast_to(jnp.asarray(probs, dt), (T, L)),
+        vars=jnp.broadcast_to(
+            jnp.asarray(np.asarray(vars_user) * mp.geno.N, dt), (T, L)),
+        cov_eff=jnp.zeros((max(n_cov, 1), T), dt),
+        stopped=jnp.zeros((T,), bool))
+
+
+def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
+    from gvamp_tpu.probit import (g1_bin_class, g1d_bin_class, newton_cov)
+
+    dt = mp.geno.dtype
+    Mt = float(mp.geno.Mt)
+    N = float(mp.geno.N)
+    T = mp.T
+    P_ = cfg.n_probes
+    pv = cfg.probit_var
+    axm_fn, atxm_fn = mp.fns()
+    cols_t = np.arange(T)
+    cols_tp = np.repeat(np.arange(T), P_)
+    cols_all = np.concatenate([cols_t, cols_tp])
+
+    g1_t = jax.vmap(g1, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    g1d_t = jax.vmap(g1d, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    upd_t = jax.vmap(
+        lambda r, g_, pr, mm: update_prior(
+            r, g_, pr, mm, Mt, em_max_iter=cfg.em_max_iter,
+            em_err_thr=cfg.em_err_thr, learn_vars=cfg.learn_vars),
+        in_axes=(1, 0, Prior(0, 0), None))
+    newton_t = jax.vmap(
+        lambda y_, gg_, Z_, eta0_, nm_: newton_cov(
+            y_, gg_, Z_, eta0_, nm_, probit_var=pv,
+            max_iter=cfg.newton_max_iter),
+        in_axes=(1, 1, None, 1, None), out_axes=1)
+
+    def step(state: ProbitMultiState, aux):
+        op, m_mask = aux.op, aux.m_mask
+        nmf = aux.n_mask.reshape(-1)                # [Nf]
+        yf = aux.y.reshape(-1, T)                   # [Nf, T]
+        it = state.it + 1
+        state = state._replace(it=it)
+        x1_prev = state.x1
+        live = ~state.stopped
+
+        # ---- covariate effects (it 1; vamp_probit.cpp:110-126) ------------
+        cov_eff = state.cov_eff
+        if n_cov > 0:
+            gg = state.z1.reshape(-1, T)
+
+            def solve_cov(_):
+                return newton_t(yf, gg, aux.Z, jnp.zeros_like(cov_eff), nmf)
+
+            cov_eff = jax.lax.cond(it == 1, solve_cov, lambda _: cov_eff, None)
+            m_cov = (aux.Z @ cov_eff) * nmf[:, None]       # [Nf, T]
+        else:
+            m_cov = jnp.zeros_like(yf)
+
+        # ---- denoise x (masked fixed-count revar loop) ---------------------
+        def revar_body(i, carry):
+            x1, gam1, alpha1, eta1, probs, vars_, prev = carry
+            pr = Prior(probs=probs, vars=vars_)
+            act = (i == 0) | ((it > 1) & (jnp.abs(gam1 - prev) >= cfg.revar_tol))
+            x1n = g1_t(state.r1, gam1, pr) * m_mask[:, None]
+            dn = g1d_t(state.r1, gam1, pr)
+            alpha1n = jnp.sum(dn * m_mask[:, None], axis=0) / Mt
+            eta1n = gam1 / alpha1n
+            l2d = jnp.sum(jnp.square((x1n - state.r1) * m_mask[:, None]), axis=0)
+            gam1n = jnp.where(it > 1,
+                              _clamp_gamma(1.0 / (1.0 / eta1n + l2d / Mt)), gam1)
+            pr2 = upd_t(state.r1, gam1n, pr, m_mask)
+            sel = lambda n_, o: jnp.where(act, n_, o)
+            selm = lambda n_, o: jnp.where(act[None, :], n_, o)
+            actl = (act & (it > 1))[:, None]
+            out = (selm(x1n, x1), sel(gam1n, gam1), sel(alpha1n, alpha1),
+                   sel(eta1n, eta1), jnp.where(actl, pr2.probs, probs),
+                   jnp.where(actl, pr2.vars, vars_), sel(gam1, prev))
+            return _cast_like(out, carry)
+
+        big = jnp.full((T,), jnp.inf, dt)
+        carry = (state.x1, state.gam1, state.alpha1, jnp.zeros((T,), dt),
+                 state.probs, state.vars, big)
+        x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.fori_loop(
+            0, max(cfg.auto_var_max_iter, 1), revar_body, carry)[:6]
+        pr1 = upd_t(state.r1, gam1, Prior(probs=probs, vars=vars_), m_mask)
+        first = jnp.asarray((cfg.auto_var_max_iter == 0) | (it <= 1))
+        probs = jnp.where(first, pr1.probs, probs)
+        vars_ = jnp.where(first, pr1.vars, vars_)
+
+        rho = jnp.asarray(cfg.rho, dt)
+        damp = it > 1
+        x1 = jnp.where(damp, rho * x1 + (1 - rho) * state.x1, x1)
+        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
+        x1 = jnp.where(live[None, :], x1, state.x1)
+        gam1 = jnp.where(live, gam1, state.gam1)
+
+        gam2 = _clamp_gamma(eta1 - gam1)
+        r2 = ((eta1[None, :] * x1 - gam1[None, :] * state.r1)
+              / gam2[None, :]) * m_mask[:, None]
+
+        # ---- denoise z (vamp_probit.cpp:330-460) ---------------------------
+        p1f = state.p1.reshape(-1, T)
+        tau1 = state.tau1
+        z1f = g1_bin_class(p1f, tau1[None, :], yf, m_cov, pv) * nmf[:, None]
+        beta1 = jnp.sum(g1d_bin_class(p1f, tau1[None, :], yf, m_cov, pv)
+                        * nmf[:, None], axis=0) / N
+        zeta1 = tau1 / beta1
+        l2zp = jnp.sum(jnp.square(z1f - p1f) * nmf[:, None], axis=0)
+        tau1 = jnp.where(it > 1,
+                         _clamp_gamma(1.0 / (1.0 / zeta1 + l2zp / N)), tau1)
+        p2f = ((z1f - beta1[None, :] * p1f) / (1.0 - beta1)[None, :]) * nmf[:, None]
+        tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)
+
+        # ---- LMMSE x: T solves + T*P probes in one block CG ----------------
+        nb = mp.y.shape[1]
+        v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
+            + gam2[None, :] * r2
+        tau_cols = jnp.concatenate([tau2, tau2[cols_tp]])
+        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
+        diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
+
+        def multb(Pk):
+            return (tau_cols[None, :] * atxm_fn(op, axm_fn(op, Pk, cols_all),
+                                                cols_all)
+                    + gam2_cols[None, :] * Pk)
+
+        bern_tp = jnp.tile(aux.bern, (1, T))
+        V = jnp.concatenate([v, bern_tp], axis=1)
+        mu0 = jnp.concatenate([jnp.zeros_like(v), state.mu_probe], axis=1)
+        sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
+                             cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
+                             err_tol=cfg.cg_err_tol,
+                             onsager_tol=cfg.onsager_tol)
+        x2 = sol.mu[:, :T] * m_mask[:, None]
+        invq = sol.mu[:, T:]
+        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
+        alpha2 = gam2 * quad
+        eps1 = 100.0 * jnp.finfo(dt).eps
+        alpha2 = jnp.clip(alpha2, 1e-11, 1.0 - eps1)
+        eta2 = gam2 / alpha2
+        l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
+        gam2 = jnp.where(it > 1,
+                         _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
+        r1 = ((x2 - alpha2[None, :] * r2) / (1.0 - alpha2)[None, :]) * m_mask[:, None]
+        gam1_new = gam2 * (1.0 - alpha2) / alpha2
+
+        # ---- LMMSE z (vamp_probit.cpp:567-614) -----------------------------
+        z2 = axm_fn(op, x2, cols_t)
+        z2f = z2.reshape(-1, T)
+        beta2 = Mt / N * (1.0 - alpha2)
+        zeta2 = tau2 / beta2
+        l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
+        tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
+        p1_new = ((z2f - beta2[None, :] * p2f)
+                  / (1.0 - beta2)[None, :]) * nmf[:, None]
+        tau1_new = _clamp_gamma(tau2 * (1.0 - beta2) / beta2)
+
+        rel_change = jnp.sqrt(
+            jnp.sum(jnp.square(x1_prev - x1), axis=0) /
+            jnp.maximum(jnp.sum(jnp.square(x1_prev), axis=0), 1e-30))
+        stopped = state.stopped | ((it > 1)
+                                   & (rel_change < cfg.stop_criteria_thr))
+        live_tp = live[np.asarray(cols_tp)]
+
+        def keep(new, old, mask):
+            return jnp.where(mask, new, old)
+
+        new_state = ProbitMultiState(
+            it=it, x1=x1,
+            x2=keep(x2, state.x2, live[None, :]),
+            r1=keep(r1, state.r1, live[None, :]), r2=r2,
+            z1=keep(z1f.reshape(4, nb, T), state.z1, live[None, None, :]),
+            z2=keep(z2, state.z2, live[None, None, :]),
+            p1=keep(p1_new.reshape(4, nb, T), state.p1, live[None, None, :]),
+            p2=p2f.reshape(4, nb, T),
+            mu_probe=keep(invq, state.mu_probe, live_tp[None, :]),
+            gam1=keep(gam1_new, state.gam1, live),
+            gam2=keep(gam2, state.gam2, live),
+            tau1=keep(tau1_new, state.tau1, live),
+            tau2=keep(tau2, state.tau2, live),
+            alpha1=alpha1, probs=keep(probs, state.probs, live[:, None]),
+            vars=keep(vars_, state.vars, live[:, None]),
+            cov_eff=cov_eff, stopped=stopped)
+        metrics = {
+            "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
+            "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
+            "beta2": beta2, "rel_change": rel_change,
+            "cg_iters": sol.iters[:T], "cov_eff": cov_eff, "stopped": stopped,
+        }
+        return _cast_like(new_state, state), metrics
+
+    return jax.jit(step)
+
+
+class ProbitMultiAux(NamedTuple):
+    op: MultiOp
+    y: jax.Array
+    n_mask: jax.Array
+    bern: jax.Array
+    Z: jax.Array
+    m_mask: jax.Array
+
+
+def make_probit_aux(mp: MultiPhen, cfg) -> ProbitMultiAux:
+    from gvamp_tpu.linear import make_bern_probe
+
+    geno = mp.geno
+    C = geno.covs.shape[1] if geno.covs is not None else 0
+    nb = geno.layout.n_bytes
+    Z = (geno.covs_planar().reshape(4 * nb, C) if C > 0
+         else jnp.zeros((4 * nb, 1), geno.dtype))
+    return ProbitMultiAux(
+        op=mp.op, y=mp.filter_pheno(), n_mask=geno.n_mask_planar,
+        bern=make_bern_probe(geno, cfg.seed, cfg.n_probes),
+        Z=Z, m_mask=geno.m_mask)
+
+
+def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
+                 callbacks=None):
+    """Joint multi-trait probit run; returns (x_stored [M, T], state, hist)."""
+    n_cov = mp.geno.covs.shape[1] if mp.geno.covs is not None else 0
+    state = init_probit_state(mp, cfg, probs, vars_user, n_cov=n_cov)
+    aux = make_probit_aux(mp, cfg)
+    step = make_probit_step(mp, cfg, n_cov=n_cov)
+    history = []
+    sqn = float(np.sqrt(mp.geno.N))
+    for it in range(1, cfg.max_iter + 1):
+        state, metrics = step(state, aux)
+        m = {k: np.asarray(v) for k, v in metrics.items()}
+        history.append(m)
+        if verbose:
+            print(f"[multi-probit it {it}] "
+                  f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
+                  f"beta1=[{' '.join(f'{v:.3g}' for v in m['beta1'])}] "
+                  f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
+        if callbacks:
+            for cb in callbacks:
+                cb(it, state, m, mp.geno)
+        if bool(m["stopped"].all()):
+            break
+    x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
+    return x_stored, state, history

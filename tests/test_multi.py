@@ -108,3 +108,35 @@ def test_multi_trait_shard_invariance():
     mp8 = multi.MultiPhen.build(geno8, ys, standardize=False)
     x8, s8, h8 = multi.infer(mp8, cfg, probs_t, vars_t, verbose=False)
     np.testing.assert_allclose(x1, x8, rtol=1e-8, atol=1e-12)
+
+
+def test_multi_probit_matches_single_runs():
+    """Joint multi-trait probit == independent single probit runs."""
+    from gvamp_tpu import probit
+
+    rng = np.random.default_rng(41)
+    N, M, T = 500, 256, 2
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N),
+                               standardize_phen=False, N=N, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.8)
+    ys, betas = [], []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        ys.append(sim.simulate_probit_phenotype(geno, beta, 1.0, rng))
+        betas.append(beta)
+
+    cfg = probit.ProbitConfig(max_iter=4, rho=0.25, gam1_init=1e-8,
+                              seed=3, stop_criteria_thr=0.0)
+    mp = multi.MultiPhen.build(geno, ys, standardize=False)
+    xm, sm, hm = multi.infer_probit(mp, cfg, probs_t, vars_t, verbose=False)
+
+    for t, y in enumerate(ys):
+        g1 = GenoBed.from_arrays(make_bed(codes), y, N=N,
+                                 standardize_phen=False, dtype=jnp.float64)
+        xs, ss, hs = probit.infer(g1, cfg, probs_t, vars_t, verbose=False)
+        np.testing.assert_allclose(xm[:, t], xs, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(float(hm[-1]["tau1"][t]),
+                                   float(hs[-1]["tau1"]), rtol=1e-6)
+        corr = np.corrcoef(xm[:, t], betas[t])[0, 1]
+        assert corr > 0.3, (t, corr)
