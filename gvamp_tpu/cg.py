@@ -102,6 +102,7 @@ def solve_block(
     modes: tuple,             # per column: 0 = residual exit, 1 = onsager exit
     err_tol: float = 1e-5,
     onsager_tol: float = 1e-8,
+    precond=None,             # optional R[M, B] -> Z[M, B] (replaces Jacobi)
 ) -> CGResult:
     """Batched CG: each column runs its own CG recursion, but every iteration
     costs ONE wide-RHS pass over the packed matrix (axm+atxm) instead of one
@@ -117,9 +118,10 @@ def solve_block(
     diag_c = jnp.asarray(diag, dt)
     diag_c = diag_c[:, None] if diag_c.ndim == 1 else diag_c
     gam2_b = jnp.asarray(gam2, dt) * jnp.ones((B,), dt)  # per-column quadform
+    apply_m = precond if precond is not None else (lambda r: r / diag_c)
 
     r0 = V - mult_block(mu_start)
-    z0 = r0 / diag_c
+    z0 = apply_m(r0)
     norm_v = jnp.sqrt(jnp.sum(jnp.square(V), axis=0))  # [B]
 
     class S(NamedTuple):
@@ -151,7 +153,7 @@ def solve_block(
         ons = gam2_b * jnp.sum(V * mu, axis=0)
         ons_rel = jnp.where(ons != 0, jnp.abs((ons - s.prev_ons) / ons), 1.0)
         r = s.r - alpha[None, :] * d
-        z = r / diag_c
+        z = apply_m(r)
         rz_new = jnp.sum(r * z, axis=0)
         beta = jnp.where(s.done | (s.rz == 0), 0.0,
                          rz_new / jnp.where(s.rz == 0, 1.0, s.rz))
@@ -190,3 +192,49 @@ def jacobi_diag(tau, gam2, N):
     """tau*(N-1)/N + gam2 — the diagonal of the LMMSE operator under marker
     standardization (reference vamp.cpp:1137-1139)."""
     return tau * (N - 1.0) / N + gam2
+
+
+def top_eigs(mult_ata, m: int, k: int, key, n_iter: int = 8, dtype=None):
+    """Top-k eigenpairs of the FIXED Gram operator S = A^T A by orthogonal
+    (block power) iteration — k columns ride each wide pass, so the whole
+    factorization costs ~n_iter wide passes, amortized over every CG solve
+    of the run (S's eigenvectors never change; only the scalars tau/gam2 in
+    Q = tau S + gam2 I do).
+
+    Returns (V [m, k] orthonormal, lam [k]).
+    """
+    import jax
+
+    dtype = dtype or jnp.float32
+    V = jax.random.normal(key, (m, k), dtype)
+    V, _ = jnp.linalg.qr(V)
+
+    def body(_, V):
+        W = mult_ata(V)
+        V, _ = jnp.linalg.qr(W)
+        return V
+
+    V = jax.lax.fori_loop(0, n_iter, body, V)
+    W = mult_ata(V)
+    lam = jnp.sum(V * W, axis=0)
+    return V, lam
+
+
+def make_deflated_precond(V, lam, tau, gam2, diag):
+    """Deflation preconditioner for Q = tau S + gam2 I given top eigenpairs
+    of S: exact inverse on span(V), Jacobi on the complement.
+
+        M^{-1} r = V ((V^T r) / (tau lam + gam2)) + (r - V V^T r) / diag
+
+    SPD for positive (tau, gam2); cost per CG iteration = two skinny
+    [m, k] matmuls, negligible next to a packed-matrix pass.
+    """
+    inv_eig = 1.0 / (tau * lam + gam2)      # [k] (or [k, B] if per-column)
+
+    def apply(r):  # r: [m, B]
+        c = V.T @ r                          # [k, B]
+        proj = V @ c
+        return V @ (c * inv_eig[:, None] if inv_eig.ndim == 1
+                    else c * inv_eig) + (r - proj) / diag
+
+    return apply

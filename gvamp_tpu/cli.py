@@ -138,6 +138,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             use_xxt=bool(opt.use_XXT_denoiser), seed=opt.seed,
             gamma_damp=opt.gamma_damp,
             use_cross_val=bool(opt.use_cross_val),
+            deflate_k=opt.deflate_k, deflate_iters=opt.deflate_iters,
             gam1_init=1e-6 if gam1 is None else gam1,
             gamw_init=opt.gamw_default() if gamw is None else gamw)
         freeze = None

@@ -74,6 +74,10 @@ class Options:
     dump_every: int = 1             # per-iteration estimate dumps (0 = off)
     sync_every: int = 1             # iterations per device dispatch
                                     # (throughput mode, linear model)
+    deflate_k: int = 0              # spectral deflation rank for the CG
+                                    # operator (0 = off; ~256 cuts CG
+                                    # iterations ~4x on LD-structured data)
+    deflate_iters: int = 8          # block power-iteration steps
     checkpoint: str = ""            # full-state checkpoint path ("" = off)
     resume: str = ""                # resume from a full-state checkpoint
     verbosity: int = 1
@@ -105,7 +109,8 @@ class Options:
                      ("--use-freeze", 0), ("--init-est", 0), ("--red", 0),
                      ("--use-cross-val", 0),
                      ("--seed", 1), ("--devices", 0), ("--dump-every", 1),
-                     ("--sync-every", 1),
+                     ("--sync-every", 1), ("--deflate-k", 0),
+                     ("--deflate-iters", 8),
                      ("--verbosity", 1)]:
             flag(f, type=int, default=d)
         for f, d in [("--rho", 0.15), ("--h2", -1.0),
