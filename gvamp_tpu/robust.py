@@ -143,6 +143,7 @@ class RobustAux(NamedTuple):
     bern: jax.Array
     m_mask: jax.Array
     ts: jax.Array
+    defl: object          # (V, lam) CG deflation basis or None
 
 
 def init_state(geno, cfg: RobustConfig, probs, vars_user) -> RobustState:
@@ -164,11 +165,21 @@ def init_state(geno, cfg: RobustConfig, probs, vars_user) -> RobustState:
 
 
 def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
+    defl = None
+    if cfg.deflate_k > 0:
+        from gvamp_tpu import cg as _cg
+        axm_fn, atxm_fn = geno.fns_multi()
+        op = geno.op
+        mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
+        defl = _cg.top_eigs(mult_ata, geno.Mpad, cfg.deflate_k,
+                            jax.random.fold_in(jax.random.key(cfg.seed), 7),
+                            n_iter=cfg.deflate_iters, dtype=geno.dtype)
     return RobustAux(
         op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
         bern=make_bern_probe(geno, cfg.seed), m_mask=geno.m_mask,
         ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
            else jnp.zeros((geno.Mpad,), geno.dtype),
+        defl=defl,
     )
 
 
@@ -253,10 +264,14 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, tau2, gam2)
         diag = cg.jacobi_diag(tau2, gam2, N)
         V = jnp.concatenate([v[:, None], aux.bern], axis=1)
+        precond = None
+        if cfg.deflate_k > 0:
+            precond = cg.make_deflated_precond(
+                aux.defl[0], aux.defl[1], tau2, gam2, diag)
         sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
                              cfg.cg_max_iter, modes=(0,) + (1,) * aux.bern.shape[1],
                              err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol)
+                             onsager_tol=cfg.onsager_tol, precond=precond)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
         # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
