@@ -193,6 +193,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
             cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
             seed=opt.seed, probit_var=opt.probit_var,
+            deflate_k=opt.deflate_k, deflate_iters=opt.deflate_iters,
             gam1_init=1e-8 if gam1 is None else gam1)
         return probit.infer(geno, cfg, probs, vars_user, **common)
 
@@ -203,7 +204,9 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             stop_criteria_thr=opt.stop_criteria_thr,
             em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
             cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
-            seed=opt.seed, gam1_init=1e-8 if gam1 is None else gam1)
+            seed=opt.seed, deflate_k=opt.deflate_k,
+            deflate_iters=opt.deflate_iters,
+            gam1_init=1e-8 if gam1 is None else gam1)
         return robust.infer(geno, cfg, probs, vars_user, **common)
 
     raise SystemExit(f"invalid model {opt.model!r}")
