@@ -317,6 +317,11 @@ def axm_pallas(words, W, U, tnw=0, tm=0):
     tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_BF16:
+        return _chunk_cols(
+            lambda lo, hi: axm_pallas(words, W[:, lo:hi], U[:, lo:hi],
+                                      tnw=tnw, tm=tm),
+            B, _BMAX_BF16, 2)
     grid = (Nw // tnw, M // tm)
     kern = functools.partial(_axm_kernel, B=B)
     return pl.pallas_call(
@@ -369,6 +374,10 @@ def atxm_pallas(words, V, tnw=0, tm=0):
     tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_BF16:
+        return _chunk_cols(
+            lambda lo, hi: atxm_pallas(words, V[:, :, lo:hi], tnw=tnw, tm=tm),
+            B, _BMAX_BF16, 1)
     grid = (M // tm, Nw // tnw)
     kern = functools.partial(_atxm_kernel, B=B)
     av, bv = pl.pallas_call(
@@ -407,6 +416,25 @@ def atxm_pallas(words, V, tnw=0, tm=0):
 # ~127^-_NDIG of the per-column max (~3.8e-9), on par with the bf16 3-split.
 
 _NDIG = 4
+
+# Wide-RHS kernels hold their whole output block (and digit inputs) in VMEM
+# per grid tile; very wide calls (e.g. the k=256 deflation power iteration)
+# overflow the ~16 MB scoped-VMEM budget.  Wrappers split the column axis
+# into chunks of at most these widths and concatenate — per-chunk passes
+# re-stream HBM, which only matters for setup-time factorizations.
+_BMAX_AXM = 32        # axm_i8: 2 int32 out blocks x NDIG digits
+_BMAX_AXM_A = 64      # axm_i8a: 1 out block
+_BMAX_ATXM = 96
+_BMAX_BF16 = 64
+
+
+def _chunk_cols(call, B: int, bmax: int, concat_axis: int, *tree_args):
+    """Apply `call(lo, hi)` over column chunks and concatenate outputs."""
+    if B <= bmax:
+        return call(0, B)
+    outs = [call(lo, min(lo + bmax, B)) for lo in range(0, B, bmax)]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=concat_axis), *outs)
 
 
 def _quant_digits(x: jax.Array, axis: int):
@@ -466,6 +494,11 @@ def axm_i8_pallas(words, W, U, tnw=0, tm=0):
     tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_AXM:
+        return _chunk_cols(
+            lambda lo, hi: axm_i8_pallas(words, W[:, lo:hi], U[:, lo:hi],
+                                         tnw=tnw, tm=tm),
+            B, _BMAX_AXM, 2)
     w8, ws = _quant_digits(W, 1)
     u8, us = _quant_digits(U, 1)
     grid = (Nw // tnw, M // tm)
@@ -525,6 +558,11 @@ def atxm_i8_pallas(words, V, tnw=0, tm=0):
     tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_ATXM:
+        return _chunk_cols(
+            lambda lo, hi: atxm_i8_pallas(words, V[:, :, lo:hi],
+                                          tnw=tnw, tm=tm),
+            B, _BMAX_ATXM, 1)
     v8, vs = _quant_digits(V, 2)
     grid = (M // tm, Nw // tnw)
     D = _NDIG * B
@@ -585,6 +623,10 @@ def axm_i8a_pallas(words, W, tnw=0, tm=0):
     tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_AXM_A:
+        return _chunk_cols(
+            lambda lo, hi: axm_i8a_pallas(words, W[:, lo:hi], tnw=tnw, tm=tm),
+            B, _BMAX_AXM_A, 2)
     w8, ws = _quant_digits(W, 1)
     grid = (Nw // tnw, M // tm)
     D = _NDIG * B
@@ -665,6 +707,11 @@ def atxm_i8a_pallas(words, V, tnw=0, tm=0):
     tnw = tnw or _pick_tnw(Nw, 256)
     tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_ATXM:
+        return _chunk_cols(
+            lambda lo, hi: atxm_i8a_pallas(words, V[:, :, lo:hi],
+                                           tnw=tnw, tm=tm),
+            B, _BMAX_ATXM, 1)
     v8, vs = _quant_digits(V, 2)
     grid = (M // tm, Nw // tnw)
     D = _NDIG * B

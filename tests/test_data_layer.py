@@ -263,3 +263,24 @@ def test_decode_utility_matches_layout_oracle():
                 continue
             np.testing.assert_array_equal(np.asarray(a)[k, :, p], dose[:, n])
             np.testing.assert_array_equal(np.asarray(b)[k, :, p], nm[:, n])
+
+
+def test_wide_kernel_column_chunking():
+    """Wide calls beyond the per-kernel VMEM column cap split and concat."""
+    from gvamp_tpu.ops import matvec
+
+    rng = np.random.default_rng(13)
+    Nw, M, B = 32, 512, matvec._BMAX_AXM_A + 7
+    words = jnp.asarray(rng.integers(0, 2**32, size=(Nw, M),
+                                     dtype=np.uint64).astype(np.uint32))
+    W = jnp.asarray(rng.standard_normal((M, B)), jnp.float32)
+    za = np.asarray(matvec.axm_i8a_pallas(words, W))
+    for j in (0, B - 1):
+        ref = np.asarray(matvec.axm_i8a_pallas(words, W[:, j:j+1]))[..., 0]
+        np.testing.assert_allclose(za[..., j], ref, rtol=1e-5, atol=1e-5)
+    V = jnp.asarray(rng.standard_normal((4, 4 * Nw, matvec._BMAX_ATXM + 5)),
+                    jnp.float32)
+    av, bv = matvec.atxm_i8_pallas(words, V)
+    a1, b1 = matvec.atxm_i8_pallas(words, V[:, :, -1:])
+    np.testing.assert_allclose(np.asarray(av)[:, -1], np.asarray(a1)[:, 0],
+                               rtol=1e-5, atol=1e-5)
