@@ -878,6 +878,28 @@ class GenoDense:
         self.mave = jnp.asarray(mave, self.dtype)
         self.msig = jnp.asarray(msig, self.dtype)
 
+    @property
+    def n_mask_planar(self):
+        """f[4, Nb]: 1 on real individuals (API parity with GenoBed)."""
+        return jnp.asarray(self.layout.planar_to_orig() >= 0, self.dtype)
+
+    @property
+    def covs_np(self):
+        assert self.covs is not None, "no covariates loaded"
+        return self.covs
+
+    def read_covariates(self, path, n_cov):
+        self.covs = plink.read_covariates(path, n_cov)
+
+    def covs_planar(self):
+        Z = self.covs_np
+        return jnp.asarray(self.layout.planarize(Z.T).transpose(1, 2, 0),
+                           self.dtype)
+
+    def zx(self, eff):
+        z = self.covs_np @ np.asarray(eff)
+        return jnp.asarray(self.layout.planarize(z), self.dtype)
+
     def chromosomes(self):
         if self._chroms is None:
             assert self.bim_path
