@@ -197,6 +197,33 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             gam1_init=1e-8 if gam1 is None else gam1)
         return probit.infer(geno, cfg, probs, vars_user, **common)
 
+    if opt.model == "robust" and len(opt.phen_files) > 1:
+        # multi-trait Huber extension (gvamp_tpu/multi.py)
+        from gvamp_tpu import multi, robust
+        ys = []
+        for pf in opt.phen_files:
+            y, isna = plink.read_phen(pf)
+            ys.append(np.where(isna, np.nan, y))
+        cfg = robust.RobustConfig(
+            max_iter=opt.iterations, rho=opt.rho,
+            stop_criteria_thr=opt.stop_criteria_thr,
+            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
+            seed=opt.seed, gam1_init=1e-8 if gam1 is None else gam1)
+        mp = multi.MultiPhen.build(geno, ys)
+
+        def dump_cb(it, state, metrics, g):
+            if opt.dump_every and it % opt.dump_every == 0:
+                x = np.asarray(state.x1)[: g.M] / np.sqrt(g.N)
+                for t in range(mp.T):
+                    vecio.write_bin_shard(
+                        f"{opt.out_prefix}_phen{t}_robust_it_{it}.bin",
+                        x[:, t], g.S)
+
+        return multi.infer_huber(mp, cfg, probs, vars_user,
+                                 verbose=opt.verbosity > 0,
+                                 callbacks=[dump_cb])
+
     if opt.model == "robust":
         from gvamp_tpu import robust
         cfg = robust.RobustConfig(

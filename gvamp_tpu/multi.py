@@ -697,3 +697,254 @@ def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
             break
     x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
+
+
+# --------------------------------------------------------------------------
+# multi-trait HUBER (robust regression)
+# --------------------------------------------------------------------------
+
+
+class HuberMultiState(NamedTuple):
+    it: jax.Array
+    x1: jax.Array
+    x2: jax.Array
+    r1: jax.Array
+    r2: jax.Array
+    z1: jax.Array
+    z2: jax.Array
+    p1: jax.Array
+    p2: jax.Array
+    mu_probe: jax.Array
+    gam1: jax.Array
+    gam2: jax.Array
+    tau1: jax.Array
+    tau2: jax.Array
+    alpha1: jax.Array
+    deltaH: jax.Array    # [T]
+    probs: jax.Array
+    vars: jax.Array
+    key: jax.Array
+    stopped: jax.Array
+
+
+def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
+    dt = mp.geno.dtype
+    Mp, T, L = mp.geno.Mpad, mp.T, np.asarray(probs).shape[-1]
+    zeros = jnp.zeros((Mp, T), dt)
+    zn = jnp.zeros_like(mp.y)
+    return HuberMultiState(
+        it=jnp.asarray(0), x1=zeros, x2=zeros, r1=zeros, r2=zeros,
+        z1=zn, z2=zn, p1=zn, p2=zn,
+        mu_probe=jnp.zeros((Mp, T * cfg.n_probes), dt),
+        gam1=jnp.full((T,), cfg.gam1_init, dt),
+        gam2=jnp.zeros((T,), dt),
+        tau1=jnp.full((T,), cfg.gam1_init, dt),
+        tau2=jnp.ones((T,), dt),
+        alpha1=jnp.zeros((T,), dt),
+        deltaH=jnp.full((T,), cfg.deltaH_init, dt),
+        probs=jnp.broadcast_to(jnp.asarray(probs, dt), (T, L)),
+        vars=jnp.broadcast_to(
+            jnp.asarray(np.asarray(vars_user) * mp.geno.N, dt), (T, L)),
+        key=jax.random.key(cfg.seed + 2),
+        stopped=jnp.zeros((T,), bool))
+
+
+def make_huber_step(mp: MultiPhen, cfg):
+    from gvamp_tpu.prior import GAMMA_MIN
+    from gvamp_tpu.robust import (em_deltaH, g1_huber, g1d_huber_der)
+
+    dt = mp.geno.dtype
+    Mt = float(mp.geno.Mt)
+    N = float(mp.geno.N)
+    T = mp.T
+    P_ = cfg.n_probes
+    axm_fn, atxm_fn = mp.fns()
+    cols_t = np.arange(T)
+    cols_tp = np.repeat(np.arange(T), P_)
+    cols_all = np.concatenate([cols_t, cols_tp])
+
+    g1_t = jax.vmap(g1, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    g1d_t = jax.vmap(g1d, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    upd_t = jax.vmap(
+        lambda r, g_, pr, mm: update_prior(
+            r, g_, pr, mm, Mt, em_max_iter=cfg.em_max_iter,
+            em_err_thr=cfg.em_err_thr, learn_vars=cfg.learn_vars),
+        in_axes=(1, 0, Prior(0, 0), None))
+    em_t = jax.vmap(
+        lambda k, p1_, t1_, d_, y_, nm_: em_deltaH(
+            k, p1_, t1_, d_, y_, nm_, num_mc=cfg.mc_steps),
+        in_axes=(0, 1, 0, 0, 1, None))
+
+    def step(state: HuberMultiState, aux):
+        op, m_mask = aux.op, aux.m_mask
+        nmf = aux.n_mask.reshape(-1)
+        yf = aux.y.reshape(-1, T)
+        it = state.it + 1
+        state = state._replace(it=it)
+        x1_prev = state.x1
+        live = ~state.stopped
+
+        # ---- denoise x ------------------------------------------------------
+        def revar_body(i, carry):
+            x1, gam1, alpha1, eta1, probs, vars_, prev = carry
+            pr = Prior(probs=probs, vars=vars_)
+            act = (i == 0) | ((it > 1) & (jnp.abs(gam1 - prev) >= cfg.revar_tol))
+            x1n = g1_t(state.r1, gam1, pr) * m_mask[:, None]
+            dn = g1d_t(state.r1, gam1, pr)
+            alpha1n = jnp.sum(dn * m_mask[:, None], axis=0) / Mt
+            eta1n = gam1 / alpha1n
+            l2d = jnp.sum(jnp.square((x1n - state.r1) * m_mask[:, None]), axis=0)
+            gam1n = jnp.where(it > 1,
+                              _clamp_gamma(1.0 / (1.0 / eta1n + l2d / Mt)), gam1)
+            pr2 = upd_t(state.r1, gam1n, pr, m_mask)
+            sel = lambda n_, o: jnp.where(act, n_, o)
+            selm = lambda n_, o: jnp.where(act[None, :], n_, o)
+            actl = (act & (it > 1))[:, None]
+            out = (selm(x1n, x1), sel(gam1n, gam1), sel(alpha1n, alpha1),
+                   sel(eta1n, eta1), jnp.where(actl, pr2.probs, probs),
+                   jnp.where(actl, pr2.vars, vars_), sel(gam1, prev))
+            return _cast_like(out, carry)
+
+        big = jnp.full((T,), jnp.inf, dt)
+        carry = (state.x1, state.gam1, state.alpha1, jnp.zeros((T,), dt),
+                 state.probs, state.vars, big)
+        x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.fori_loop(
+            0, max(cfg.auto_var_max_iter, 1), revar_body, carry)[:6]
+        pr1 = upd_t(state.r1, gam1, Prior(probs=probs, vars=vars_), m_mask)
+        first = jnp.asarray((cfg.auto_var_max_iter == 0) | (it <= 1))
+        probs = jnp.where(first, pr1.probs, probs)
+        vars_ = jnp.where(first, pr1.vars, vars_)
+
+        rho = jnp.asarray(cfg.rho, dt)
+        damp = it > 1
+        x1 = jnp.where(damp, rho * x1 + (1 - rho) * state.x1, x1)
+        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
+        x1 = jnp.where(live[None, :], x1, state.x1)
+        gam1 = jnp.where(live, gam1, state.gam1)
+
+        gam2 = _clamp_gamma(eta1 - gam1)
+        r2 = ((eta1[None, :] * x1 - gam1[None, :] * state.r1)
+              / gam2[None, :]) * m_mask[:, None]
+
+        # ---- denoise z with the Huber proximal ------------------------------
+        p1f = state.p1.reshape(-1, T)
+        tau1 = state.tau1
+        delta = state.deltaH
+        z1f = g1_huber(p1f, tau1[None, :], delta[None, :], yf) * nmf[:, None]
+        beta1 = jnp.sum(g1d_huber_der(p1f, tau1[None, :], delta[None, :], yf)
+                        * nmf[:, None], axis=0) / N
+        zeta1 = tau1 / beta1
+        l2zp = jnp.sum(jnp.square(z1f - p1f) * nmf[:, None], axis=0)
+        tau1 = jnp.where(it >= 2,
+                         _clamp_gamma(1.0 / (1.0 / zeta1 + l2zp / N)), tau1)
+
+        key, sub = jax.random.split(state.key)
+        delta = em_t(jax.random.split(sub, T), p1f, tau1, delta, yf, nmf)
+
+        p2f = ((z1f - beta1[None, :] * p1f) / (1.0 - beta1)[None, :]) * nmf[:, None]
+        tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)
+
+        # ---- LMMSE x: T solves + T*P probes in one block CG ----------------
+        nb = mp.y.shape[1]
+        v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
+            + gam2[None, :] * r2
+        tau_cols = jnp.concatenate([tau2, tau2[cols_tp]])
+        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
+        diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
+
+        def multb(Pk):
+            return (tau_cols[None, :] * atxm_fn(op, axm_fn(op, Pk, cols_all),
+                                                cols_all)
+                    + gam2_cols[None, :] * Pk)
+
+        bern_tp = jnp.tile(aux.bern, (1, T))
+        V = jnp.concatenate([v, bern_tp], axis=1)
+        mu0 = jnp.concatenate([jnp.zeros_like(v), state.mu_probe], axis=1)
+        sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
+                             cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
+                             err_tol=cfg.cg_err_tol,
+                             onsager_tol=cfg.onsager_tol)
+        x2 = sol.mu[:, :T] * m_mask[:, None]
+        invq = sol.mu[:, T:]
+        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
+        alpha2 = gam2 * quad
+        eps1 = 100.0 * jnp.finfo(dt).eps
+        alpha2 = jnp.clip(alpha2, GAMMA_MIN, 1.0 - eps1)
+        eta2 = gam2 / alpha2
+        l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
+        gam2 = jnp.where(it > 1,
+                         _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
+        r1 = ((x2 - alpha2[None, :] * r2)
+              / (1.0 - alpha2)[None, :]) * m_mask[:, None]
+        gam1_new = gam2 * (1.0 - alpha2) / alpha2
+
+        z2 = axm_fn(op, x2, cols_t)
+        z2f = z2.reshape(-1, T)
+        beta2 = Mt / N * (1.0 - alpha2)
+        zeta2 = tau2 / beta2
+        l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
+        tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
+        p1_new = ((z2f - beta2[None, :] * p2f)
+                  / (1.0 - beta2)[None, :]) * nmf[:, None]
+        tau1_new = _clamp_gamma(tau2 * (1.0 - beta2) / beta2)
+
+        rel_change = jnp.sqrt(
+            jnp.sum(jnp.square(x1_prev - x1), axis=0) /
+            jnp.maximum(jnp.sum(jnp.square(x1_prev), axis=0), 1e-30))
+        stopped = state.stopped | ((it > 1)
+                                   & (rel_change < cfg.stop_criteria_thr))
+        live_tp = live[np.asarray(cols_tp)]
+
+        new_state = HuberMultiState(
+            it=it, x1=x1,
+            x2=jnp.where(live[None, :], x2, state.x2),
+            r1=jnp.where(live[None, :], r1, state.r1), r2=r2,
+            z1=jnp.where(live[None, None, :], z1f.reshape(4, nb, T), state.z1),
+            z2=jnp.where(live[None, None, :], z2, state.z2),
+            p1=jnp.where(live[None, None, :], p1_new.reshape(4, nb, T), state.p1),
+            p2=p2f.reshape(4, nb, T),
+            mu_probe=jnp.where(live_tp[None, :], invq, state.mu_probe),
+            gam1=jnp.where(live, gam1_new, state.gam1),
+            gam2=jnp.where(live, gam2, state.gam2),
+            tau1=jnp.where(live, tau1_new, state.tau1),
+            tau2=jnp.where(live, tau2, state.tau2),
+            alpha1=alpha1,
+            deltaH=jnp.where(live, delta, state.deltaH),
+            probs=jnp.where(live[:, None], probs, state.probs),
+            vars=jnp.where(live[:, None], vars_, state.vars),
+            key=key, stopped=stopped)
+        metrics = {
+            "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
+            "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
+            "deltaH": delta, "rel_change": rel_change,
+            "cg_iters": sol.iters[:T], "stopped": stopped,
+        }
+        return _cast_like(new_state, state), metrics
+
+    return jax.jit(step)
+
+
+def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
+                callbacks=None):
+    """Joint multi-trait Huber run; returns (x_stored [M, T], state, hist)."""
+    state = init_huber_state(mp, cfg, probs, vars_user)
+    aux = make_probit_aux(mp, cfg)  # same fields (op/y/n_mask/bern/Z/m_mask)
+    step = make_huber_step(mp, cfg)
+    history = []
+    sqn = float(np.sqrt(mp.geno.N))
+    for it in range(1, cfg.max_iter + 1):
+        state, metrics = step(state, aux)
+        m = {k: np.asarray(v) for k, v in metrics.items()}
+        history.append(m)
+        if verbose:
+            print(f"[multi-huber it {it}] "
+                  f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
+                  f"deltaH=[{' '.join(f'{v:.2g}' for v in m['deltaH'])}] "
+                  f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
+        if callbacks:
+            for cb in callbacks:
+                cb(it, state, m, mp.geno)
+        if bool(m["stopped"].all()):
+            break
+    x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
+    return x_stored, state, history

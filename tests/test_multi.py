@@ -140,3 +140,39 @@ def test_multi_probit_matches_single_runs():
                                    float(hs[-1]["tau1"]), rtol=1e-6)
         corr = np.corrcoef(xm[:, t], betas[t])[0, 1]
         assert corr > 0.3, (t, corr)
+
+
+def test_multi_huber_matches_single_runs():
+    """Joint multi-trait Huber == independent single robust runs."""
+    from gvamp_tpu import robust
+
+    rng = np.random.default_rng(51)
+    N, M, T = 500, 256, 2
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N),
+                               standardize_phen=False, N=N, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.8)
+    ys, betas = [], []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        x = geno.pad_m(beta * np.sqrt(N))
+        g = geno.deplanarize(geno.ax(jnp.asarray(x)))[:N]
+        ys.append(g + rng.standard_t(3.0, N) * 0.5)
+        betas.append(beta)
+
+    cfg = robust.RobustConfig(max_iter=4, rho=0.25, gam1_init=1e-8,
+                              seed=3, stop_criteria_thr=0.0)
+    mp = multi.MultiPhen.build(geno, ys, standardize=False)
+    xm, sm, hm = multi.infer_huber(mp, cfg, probs_t, vars_t, verbose=False)
+
+    # NOTE exactness is not expected: the deltaH MC-EM draws differ (the
+    # multi engine splits one key across traits); compare estimate quality
+    for t, y in enumerate(ys):
+        g1 = GenoBed.from_arrays(make_bed(codes), y, N=N,
+                                 standardize_phen=False, dtype=jnp.float64)
+        xs, ss, hs = robust.infer(g1, cfg, probs_t, vars_t, verbose=False)
+        corr_m = np.corrcoef(xm[:, t], betas[t])[0, 1]
+        corr_s = np.corrcoef(xs, betas[t])[0, 1]
+        assert np.isfinite(xm[:, t]).all()
+        assert corr_m > 0.5, (t, corr_m)
+        assert abs(corr_m - corr_s) < 0.1, (t, corr_m, corr_s)
