@@ -464,6 +464,123 @@ def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
         stopped=jnp.zeros((T,), bool))
 
 
+
+def _make_x_denoiser(mp: MultiPhen, cfg):
+    """Shared masked fixed-count x-denoising loop (probit/Huber variants):
+    returns a fn (state, m_mask, it, live) -> (x1, gam1, alpha1, eta1,
+    probs, vars) with reference damping applied (fixed rho)."""
+    dt = mp.geno.dtype
+    Mt = float(mp.geno.Mt)
+    T = mp.T
+
+    g1_t = jax.vmap(g1, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    g1d_t = jax.vmap(g1d, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
+    upd_t = jax.vmap(
+        lambda r, g_, pr, mm: update_prior(
+            r, g_, pr, mm, Mt, em_max_iter=cfg.em_max_iter,
+            em_err_thr=cfg.em_err_thr, learn_vars=cfg.learn_vars),
+        in_axes=(1, 0, Prior(0, 0), None))
+
+    def denoise(state, m_mask, it, live):
+        def revar_body(i, carry):
+            x1, gam1, alpha1, eta1, probs, vars_, prev = carry
+            pr = Prior(probs=probs, vars=vars_)
+            act = (i == 0) | ((it > 1)
+                              & (jnp.abs(gam1 - prev) >= cfg.revar_tol))
+            x1n = g1_t(state.r1, gam1, pr) * m_mask[:, None]
+            dn = g1d_t(state.r1, gam1, pr)
+            alpha1n = jnp.sum(dn * m_mask[:, None], axis=0) / Mt
+            eta1n = gam1 / alpha1n
+            l2d = jnp.sum(jnp.square((x1n - state.r1) * m_mask[:, None]),
+                          axis=0)
+            gam1n = jnp.where(
+                it > 1, _clamp_gamma(1.0 / (1.0 / eta1n + l2d / Mt)), gam1)
+            pr2 = upd_t(state.r1, gam1n, pr, m_mask)
+            sel = lambda n_, o: jnp.where(act, n_, o)
+            selm = lambda n_, o: jnp.where(act[None, :], n_, o)
+            actl = (act & (it > 1))[:, None]
+            out = (selm(x1n, x1), sel(gam1n, gam1), sel(alpha1n, alpha1),
+                   sel(eta1n, eta1), jnp.where(actl, pr2.probs, probs),
+                   jnp.where(actl, pr2.vars, vars_), sel(gam1, prev))
+            return _cast_like(out, carry)
+
+        big = jnp.full((T,), jnp.inf, dt)
+        carry = (state.x1, state.gam1, state.alpha1, jnp.zeros((T,), dt),
+                 state.probs, state.vars, big)
+        x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.fori_loop(
+            0, max(cfg.auto_var_max_iter, 1), revar_body, carry)[:6]
+        pr1 = upd_t(state.r1, gam1, Prior(probs=probs, vars=vars_), m_mask)
+        first = jnp.asarray((cfg.auto_var_max_iter == 0) | (it <= 1))
+        probs = jnp.where(first, pr1.probs, probs)
+        vars_ = jnp.where(first, pr1.vars, vars_)
+
+        rho = jnp.asarray(cfg.rho, dt)
+        damp = it > 1
+        x1 = jnp.where(damp, rho * x1 + (1 - rho) * state.x1, x1)
+        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1,
+                           alpha1)
+        x1 = jnp.where(live[None, :], x1, state.x1)
+        gam1 = jnp.where(live, gam1, state.gam1)
+        return x1, gam1, alpha1, eta1, probs, vars_
+
+    return denoise
+
+
+def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
+    """Shared z-model (probit/Huber) LMMSE tail: one T*(1+P)-column block-CG
+    + Hutchinson alpha2 (guarded in (0,1)) + x/z extrinsic updates."""
+    dt = mp.geno.dtype
+    Mt = float(mp.geno.Mt)
+    N = float(mp.geno.N)
+    T = mp.T
+    P_ = cfg.n_probes
+    cols_t = np.arange(T)
+    cols_tp = np.repeat(np.arange(T), P_)
+    cols_all = np.concatenate([cols_t, cols_tp])
+
+    def lmmse(op, aux_bern, state_mu_probe, m_mask, it, p2f, tau2, gam2, r2):
+        nb = mp.y.shape[1]
+        v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
+            + gam2[None, :] * r2
+        tau_cols = jnp.concatenate([tau2, tau2[cols_tp]])
+        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
+        diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
+
+        def multb(Pk):
+            return (tau_cols[None, :]
+                    * atxm_fn(op, axm_fn(op, Pk, cols_all), cols_all)
+                    + gam2_cols[None, :] * Pk)
+
+        bern_tp = jnp.tile(aux_bern, (1, T))
+        V = jnp.concatenate([v, bern_tp], axis=1)
+        mu0 = jnp.concatenate([jnp.zeros_like(v), state_mu_probe], axis=1)
+        sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
+                             cfg.cg_max_iter,
+                             modes=(0,) * T + (1,) * (T * P_),
+                             err_tol=cfg.cg_err_tol,
+                             onsager_tol=cfg.onsager_tol)
+        x2 = sol.mu[:, :T] * m_mask[:, None]
+        invq = sol.mu[:, T:]
+        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
+        alpha2 = gam2 * quad
+        eps1 = 100.0 * jnp.finfo(dt).eps
+        alpha2 = jnp.clip(alpha2, 1e-11, 1.0 - eps1)
+        eta2 = gam2 / alpha2
+        l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
+        gam2 = jnp.where(it > 1,
+                         _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
+        r1 = ((x2 - alpha2[None, :] * r2)
+              / (1.0 - alpha2)[None, :]) * m_mask[:, None]
+        gam1_new = gam2 * (1.0 - alpha2) / alpha2
+
+        z2 = axm_fn(op, x2, cols_t)
+        z2f = z2.reshape(-1, T)
+        beta2 = Mt / N * (1.0 - alpha2)
+        return (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2)
+
+    return lmmse
+
+
 def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
     from gvamp_tpu.probit import (g1_bin_class, g1d_bin_class, newton_cov)
 
@@ -478,13 +595,8 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
     cols_tp = np.repeat(np.arange(T), P_)
     cols_all = np.concatenate([cols_t, cols_tp])
 
-    g1_t = jax.vmap(g1, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
-    g1d_t = jax.vmap(g1d, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
-    upd_t = jax.vmap(
-        lambda r, g_, pr, mm: update_prior(
-            r, g_, pr, mm, Mt, em_max_iter=cfg.em_max_iter,
-            em_err_thr=cfg.em_err_thr, learn_vars=cfg.learn_vars),
-        in_axes=(1, 0, Prior(0, 0), None))
+    denoise_x = _make_x_denoiser(mp, cfg)
+    lmmse_z = _make_zmodel_lmmse(mp, cfg, axm_fn, atxm_fn)
     newton_t = jax.vmap(
         lambda y_, gg_, Z_, eta0_, nm_: newton_cov(
             y_, gg_, Z_, eta0_, nm_, probit_var=pv,
@@ -513,43 +625,9 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
         else:
             m_cov = jnp.zeros_like(yf)
 
-        # ---- denoise x (masked fixed-count revar loop) ---------------------
-        def revar_body(i, carry):
-            x1, gam1, alpha1, eta1, probs, vars_, prev = carry
-            pr = Prior(probs=probs, vars=vars_)
-            act = (i == 0) | ((it > 1) & (jnp.abs(gam1 - prev) >= cfg.revar_tol))
-            x1n = g1_t(state.r1, gam1, pr) * m_mask[:, None]
-            dn = g1d_t(state.r1, gam1, pr)
-            alpha1n = jnp.sum(dn * m_mask[:, None], axis=0) / Mt
-            eta1n = gam1 / alpha1n
-            l2d = jnp.sum(jnp.square((x1n - state.r1) * m_mask[:, None]), axis=0)
-            gam1n = jnp.where(it > 1,
-                              _clamp_gamma(1.0 / (1.0 / eta1n + l2d / Mt)), gam1)
-            pr2 = upd_t(state.r1, gam1n, pr, m_mask)
-            sel = lambda n_, o: jnp.where(act, n_, o)
-            selm = lambda n_, o: jnp.where(act[None, :], n_, o)
-            actl = (act & (it > 1))[:, None]
-            out = (selm(x1n, x1), sel(gam1n, gam1), sel(alpha1n, alpha1),
-                   sel(eta1n, eta1), jnp.where(actl, pr2.probs, probs),
-                   jnp.where(actl, pr2.vars, vars_), sel(gam1, prev))
-            return _cast_like(out, carry)
-
-        big = jnp.full((T,), jnp.inf, dt)
-        carry = (state.x1, state.gam1, state.alpha1, jnp.zeros((T,), dt),
-                 state.probs, state.vars, big)
-        x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.fori_loop(
-            0, max(cfg.auto_var_max_iter, 1), revar_body, carry)[:6]
-        pr1 = upd_t(state.r1, gam1, Prior(probs=probs, vars=vars_), m_mask)
-        first = jnp.asarray((cfg.auto_var_max_iter == 0) | (it <= 1))
-        probs = jnp.where(first, pr1.probs, probs)
-        vars_ = jnp.where(first, pr1.vars, vars_)
-
-        rho = jnp.asarray(cfg.rho, dt)
-        damp = it > 1
-        x1 = jnp.where(damp, rho * x1 + (1 - rho) * state.x1, x1)
-        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
-        x1 = jnp.where(live[None, :], x1, state.x1)
-        gam1 = jnp.where(live, gam1, state.gam1)
+        # ---- denoise x (shared masked revar loop) --------------------------
+        x1, gam1, alpha1, eta1, probs, vars_ = denoise_x(
+            state, m_mask, it, live)
 
         gam2 = _clamp_gamma(eta1 - gam1)
         r2 = ((eta1[None, :] * x1 - gam1[None, :] * state.r1)
@@ -568,43 +646,11 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
         p2f = ((z1f - beta1[None, :] * p1f) / (1.0 - beta1)[None, :]) * nmf[:, None]
         tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)
 
-        # ---- LMMSE x: T solves + T*P probes in one block CG ----------------
+        # ---- LMMSE x + z (shared block-CG tail) ----------------------------
         nb = mp.y.shape[1]
-        v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
-            + gam2[None, :] * r2
-        tau_cols = jnp.concatenate([tau2, tau2[cols_tp]])
-        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
-        diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
-
-        def multb(Pk):
-            return (tau_cols[None, :] * atxm_fn(op, axm_fn(op, Pk, cols_all),
-                                                cols_all)
-                    + gam2_cols[None, :] * Pk)
-
-        bern_tp = jnp.tile(aux.bern, (1, T))
-        V = jnp.concatenate([v, bern_tp], axis=1)
-        mu0 = jnp.concatenate([jnp.zeros_like(v), state.mu_probe], axis=1)
-        sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
-                             cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
-                             err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol)
-        x2 = sol.mu[:, :T] * m_mask[:, None]
-        invq = sol.mu[:, T:]
-        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
-        alpha2 = gam2 * quad
-        eps1 = 100.0 * jnp.finfo(dt).eps
-        alpha2 = jnp.clip(alpha2, 1e-11, 1.0 - eps1)
-        eta2 = gam2 / alpha2
-        l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
-        gam2 = jnp.where(it > 1,
-                         _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
-        r1 = ((x2 - alpha2[None, :] * r2) / (1.0 - alpha2)[None, :]) * m_mask[:, None]
-        gam1_new = gam2 * (1.0 - alpha2) / alpha2
-
-        # ---- LMMSE z (vamp_probit.cpp:567-614) -----------------------------
-        z2 = axm_fn(op, x2, cols_t)
-        z2f = z2.reshape(-1, T)
-        beta2 = Mt / N * (1.0 - alpha2)
+        (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2) = \
+            lmmse_z(op, aux.bern, state.mu_probe, m_mask, it, p2f, tau2,
+                    gam2, r2)
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
@@ -763,13 +809,8 @@ def make_huber_step(mp: MultiPhen, cfg):
     cols_tp = np.repeat(np.arange(T), P_)
     cols_all = np.concatenate([cols_t, cols_tp])
 
-    g1_t = jax.vmap(g1, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
-    g1d_t = jax.vmap(g1d, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
-    upd_t = jax.vmap(
-        lambda r, g_, pr, mm: update_prior(
-            r, g_, pr, mm, Mt, em_max_iter=cfg.em_max_iter,
-            em_err_thr=cfg.em_err_thr, learn_vars=cfg.learn_vars),
-        in_axes=(1, 0, Prior(0, 0), None))
+    denoise_x = _make_x_denoiser(mp, cfg)
+    lmmse_z = _make_zmodel_lmmse(mp, cfg, axm_fn, atxm_fn)
     em_t = jax.vmap(
         lambda k, p1_, t1_, d_, y_, nm_: em_deltaH(
             k, p1_, t1_, d_, y_, nm_, num_mc=cfg.mc_steps),
@@ -784,43 +825,9 @@ def make_huber_step(mp: MultiPhen, cfg):
         x1_prev = state.x1
         live = ~state.stopped
 
-        # ---- denoise x ------------------------------------------------------
-        def revar_body(i, carry):
-            x1, gam1, alpha1, eta1, probs, vars_, prev = carry
-            pr = Prior(probs=probs, vars=vars_)
-            act = (i == 0) | ((it > 1) & (jnp.abs(gam1 - prev) >= cfg.revar_tol))
-            x1n = g1_t(state.r1, gam1, pr) * m_mask[:, None]
-            dn = g1d_t(state.r1, gam1, pr)
-            alpha1n = jnp.sum(dn * m_mask[:, None], axis=0) / Mt
-            eta1n = gam1 / alpha1n
-            l2d = jnp.sum(jnp.square((x1n - state.r1) * m_mask[:, None]), axis=0)
-            gam1n = jnp.where(it > 1,
-                              _clamp_gamma(1.0 / (1.0 / eta1n + l2d / Mt)), gam1)
-            pr2 = upd_t(state.r1, gam1n, pr, m_mask)
-            sel = lambda n_, o: jnp.where(act, n_, o)
-            selm = lambda n_, o: jnp.where(act[None, :], n_, o)
-            actl = (act & (it > 1))[:, None]
-            out = (selm(x1n, x1), sel(gam1n, gam1), sel(alpha1n, alpha1),
-                   sel(eta1n, eta1), jnp.where(actl, pr2.probs, probs),
-                   jnp.where(actl, pr2.vars, vars_), sel(gam1, prev))
-            return _cast_like(out, carry)
-
-        big = jnp.full((T,), jnp.inf, dt)
-        carry = (state.x1, state.gam1, state.alpha1, jnp.zeros((T,), dt),
-                 state.probs, state.vars, big)
-        x1, gam1, alpha1, eta1, probs, vars_ = jax.lax.fori_loop(
-            0, max(cfg.auto_var_max_iter, 1), revar_body, carry)[:6]
-        pr1 = upd_t(state.r1, gam1, Prior(probs=probs, vars=vars_), m_mask)
-        first = jnp.asarray((cfg.auto_var_max_iter == 0) | (it <= 1))
-        probs = jnp.where(first, pr1.probs, probs)
-        vars_ = jnp.where(first, pr1.vars, vars_)
-
-        rho = jnp.asarray(cfg.rho, dt)
-        damp = it > 1
-        x1 = jnp.where(damp, rho * x1 + (1 - rho) * state.x1, x1)
-        alpha1 = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
-        x1 = jnp.where(live[None, :], x1, state.x1)
-        gam1 = jnp.where(live, gam1, state.gam1)
+        # ---- denoise x (shared masked revar loop) --------------------------
+        x1, gam1, alpha1, eta1, probs, vars_ = denoise_x(
+            state, m_mask, it, live)
 
         gam2 = _clamp_gamma(eta1 - gam1)
         r2 = ((eta1[None, :] * x1 - gam1[None, :] * state.r1)
@@ -844,43 +851,11 @@ def make_huber_step(mp: MultiPhen, cfg):
         p2f = ((z1f - beta1[None, :] * p1f) / (1.0 - beta1)[None, :]) * nmf[:, None]
         tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)
 
-        # ---- LMMSE x: T solves + T*P probes in one block CG ----------------
+        # ---- LMMSE x + z (shared block-CG tail) ----------------------------
         nb = mp.y.shape[1]
-        v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
-            + gam2[None, :] * r2
-        tau_cols = jnp.concatenate([tau2, tau2[cols_tp]])
-        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
-        diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
-
-        def multb(Pk):
-            return (tau_cols[None, :] * atxm_fn(op, axm_fn(op, Pk, cols_all),
-                                                cols_all)
-                    + gam2_cols[None, :] * Pk)
-
-        bern_tp = jnp.tile(aux.bern, (1, T))
-        V = jnp.concatenate([v, bern_tp], axis=1)
-        mu0 = jnp.concatenate([jnp.zeros_like(v), state.mu_probe], axis=1)
-        sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
-                             cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
-                             err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol)
-        x2 = sol.mu[:, :T] * m_mask[:, None]
-        invq = sol.mu[:, T:]
-        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
-        alpha2 = gam2 * quad
-        eps1 = 100.0 * jnp.finfo(dt).eps
-        alpha2 = jnp.clip(alpha2, GAMMA_MIN, 1.0 - eps1)
-        eta2 = gam2 / alpha2
-        l2x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
-        gam2 = jnp.where(it > 1,
-                         _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
-        r1 = ((x2 - alpha2[None, :] * r2)
-              / (1.0 - alpha2)[None, :]) * m_mask[:, None]
-        gam1_new = gam2 * (1.0 - alpha2) / alpha2
-
-        z2 = axm_fn(op, x2, cols_t)
-        z2f = z2.reshape(-1, T)
-        beta2 = Mt / N * (1.0 - alpha2)
+        (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2,
+         z2f, beta2) = lmmse_z(op, aux.bern, state.mu_probe,
+                               m_mask, it, p2f, tau2, gam2, r2)
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
