@@ -89,6 +89,21 @@ def _true_signal(opt: Options, geno):
     return vecio.read_estimate(opt.true_signal_files[0], geno.M, geno.S)
 
 
+def _common_cfg(opt: Options, gam1, default_gam1, gamw=None):
+    """Engine-config kwargs shared by every model family."""
+    kw = dict(
+        max_iter=opt.iterations, rho=opt.rho,
+        stop_criteria_thr=opt.stop_criteria_thr,
+        em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
+        cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
+        seed=opt.seed, deflate_k=opt.deflate_k,
+        deflate_iters=opt.deflate_iters,
+        gam1_init=default_gam1 if gam1 is None else gam1)
+    if gamw is not None:
+        kw["gamw_init"] = gamw
+    return kw
+
+
 def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
     """Model dispatch (reference vamp::infere, vamp.cpp:149-183)."""
     probs, vars_user = _prior(opt, geno)
@@ -106,13 +121,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
             ys.append(np.where(isna, np.nan, y))
-        cfg = linear.VampConfig(
-            max_iter=opt.iterations, rho=opt.rho,
-            stop_criteria_thr=opt.stop_criteria_thr,
-            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
-            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
-            seed=opt.seed, gam1_init=1e-6 if gam1 is None else gam1,
-            gamw_init=opt.gamw_default() if gamw is None else gamw)
+        cfg = linear.VampConfig(**_common_cfg(
+            opt, gam1, 1e-6, opt.gamw_default() if gamw is None else gamw))
         mp = multi.MultiPhen.build(geno, ys)
 
         def dump_cb(it, state, metrics, g):
@@ -130,17 +140,12 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
     if opt.model == "linear":
         from gvamp_tpu import linear
         cfg = linear.VampConfig(
-            max_iter=opt.iterations, rho=opt.rho,
-            stop_criteria_thr=opt.stop_criteria_thr,
-            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
-            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
             use_lmmse_damp=bool(opt.use_lmmse_damp),
-            use_xxt=bool(opt.use_XXT_denoiser), seed=opt.seed,
+            use_xxt=bool(opt.use_XXT_denoiser),
             gamma_damp=opt.gamma_damp,
             use_cross_val=bool(opt.use_cross_val),
-            deflate_k=opt.deflate_k, deflate_iters=opt.deflate_iters,
-            gam1_init=1e-6 if gam1 is None else gam1,
-            gamw_init=opt.gamw_default() if gamw is None else gamw)
+            **_common_cfg(opt, gam1, 1e-6,
+                          opt.gamw_default() if gamw is None else gamw))
         freeze = None
         if opt.use_freeze:
             freeze = vecio.read_estimate(opt.freeze_index_file, geno.M, geno.S)
@@ -164,13 +169,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
             ys.append(np.where(isna, np.nan, y))
-        cfg = probit.ProbitConfig(
-            max_iter=opt.iterations, rho=opt.rho,
-            stop_criteria_thr=opt.stop_criteria_thr,
-            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
-            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
-            seed=opt.seed, probit_var=opt.probit_var,
-            gam1_init=1e-8 if gam1 is None else gam1)
+        cfg = probit.ProbitConfig(probit_var=opt.probit_var,
+                                  **_common_cfg(opt, gam1, 1e-8))
         mp = multi.MultiPhen.build(geno, ys, standardize=False)
 
         def dump_cb(it, state, metrics, g):
@@ -187,14 +187,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
     if opt.model == "bin_class":
         from gvamp_tpu import probit
-        cfg = probit.ProbitConfig(
-            max_iter=opt.iterations, rho=opt.rho,
-            stop_criteria_thr=opt.stop_criteria_thr,
-            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
-            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
-            seed=opt.seed, probit_var=opt.probit_var,
-            deflate_k=opt.deflate_k, deflate_iters=opt.deflate_iters,
-            gam1_init=1e-8 if gam1 is None else gam1)
+        cfg = probit.ProbitConfig(probit_var=opt.probit_var,
+                                  **_common_cfg(opt, gam1, 1e-8))
         return probit.infer(geno, cfg, probs, vars_user, **common)
 
     if opt.model == "robust" and len(opt.phen_files) > 1:
@@ -204,12 +198,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
             ys.append(np.where(isna, np.nan, y))
-        cfg = robust.RobustConfig(
-            max_iter=opt.iterations, rho=opt.rho,
-            stop_criteria_thr=opt.stop_criteria_thr,
-            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
-            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
-            seed=opt.seed, gam1_init=1e-8 if gam1 is None else gam1)
+        cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
         mp = multi.MultiPhen.build(geno, ys)
 
         def dump_cb(it, state, metrics, g):
@@ -226,14 +215,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
     if opt.model == "robust":
         from gvamp_tpu import robust
-        cfg = robust.RobustConfig(
-            max_iter=opt.iterations, rho=opt.rho,
-            stop_criteria_thr=opt.stop_criteria_thr,
-            em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
-            cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
-            seed=opt.seed, deflate_k=opt.deflate_k,
-            deflate_iters=opt.deflate_iters,
-            gam1_init=1e-8 if gam1 is None else gam1)
+        cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
         return robust.infer(geno, cfg, probs, vars_user, **common)
 
     raise SystemExit(f"invalid model {opt.model!r}")
