@@ -16,7 +16,6 @@ Two exit modes, as in the reference:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

@@ -10,10 +10,7 @@ state checkpoint that resumes exactly.
 
 from __future__ import annotations
 
-import dataclasses
 import json
-from typing import Optional
-
 import numpy as np
 
 from gvamp_tpu.io import vecio

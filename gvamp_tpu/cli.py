@@ -29,7 +29,7 @@ import sys
 
 import numpy as np
 
-from gvamp_tpu.ckpt import IterDumper, load_state, save_state, write_scalar_history
+from gvamp_tpu.ckpt import IterDumper, load_state, write_scalar_history
 from gvamp_tpu.io import plink, vecio
 from gvamp_tpu.options import Options
 from gvamp_tpu.prior import initialize_prior

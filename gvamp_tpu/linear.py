@@ -25,7 +25,6 @@ while-loop and the EM while-loop stay on device.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -18,7 +18,7 @@ damping, and stopping; traits that converge freeze while the rest continue.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -796,8 +796,7 @@ def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
 
 
 def make_huber_step(mp: MultiPhen, cfg):
-    from gvamp_tpu.prior import GAMMA_MIN
-    from gvamp_tpu.robust import (em_deltaH, g1_huber, g1d_huber_der)
+    from gvamp_tpu.robust import em_deltaH, g1_huber, g1d_huber_der
 
     dt = mp.geno.dtype
     Mt = float(mp.geno.Mt)

@@ -22,7 +22,7 @@ Semantics notes (parity with the reference):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ import pytest
 
 from gvamp_tpu import cli, sim
 from gvamp_tpu.io import plink, vecio
-from gvamp_tpu.options import Options
 
 
 @pytest.fixture(scope="module")

@@ -7,7 +7,6 @@ the overall trajectory.
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from gvamp_tpu import linear
 from test_linear_vamp import build_sim
