@@ -23,6 +23,9 @@ CASES = [
     (5, 500, 222, 0.05, "bin_class", jnp.float32, 0.8),
     (6, 290, 128, 0.0, "bin_class", jnp.float64, 0.5),
     (7, 200, 512, 0.01, "linear", jnp.float32, 0.7),   # M > N (XXT regime)
+    (8, 437, 129, 0.15, "linear", jnp.float32, 0.4),   # heavy missingness
+    (9, 300, 160, 0.0, "bin_class", jnp.float32, 0.9), # near-separable probit
+    (10, 512, 256, 0.03, "robust", jnp.float32, 0.5),
 ]
 
 
