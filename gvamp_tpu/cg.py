@@ -121,7 +121,10 @@ def solve_block(
 
     r0 = V - mult_block(mu_start)
     z0 = apply_m(r0)
-    norm_v = jnp.sqrt(jnp.sum(jnp.square(V), axis=0))  # [B]
+    # all-zero RHS columns: solution is 0 exactly; guard the norm so the
+    # relative residual stays finite and the done flag can fire
+    norm_v2 = jnp.sum(jnp.square(V), axis=0)  # [B]
+    norm_v = jnp.sqrt(jnp.where(norm_v2 == 0, 1.0, norm_v2))
 
     class S(NamedTuple):
         i: jax.Array

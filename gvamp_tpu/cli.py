@@ -279,18 +279,51 @@ def mode_restart(opt: Options):
     run_inference(opt, geno, gam1=opt.gam1_init, gamw=opt.gamw_init, r1_init=r1)
 
 
-def _estimate_series(opt, M, S):
-    """Yield (it, x_est) over the test iteration range (main_real.cpp:160-181)."""
+def _series_paths(path, lo, hi):
+    """Per-iteration estimate paths from one example path.
+
+    The reference derives the series by splicing the iteration number into the
+    file name (main_real.cpp:160-181).  Parse ``it_{N}.`` anchored to the
+    BASENAME (a directory or stem containing "it" must not confuse it); when
+    the example has no iteration tag, append ``_it_{N}`` before the extension.
+    """
+    import os
+    import re
+    d, base = os.path.split(path)
+    m = re.search(r"^(?P<stem>.*it_)\d+\.(?P<ext>[^.]+)$", base)
+    if m:
+        fmt = m.group("stem") + "{it}." + m.group("ext")
+    else:
+        root, ext = os.path.splitext(base)
+        fmt = root + "_it_{it}" + ext
+    return [os.path.join(d, fmt.format(it=it)) for it in range(lo, hi + 1)]
+
+
+def _estimate_series(opt, M, S, tag=""):
+    """Yield (it, x_est) over the test iteration range (main_real.cpp:160-181).
+
+    ``tag`` selects a multi-trait series (our ``_phen{t}`` naming) by
+    splicing it before the ``it_`` tag of each derived path.
+    """
     lo, hi = opt.test_iter_range
     path = opt.estimate_file
     if lo == -1:
-        yield -1, vecio.read_estimate(path, M, S)
+        yield -1, vecio.read_estimate(_tagged(path, tag), M, S)
         return
-    dot = path.rfind(".")
-    ext = path[dot + 1:]
-    stem = path[: path.rfind("it")]
-    for it in range(lo, hi + 1):
-        yield it, vecio.read_estimate(f"{stem}it_{it}.{ext}", M, S)
+    for it, p in zip(range(lo, hi + 1), _series_paths(path, lo, hi)):
+        yield it, vecio.read_estimate(_tagged(p, tag), M, S)
+
+
+def _tagged(path, tag):
+    """Insert a trait tag before the trailing ``_it_{N}`` (or extension)."""
+    if not tag:
+        return path
+    import os
+    import re
+    d, base = os.path.split(path)
+    m = re.search(r"^(?P<stem>.*?)(?P<it>_(?:probit_|robust_)?it_\d+)?\.(?P<ext>[^.]+)$", base)
+    return os.path.join(
+        d, f"{m.group('stem')}{tag}{m.group('it') or ''}.{m.group('ext')}")
 
 
 def mode_test(opt: Options):

@@ -35,16 +35,23 @@ def two_group_prior(mt: int, cv: int, h2: float):
     return ([0.0, h2 / cv], [1.0 - cv / mt, cv / mt])
 
 
+# sim_realistic.cpp:88-89 — the reference's empirical truth mixture
+REALISTIC_VARS_BASE = (0.0, 1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1)
+REALISTIC_PROBS = (0.9595661, 0.0008876436, 0.0367001, 0.002712435,
+                   0.0001066884, 8.915961e-6, 1.814535e-5)
+
+
 def realistic_prior(mt: int, h2: float):
-    """sim_realistic.cpp:88-95 — 7 components with empirical probabilities."""
-    probs = [0.7105, 0.2680, 0.0175, 0.0030, 0.0005, 0.00025, 0.00025]
-    # variances geometric around h2 scaled to keep total h2
-    base = [0.0, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1, 1.0]
-    expe = sum(p * v for p, v in zip(probs, base))
-    vars_ = [v * h2 / expe / mt * mt for v in base]
-    # normalize so sum probs_j vars_j * (CV-effective) = h2
-    scale = h2 / sum(p * v for p, v in zip(probs, vars_))
-    return ([v * scale for v in vars_], probs)
+    """sim_realistic.cpp:88-95 — 7-component empirical truth mixture.
+
+    vars_true = {0, 1e-6, ..., 1e-1} rescaled by h2 / expe_varg where
+    expe_varg = Mt * sum_j probs_j * vars_j (sim_realistic.cpp:91-95), so the
+    expected genetic variance over Mt markers equals h2 exactly.
+    """
+    expe_varg = mt * sum(p * v for p, v in
+                         zip(REALISTIC_PROBS, REALISTIC_VARS_BASE))
+    scale = h2 / expe_varg
+    return ([v * scale for v in REALISTIC_VARS_BASE], list(REALISTIC_PROBS))
 
 
 def heavy_tails_prior(mt: int, cv: int, h2: float):

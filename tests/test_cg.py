@@ -112,3 +112,21 @@ def test_deflated_cg_matches_and_converges_faster():
     corr = np.corrcoef(x1, x0)[0, 1]
     assert corr > 0.99999, corr
     assert it1 < 0.75 * it0, (it1, it0)
+
+
+def test_block_cg_zero_rhs_column_finishes():
+    """An all-zero RHS column must converge immediately (mu=0, finite
+    rel_err), not spin to max_iter on a NaN relative residual."""
+    rng, oracle, geno = _setup()
+    axm, atxm = geno.fns_multi()
+    op = geno.op
+    mult = cg.make_lmmse_mult_block(axm, atxm, op, tau=2.0, gam2=0.5)
+    v1 = geno.pad_m(rng.standard_normal(geno.M))
+    V = jnp.stack([v1, jnp.zeros_like(v1)], axis=1)
+    res = cg.solve_block(mult, V, jnp.zeros_like(V),
+                         cg.jacobi_diag(2.0, 0.5, geno.N), 0.5,
+                         max_iter=50, modes=(0, 0))
+    assert np.isfinite(np.asarray(res.rel_err)).all()
+    assert int(res.iters[1]) <= 1
+    np.testing.assert_allclose(np.asarray(res.mu)[:, 1], 0.0, atol=1e-12)
+    assert int(res.iters[0]) < 50  # real column converged normally
