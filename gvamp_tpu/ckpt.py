@@ -31,30 +31,35 @@ class IterDumper:
     def __call__(self, it: int, state, metrics, geno) -> None:
         if self.every == 0 or it % self.every:
             return
+        from gvamp_tpu import dist
         scale = 1.0 / np.sqrt(geno.N)
         S, M = geno.S, geno.M
         pre, tag = self.prefix, self.tag
-        x1 = np.asarray(state.x1)[:M] * scale
-        r1 = np.asarray(state.r1)[:M] * scale
-        vecio.write_bin_shard(f"{pre}{tag}_it_{it}.bin", x1, S)
-        vecio.write_bin_shard(f"{pre}{tag}_r1_it_{it}.bin", r1, S)
+        # M-space vectors may be sharded across processes: each process
+        # writes its own shards at their global offsets (dist.write_m_global,
+        # the mpi_store_vec_to_file analog)
+        dist.write_m_global(f"{pre}{tag}_it_{it}.bin", state.x1, M, S, scale)
+        dist.write_m_global(f"{pre}{tag}_r1_it_{it}.bin", state.r1, M, S, scale)
         if self.model == "linear":
-            vecio.write_bin_shard(f"{pre}_r2_it_{it}.bin",
-                                  np.asarray(state.r2)[:M] * scale, S)
-            vecio.write_bin_shard(f"{pre}_it_{it}_x2_hat.bin",
-                                  np.asarray(state.x2)[:M] * scale, S)
-            # z1 CSV over the padded 4*mbytes planar width, original order
-            z1 = geno.deplanarize(state.z1)
-            full = np.zeros(4 * geno.layout.mbytes)
-            full[: geno.N] = z1[: geno.N]
-            vecio.write_txt(f"{pre}_z1_it_{it}.csv", full)
-        if self.checkpoint:
+            dist.write_m_global(f"{pre}_r2_it_{it}.bin", state.r2, M, S, scale)
+            dist.write_m_global(f"{pre}_it_{it}_x2_hat.bin", state.x2, M, S,
+                                scale)
+            if dist.is_main():
+                # z1 CSV over the padded 4*mbytes planar width, original
+                # order (N-space is replicated — one writer suffices)
+                z1 = geno.deplanarize(dist.to_numpy(state.z1))
+                full = np.zeros(4 * geno.layout.mbytes)
+                full[: geno.N] = z1[: geno.N]
+                vecio.write_txt(f"{pre}_z1_it_{it}.csv", full)
+        if self.checkpoint and dist.is_main():
             save_state(self.checkpoint, state, it=it)
 
 
 def save_state(path: str, state, **extra) -> None:
     """Full state -> npz (all pytree leaves + metadata)."""
-    arrs = {f"f_{name}": np.asarray(v) for name, v in zip(state._fields, state)}
+    from gvamp_tpu import dist
+    arrs = {f"f_{name}": dist.to_numpy(v)
+            for name, v in zip(state._fields, state)}
     arrs["_meta"] = np.frombuffer(
         json.dumps({"fields": list(state._fields), **extra}).encode(), dtype=np.uint8)
     np.savez(path, **arrs)

@@ -29,6 +29,7 @@ import sys
 
 import numpy as np
 
+from gvamp_tpu import dist
 from gvamp_tpu.ckpt import IterDumper, load_state, write_scalar_history
 from gvamp_tpu.io import plink, vecio
 from gvamp_tpu.options import Options
@@ -127,7 +128,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         def dump_cb(it, state, metrics, g):
             if opt.dump_every and it % opt.dump_every == 0:
-                x = np.asarray(state.x1)[: g.M] / np.sqrt(g.N)
+                x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
                 for t in range(mp.T):
                     vecio.write_bin_shard(
                         f"{opt.out_prefix}_phen{t}_it_{it}.bin", x[:, t], g.S)
@@ -156,7 +157,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             geno, cfg, probs, vars_user, freeze=freeze,
             r1_init=r1_init, x1_init=x1_init,
             sync_every=opt.sync_every, **common)
-        if hist:
+        if hist and dist.is_main():
             write_scalar_history(opt.out_prefix, hist)
         if opt.store_pvals:
             _store_pvals_after_infer(opt, geno, state)
@@ -175,7 +176,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         def dump_cb(it, state, metrics, g):
             if opt.dump_every and it % opt.dump_every == 0:
-                x = np.asarray(state.x1)[: g.M] / np.sqrt(g.N)
+                x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
                 for t in range(mp.T):
                     vecio.write_bin_shard(
                         f"{opt.out_prefix}_phen{t}_probit_it_{it}.bin",
@@ -203,7 +204,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         def dump_cb(it, state, metrics, g):
             if opt.dump_every and it % opt.dump_every == 0:
-                x = np.asarray(state.x1)[: g.M] / np.sqrt(g.N)
+                x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
                 for t in range(mp.T):
                     vecio.write_bin_shard(
                         f"{opt.out_prefix}_phen{t}_robust_it_{it}.bin",
@@ -273,7 +274,8 @@ def mode_restart(opt: Options):
             m = {k: np.asarray(v) for k, v in metrics.items()}
             hist.append(m)
             dump(it, state, m, geno)
-        write_scalar_history(opt.out_prefix, hist)
+        if dist.is_main():
+            write_scalar_history(opt.out_prefix, hist)
         return
     r1 = vecio.read_estimate(opt.estimate_file, geno.M, geno.S)
     run_inference(opt, geno, gam1=opt.gam1_init, gamw=opt.gamw_init, r1_init=r1)
@@ -508,7 +510,8 @@ def mode_sim(opt: Options):
         x_est, state, hist = probit.infer(geno, cfg, probs, vars_user,
                                           true_signal=ts, callbacks=[dump],
                                           verbose=opt.verbosity > 0)
-        write_scalar_history(opt.out_prefix, hist)
+        if dist.is_main():
+            write_scalar_history(opt.out_prefix, hist)
         return x_est
 
     from gvamp_tpu import linear
@@ -522,7 +525,8 @@ def mode_sim(opt: Options):
     x_est, state, hist = linear.infer(geno, cfg, probs, vars_user,
                                       true_signal=ts, callbacks=[dump],
                                       verbose=opt.verbosity > 0)
-    write_scalar_history(opt.out_prefix, hist)
+    if dist.is_main():
+        write_scalar_history(opt.out_prefix, hist)
     return x_est
 
 
@@ -543,7 +547,21 @@ def main(argv=None):
     if opt.dtype == "float64":
         import jax
         jax.config.update("jax_enable_x64", True)
-    return MODES[opt.run_mode](opt)
+    if opt.distributed:
+        # MPI_Init analog: join the multi-process cluster BEFORE any device
+        # use; jax.devices() then spans all processes and _mesh() builds the
+        # global marker-sharded mesh (gvamp_tpu/dist.py)
+        rank = dist.initialize(
+            opt.coordinator or None,
+            opt.n_processes or None,
+            opt.process_id if opt.process_id >= 0 else None)
+        if rank != 0:
+            # rank-0-gated logging, like the reference's rank-0 std::cout
+            opt.verbosity = 0
+    out = MODES[opt.run_mode](opt)
+    if opt.distributed:
+        dist.barrier("run-end")
+    return out
 
 
 if __name__ == "__main__":

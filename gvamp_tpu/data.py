@@ -169,10 +169,13 @@ class GenoBed:
         y = np.where(isna, 0.0, y_raw) * sqn  # scaled, NOT centered; NA -> 0
         na = (~isna).astype(np.float64)
 
-        sharding = None
         if mesh is not None:
-            sharding = NamedSharding(mesh, P(None, "m"))
-        words_dev = jax.device_put(words_np, sharding)
+            # global-array assembly: works for single- AND multi-process
+            # meshes (each process materializes only its device shards)
+            from gvamp_tpu import dist
+            words_dev = dist.words_global_from_host(words_np, mesh)
+        else:
+            words_dev = jax.device_put(words_np)
 
         obj = cls(
             layout=lay, N=N, Mt=Mt, M=M, S=S, Mpad=Mpad,
@@ -245,17 +248,22 @@ class GenoBed:
         mesh = kw.get("mesh")
         n_shards = mesh.devices.size if mesh is not None else 1
         Mpad = _round_up(max(M, 1), kw.get("marker_align", 512) * n_shards)
+        sub = {k: v for k, v in kw.items()
+               if k in ("standardize_phen", "alpha_scale", "mesh",
+                        "backend", "dtype", "bim_path")}
+        if mesh is not None:
+            # per-shard byte-range loading: each process reads only the
+            # markers its devices own (MPI-IO slab-read analog,
+            # data.cpp:201-234 -> gvamp_tpu.dist.load_bed_words_global)
+            from gvamp_tpu import dist
+            words = dist.load_bed_words_global(
+                bed_path, N, M, S, lay.n_words, Mpad, mesh)
+            return cls.from_device_words(words, y, N=N, M=M, Mt=Mt, S=S, **sub)
         words = native.read_bed_words(bed_path, N, M, S, lay.n_words, Mpad)
         if words is not None:
             import jax as _jax
-            sharding = (NamedSharding(mesh, P(None, "m"))
-                        if mesh is not None else None)
-            obj = cls.from_device_words(
-                _jax.device_put(words, sharding), y, N=N, M=M, Mt=Mt, S=S,
-                **{k: v for k, v in kw.items()
-                   if k in ("standardize_phen", "alpha_scale", "mesh",
-                            "backend", "dtype", "bim_path")})
-            return obj
+            return cls.from_device_words(
+                _jax.device_put(words), y, N=N, M=M, Mt=Mt, S=S, **sub)
 
         bed = plink.read_bed_slab(bed_path, N, M, S)
         return cls.from_arrays(bed, y, N=N, Mt=Mt, S=S, **kw)
@@ -404,8 +412,11 @@ class GenoBed:
                 _, bv = fn(self.words, nm)
             else:
                 _, bv = raw(self.words, nm)
-            cnt = np.asarray(bv)[: self.M]
-            self._complete = bool((cnt == float(self.N)).all())
+            # reduce on device: bv may be sharded across processes
+            n, m = float(self.N), self.M
+            ok = jax.jit(lambda b: jnp.all(jnp.where(
+                jnp.arange(b.shape[0]) < m, b, n) == n))(bv)
+            self._complete = bool(np.asarray(ok))
         return self._complete
 
     def fns(self):

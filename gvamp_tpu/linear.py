@@ -581,7 +581,8 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
             if verbose:
                 print(f"VAMP stopping criterion met (thr={cfg.stop_criteria_thr})")
             break
-    x1_stored = np.asarray(state.x1)[: geno.M] / sqn
+    from gvamp_tpu import dist
+    x1_stored = dist.to_numpy(state.x1)[: geno.M] / sqn
     return x1_stored, state, history
 
 

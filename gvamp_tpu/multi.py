@@ -405,7 +405,8 @@ def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
             if verbose:
                 print("all traits met the stopping criterion")
             break
-    x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
+    from gvamp_tpu import dist
+    x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
 
 
@@ -741,7 +742,8 @@ def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
                 cb(it, state, m, mp.geno)
         if bool(m["stopped"].all()):
             break
-    x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
+    from gvamp_tpu import dist
+    x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
 
 
@@ -920,5 +922,6 @@ def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
                 cb(it, state, m, mp.geno)
         if bool(m["stopped"].all()):
             break
-    x_stored = np.asarray(state.x1)[: mp.geno.M, :] / sqn
+    from gvamp_tpu import dist
+    x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history

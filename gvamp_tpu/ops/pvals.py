@@ -97,7 +97,8 @@ def loo_pvals(geno, z1_planar, x1_internal):
     ym = (y - z1_planar) * geno.na_planar
     block = min(256, geno.Mpad)
     p = _pvals_from_target(geno, ym, x1_internal, block)
-    return np.asarray(p, np.float64)[: geno.M]
+    from gvamp_tpu import dist
+    return dist.to_numpy(p).astype(np.float64)[: geno.M]
 
 
 def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
@@ -119,6 +120,7 @@ def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
     chroms_pad[: geno.M] = np.asarray(chroms)
     pvals = np.ones(geno.Mpad, dtype=np.float64)
     block = min(256, geno.Mpad)
+    from gvamp_tpu import dist
     present = [ch for ch in range(1, 24) if (chroms_pad == ch).any()]
     if not present:
         return pvals[: geno.M]
@@ -152,7 +154,7 @@ def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
         sumxy = vy + s * sumsqx
         sumy = b_y + s * sumx
         sumsqy = b_yy + 2 * s * vy + s**2 * sumsqx
-        p = np.asarray(_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, b_na))
+        p = dist.to_numpy(_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, b_na))
         sel = chroms_pad == ch
         pvals[sel] = p[sel]
 

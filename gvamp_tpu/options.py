@@ -81,6 +81,14 @@ class Options:
     checkpoint: str = ""            # full-state checkpoint path ("" = off)
     resume: str = ""                # resume from a full-state checkpoint
     verbosity: int = 1
+    # multi-process (multi-host) execution — the MPI_Init analog
+    # (gvamp_tpu/dist.py).  --distributed 1 joins a cluster; coordinator /
+    # n-processes / process-id may also come from GVAMP_COORDINATOR,
+    # GVAMP_NPROCS, GVAMP_PROC_ID, or be auto-discovered on TPU pods.
+    distributed: int = 0
+    coordinator: str = ""
+    n_processes: int = 0
+    process_id: int = -1
 
     @classmethod
     def parser(cls) -> argparse.ArgumentParser:
@@ -111,6 +119,8 @@ class Options:
                      ("--seed", 1), ("--devices", 0), ("--dump-every", 1),
                      ("--sync-every", 1), ("--deflate-k", 0),
                      ("--deflate-iters", 8),
+                     ("--distributed", 0), ("--n-processes", 0),
+                     ("--process-id", -1),
                      ("--verbosity", 1)]:
             flag(f, type=int, default=d)
         for f, d in [("--rho", 0.15), ("--h2", -1.0),
@@ -130,6 +140,7 @@ class Options:
              choices=["default", "realistic", "heavy-tails", "probit"])
         flag("--dtype", default="float32", choices=["float32", "float64"])
         flag("--backend", default="auto", choices=["auto", "pallas", "xla"])
+        flag("--coordinator", default="")
         return p
 
     @classmethod

@@ -359,5 +359,6 @@ def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
                 cb(it, state, m, geno)
         if it > 1 and float(m["rel_change"]) < cfg.stop_criteria_thr:
             break
-    x1_stored = np.asarray(state.x1)[: geno.M] / np.sqrt(geno.N)
+    from gvamp_tpu import dist
+    x1_stored = dist.to_numpy(state.x1)[: geno.M] / np.sqrt(geno.N)
     return x1_stored, state, history
