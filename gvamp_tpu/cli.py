@@ -156,7 +156,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         x_est, state, hist = linear.infer(
             geno, cfg, probs, vars_user, freeze=freeze,
             r1_init=r1_init, x1_init=x1_init,
-            sync_every=opt.sync_every, **common)
+            sync_every=opt.sync_every,
+            phase_timers=bool(opt.phase_timers), **common)
         if hist and dist.is_main():
             write_scalar_history(opt.out_prefix, hist)
         if opt.store_pvals:

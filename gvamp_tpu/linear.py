@@ -243,8 +243,14 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
 
 
 def make_step(geno, cfg: VampConfig, init_est: bool = False,
-              with_truth: bool = False, geno_hold=None, jit: bool = True):
-    """Build the jitted per-iteration step: (state, aux) -> (state, metrics)."""
+              with_truth: bool = False, geno_hold=None, jit: bool = True,
+              phased: bool = False):
+    """Build the jitted per-iteration step: (state, aux) -> (state, metrics).
+
+    With ``phased=True`` returns the ordered tuple of (name, phase_fn)
+    sub-steps instead — the per-phase observability surface (reference
+    MPI_Wtime spans, vamp.cpp:752-755); composing them in order is exactly
+    the fused step."""
     dt = geno.dtype
     Mt = float(geno.Mt)
     N = float(geno.N)
@@ -300,13 +306,18 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         alpha1_d = jnp.where(damp, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
         return x1, x1_d, gam1, alpha1, alpha1_d, eta1, probs, vars_
 
-    def step(state: LinState, aux: Aux):
-        op, y, bern, m_mask = aux.op, aux.y, aux.bern, aux.m_mask
+    # The iteration body is split into phase functions composed by the fused
+    # step below; ``make_phased_step`` jits each phase separately so the CLI
+    # can report per-phase wall-clock like the reference's MPI_Wtime spans
+    # (vamp.cpp:432-433, 620, 637, 752-755).  The carry ``w`` is a plain dict
+    # pytree threaded through the phases.
+
+    def phase_denoise(state: LinState, aux: Aux):
+        m_mask = aux.m_mask
         it = state.it + 1
         state = state._replace(it=it)
         x1_prev = state.x1
 
-        # ---------------- denoising ----------------
         x1_raw, x1, gam1, alpha1_raw, alpha1, eta1, probs, vars_ = \
             denoise(state, aux)
         if init_est:
@@ -314,6 +325,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             x1 = jnp.where(it == 1, state.r1, x1)
 
         cv_r2 = state.cv_r2
+        rho_cross = state.rho
         if cfg.use_cross_val:
             # within-iteration re-damping on held-out R2 (vamp.cpp:356-409):
             # while the held-out R2 drops below the last accepted value,
@@ -346,6 +358,16 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             alpha1 = jnp.where(it > 1,
                                rho_cross * alpha1_raw
                                + (1 - rho_cross) * state.alpha1, alpha1_raw)
+
+        return {"it": it, "x1_prev": x1_prev, "x1": x1, "gam1": gam1,
+                "alpha1": alpha1, "eta1": eta1, "probs": probs,
+                "vars": vars_, "cv_r2": cv_r2, "rho_cross": rho_cross}
+
+    def phase_project(w, state: LinState, aux: Aux):
+        op, y, m_mask = aux.op, aux.y, aux.m_mask
+        it, x1 = w["it"], w["x1"]
+        gam1, alpha1, eta1 = w["gam1"], w["alpha1"], w["eta1"]
+        probs, vars_ = w["probs"], w["vars"]
 
         z1 = ax_fn(op, x1)
 
@@ -380,6 +402,15 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         # train metrics after denoising (err_measures ind=1, vamp.cpp:1232)
         l2y = jnp.sum(jnp.square(y))
         R2_1 = 1.0 - jnp.sum(jnp.square(y - z1)) / l2y
+
+        w = dict(w)
+        w.update(z1=z1, gam2=gam2, r2=r2, rho=rho, probs=probs, vars=vars_,
+                 l2y=l2y, R2_1=R2_1)
+        return w
+
+    def phase_lmmse(w, state: LinState, aux: Aux):
+        op, y, bern, m_mask = aux.op, aux.y, aux.bern, aux.m_mask
+        it, gam2, r2 = w["it"], w["gam2"], w["r2"]
 
         # ---------------- LMMSE ----------------
         # gamma_damp scales gam2 for the whole LMMSE block (v, diag, CG,
@@ -444,6 +475,17 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         gam1_new = _clamp_gamma(eta2 - gam2)
         r1 = ((eta2 * x2 - gam2 * r2) / gam1_new) * m_mask
 
+        w = dict(w)
+        w.update(x2=x2, invq=invq, alpha2=alpha2, eta2=eta2, gam2=gam2,
+                 gam1_new=gam1_new, r1=r1, mu_cg=mu_cg_new,
+                 mu_cg_n=mu_cg_n_new, cg_iters=cg_iters,
+                 cg_rel_err=cg_rel_err, probe_iters=probe_iters)
+        return w
+
+    def phase_noise(w, state: LinState, aux: Aux):
+        op, y = aux.op, aux.y
+        x2, invq = w["x2"], w["invq"]
+
         # noise precision EM update (updateNoisePrec, vamp.cpp:892-927):
         # one wide pass computes A x2 and A invq_j; the trace correction uses
         # <u_j, A^T A q_j> = <A u_j, A q_j> with A u_j precomputed in aux.
@@ -455,7 +497,22 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         gamw_new = N / (resid2 + trace_corr)
 
         # train metrics after LMMSE (err_measures ind=2)
-        R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2)) / l2y
+        R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2)) / w["l2y"]
+
+        w = dict(w)
+        w.update(gamw_new=gamw_new, R2_2=R2_2)
+        return w
+
+    def phase_finish(w, state: LinState, aux: Aux):
+        it, x1, x1_prev = w["it"], w["x1"], w["x1_prev"]
+        gam1, gam2, eta1, eta2 = w["gam1"], w["gam2"], w["eta1"], w["eta2"]
+        alpha1, alpha2, rho = w["alpha1"], w["alpha2"], w["rho"]
+        probs, vars_ = w["probs"], w["vars"]
+        x2, r1, r2, invq = w["x2"], w["r1"], w["r2"], w["invq"]
+        gamw_new, cv_r2 = w["gamw_new"], w["cv_r2"]
+        cg_iters, cg_rel_err = w["cg_iters"], w["cg_rel_err"]
+        probe_iters = w["probe_iters"]
+        R2_1, R2_2 = w["R2_1"], w["R2_2"]
 
         # stopping criterion (vamp.cpp:741-749)
         rel_change = jnp.sqrt(
@@ -472,7 +529,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         }
         if cfg.use_cross_val:
             metrics["cv_r2"] = cv_r2
-            metrics["rho_cross"] = rho_cross
+            metrics["rho_cross"] = w["rho_cross"]
         if with_truth:
             ts = aux.ts
             sqn = jnp.sqrt(N)
@@ -491,13 +548,26 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 diag_for(x2, r1, None)
 
         new_state = LinState(
-            it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=z1,
-            mu_cg=mu_cg_new, mu_cg_n=mu_cg_n_new, mu_probe=invq,
-            gam1=gam1_new, gam2=gam2, gamw=gamw_new, eta1=eta1, eta2=eta2,
-            alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs, vars=vars_,
-            cv_r2=cv_r2)
+            it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=w["z1"],
+            mu_cg=w["mu_cg"], mu_cg_n=w["mu_cg_n"], mu_probe=invq,
+            gam1=w["gam1_new"], gam2=gam2, gamw=gamw_new, eta1=eta1,
+            eta2=eta2, alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs,
+            vars=vars_, cv_r2=cv_r2)
         return _cast_like(new_state, state), metrics
 
+    phases = (("denoise", phase_denoise), ("z1_project", phase_project),
+              ("lmmse_cg", phase_lmmse), ("noise_em", phase_noise),
+              ("finish", phase_finish))
+
+    def step(state: LinState, aux: Aux):
+        w = phase_denoise(state, aux)
+        w = phase_project(w, state, aux)
+        w = phase_lmmse(w, state, aux)
+        w = phase_noise(w, state, aux)
+        return phase_finish(w, state, aux)
+
+    if phased:
+        return phases
     return jax.jit(step) if jit else step
 
 
@@ -521,10 +591,64 @@ def make_scan_step(geno, cfg: VampConfig, k: int, **kw):
     return jax.jit(multi)
 
 
+def _phase_sync(tree) -> float:
+    """Force completion of a phase output and return a wall-clock stamp.
+
+    Fetches one scalar leaf: on the axon-tunneled TPU ``block_until_ready``
+    does not actually wait, so timing must go through a host fetch."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    for leaf in leaves:
+        if hasattr(leaf, "ndim") and leaf.ndim == 0:
+            float(leaf)
+            break
+    else:  # no scalar leaf: fetch one element
+        float(jnp.sum(leaves[0].ravel()[:1]))
+    import time as _t
+    return _t.perf_counter()
+
+
+def make_timed_step(geno, cfg: VampConfig, **kw):
+    """Per-phase-timed step (reference MPI_Wtime spans, vamp.cpp:752-755).
+
+    Each phase runs as its own dispatch with a host sync in between, so the
+    reported ms include one dispatch latency each — use for observability,
+    not for peak throughput (that is ``make_scan_step``).  Timings are
+    attached to metrics as ``phase_ms_<name>``; the first iteration includes
+    compilation.
+    """
+    phases = make_step(geno, cfg, phased=True, **kw)
+    jitted = [(nm, jax.jit(fn)) for nm, fn in phases]
+
+    def step(state: LinState, aux: Aux):
+        import time as _t
+        timings = {}
+        t = _t.perf_counter()
+        nm0, f0 = jitted[0]
+        w = f0(state, aux)
+        t2 = _phase_sync(w)
+        timings[nm0] = t2 - t
+        t = t2
+        for nm, fn in jitted[1:-1]:
+            w = fn(w, state, aux)
+            t2 = _phase_sync(w)
+            timings[nm] = t2 - t
+            t = t2
+        nml, fl = jitted[-1]
+        new_state, metrics = fl(w, state, aux)
+        t2 = _phase_sync(metrics)
+        timings[nml] = t2 - t
+        for nm, dt in timings.items():
+            metrics[f"phase_ms_{nm}"] = np.float64(dt * 1e3)
+        return new_state, metrics
+
+    return step
+
+
 def infer(geno, cfg: VampConfig, probs, vars_user,
           true_signal=None, freeze=None, callbacks=None,
           r1_init=None, x1_init=None, gam1=None, gamw=None,
-          verbose: bool = True, sync_every: int = 1):
+          verbose: bool = True, sync_every: int = 1,
+          phase_timers: bool = False):
     """Run the full linear VAMP loop; returns (x1_hat_stored, history).
 
     ``x1_hat_stored`` is the /sqrt(N)-scaled estimate like the reference's
@@ -537,6 +661,10 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
     ``sync_every`` > 1 runs chunks of that many iterations in ONE device
     dispatch (lax.scan, see make_scan_step) — per-iteration metrics are
     still recorded, but callbacks and the stopping check run per chunk.
+
+    ``phase_timers`` dispatches each phase separately and records
+    ``phase_ms_*`` per iteration (see make_timed_step); overrides
+    ``sync_every``.
     """
     geno_hold = None
     if cfg.use_cross_val:
@@ -549,9 +677,12 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
                    geno_hold=geno_hold)
     kw = dict(init_est=x1_init is not None,
               with_truth=true_signal is not None, geno_hold=geno_hold)
-    chunk = max(1, int(sync_every))
-    step = (make_step(geno, cfg, **kw) if chunk == 1
-            else make_scan_step(geno, cfg, chunk, **kw))
+    chunk = 1 if phase_timers else max(1, int(sync_every))
+    if phase_timers:
+        step = make_timed_step(geno, cfg, **kw)
+    else:
+        step = (make_step(geno, cfg, **kw) if chunk == 1
+                else make_scan_step(geno, cfg, chunk, **kw))
     history = []
     sqn = float(np.sqrt(geno.N))
     it = 0
@@ -572,6 +703,12 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
                       f"alpha2={m['alpha2']:.4g} R2={m['R2_train_1']:.4f} "
                       f"rel={m['rel_change']:.3e} cg={int(m['cg_iters'])}",
                       flush=True)
+                pk = [k for k in m if k.startswith("phase_ms_")]
+                if pk:
+                    # per-phase wall-clock (vamp.cpp:752-755 analog)
+                    print("        " + "  ".join(
+                        f"{k[len('phase_ms_'):]}={float(m[k]):.1f}ms"
+                        for k in pk), flush=True)
             if it >= cfg.max_iter:
                 break
         if callbacks:

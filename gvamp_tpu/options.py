@@ -74,6 +74,10 @@ class Options:
     dump_every: int = 1             # per-iteration estimate dumps (0 = off)
     sync_every: int = 1             # iterations per device dispatch
                                     # (throughput mode, linear model)
+    phase_timers: int = 0           # per-phase wall-clock per iteration
+                                    # (denoise/z1/CG/noise spans like the
+                                    # reference's MPI_Wtime prints,
+                                    # vamp.cpp:752-755); linear model
     deflate_k: int = 0              # spectral deflation rank for the CG
                                     # operator (0 = off; ~256 cuts CG
                                     # iterations ~4x on LD-structured data)
@@ -117,7 +121,8 @@ class Options:
                      ("--use-freeze", 0), ("--init-est", 0), ("--red", 0),
                      ("--use-cross-val", 0),
                      ("--seed", 1), ("--devices", 0), ("--dump-every", 1),
-                     ("--sync-every", 1), ("--deflate-k", 0),
+                     ("--sync-every", 1), ("--phase-timers", 0),
+                     ("--deflate-k", 0),
                      ("--deflate-iters", 8),
                      ("--distributed", 0), ("--n-processes", 0),
                      ("--process-id", -1),

@@ -177,3 +177,20 @@ def test_infer_sync_every_matches():
     for a, b in zip(h1, h3):
         np.testing.assert_allclose(float(a["gam1"]), float(b["gam1"]),
                                    rtol=1e-10)
+
+
+def test_phase_timers_match_fused():
+    """The phased step (per-phase observability, VERDICT #7) must reproduce
+    the fused step exactly and attach phase_ms_* wall-clock entries."""
+    geno, beta, vars_t, probs_t = build_sim(N=400, M=256)
+    cfg = linear.VampConfig(max_iter=3, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0)
+    x_f, s_f, h_f = linear.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    x_p, s_p, h_p = linear.infer(geno, cfg, probs_t, vars_t, verbose=False,
+                                 phase_timers=True)
+    np.testing.assert_array_equal(x_f, x_p)
+    for k in ("gam1", "gam2", "gamw", "alpha1", "alpha2"):
+        np.testing.assert_array_equal(float(h_f[-1][k]), float(h_p[-1][k]))
+    for nm in ("denoise", "z1_project", "lmmse_cg", "noise_em", "finish"):
+        assert f"phase_ms_{nm}" in h_p[-1]
+        assert float(h_p[-1][f"phase_ms_{nm}"]) > 0.0
