@@ -38,8 +38,19 @@ class IterDumper:
         # M-space vectors may be sharded across processes: each process
         # writes its own shards at their global offsets (dist.write_m_global,
         # the mpi_store_vec_to_file analog)
+        # x1 + r1 is the COMPLETE reference per-iteration dump set for
+        # probit (vamp_probit.cpp:211-225) and robust (vamp_Huber.cpp:145-158)
+        # — the reference writes no z/p-space .bin files for those models.
         dist.write_m_global(f"{pre}{tag}_it_{it}.bin", state.x1, M, S, scale)
         dist.write_m_global(f"{pre}{tag}_r1_it_{it}.bin", state.r1, M, S, scale)
+        if self.model in ("bin_class", "robust") and dist.is_main():
+            # extension: z-space posterior mean + p1 message per iteration
+            # (debugging/restart aid; N-space is replicated, one writer)
+            for nm in ("z1", "p1"):
+                vec = geno.deplanarize(dist.to_numpy(getattr(state, nm)))
+                full = np.zeros(4 * geno.layout.mbytes)
+                full[: geno.N] = vec[: geno.N]
+                vecio.write_txt(f"{pre}{tag}_{nm}_it_{it}.csv", full)
         if self.model == "linear":
             dist.write_m_global(f"{pre}_r2_it_{it}.bin", state.r2, M, S, scale)
             dist.write_m_global(f"{pre}_it_{it}_x2_hat.bin", state.x2, M, S,

@@ -118,6 +118,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         # decode pass (gvamp_tpu/multi.py; the reference handles one
         # phenotype per run, main_real.cpp:52)
         from gvamp_tpu import linear, multi
+        _check_multi_flags(opt)
         ys = []
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
@@ -136,6 +137,10 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         x_est, state, hist = multi.infer(mp, cfg, probs, vars_user,
                                          verbose=opt.verbosity > 0,
                                          callbacks=[dump_cb])
+        if hist and dist.is_main():
+            _write_multi_scalar_history(opt.out_prefix, hist, mp.T)
+        if opt.store_pvals:
+            _store_pvals_multi(opt, geno, ys, state)
         return x_est, state, hist
 
     if opt.model == "linear":
@@ -167,6 +172,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
     if opt.model == "bin_class" and len(opt.phen_files) > 1:
         # multi-trait probit extension (gvamp_tpu/multi.py)
         from gvamp_tpu import multi, probit
+        _check_multi_flags(opt)
         ys = []
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
@@ -196,6 +202,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
     if opt.model == "robust" and len(opt.phen_files) > 1:
         # multi-trait Huber extension (gvamp_tpu/multi.py)
         from gvamp_tpu import multi, robust
+        _check_multi_flags(opt)
         ys = []
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
@@ -221,6 +228,59 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         return robust.infer(geno, cfg, probs, vars_user, **common)
 
     raise SystemExit(f"invalid model {opt.model!r}")
+
+
+def _check_multi_flags(opt):
+    """Fail fast on flags the multi-trait engines do not support (the
+    single-trait paths honor them; silently ignoring them would lose
+    user intent — advisor finding r1)."""
+    bad = [nm for nm, v in [
+        ("--use-XXT-denoiser", opt.use_XXT_denoiser),
+        ("--use-lmmse-damp", opt.use_lmmse_damp),
+        ("--use-cross-val", opt.use_cross_val),
+        ("--use-freeze", opt.use_freeze),
+        ("--init-est", opt.init_est),
+        ("--checkpoint", opt.checkpoint),
+        ("--resume", opt.resume),
+        ("--phase-timers", opt.phase_timers),
+    ] if v]
+    if bad:
+        raise SystemExit(
+            "multi-trait runs (multiple --phen-files) do not support: "
+            + ", ".join(bad))
+
+
+def _write_multi_scalar_history(prefix, hist, T):
+    """Per-trait gam1s/gam2s/R2trains CSVs (vamp.cpp:778-794 per trait)."""
+    from gvamp_tpu.ckpt import write_scalar_history
+    keys = ("gam1", "gam2", "R2_train_1", "R2_train_2")
+    for t in range(T):
+        ht = []
+        for h in hist:
+            d = {}
+            for k in keys:
+                if k in h:
+                    v = np.asarray(h[k])
+                    d[k] = v[t] if v.ndim else v
+            ht.append(d)
+        write_scalar_history(f"{prefix}_phen{t}", ht)
+
+
+def _store_pvals_multi(opt, geno, ys, state):
+    """Per-trait end-of-run LOO (+LOCO) p-values for multi-trait runs."""
+    from gvamp_tpu.ops import pvals as pv
+    for t in range(len(ys)):
+        geno.set_phen(ys[t], standardize=(opt.model != "bin_class"))
+        z1_t, x1_t = state.z1[..., t], state.x1[:, t]
+        p = pv.loo_pvals(geno, z1_t, x1_t)
+        vecio.write_bin_shard(f"{opt.out_prefix}_phen{t}_pvals.bin", p, geno.S)
+        print(f"pvals -> {opt.out_prefix}_phen{t}_pvals.bin")
+        if opt.bim_file:
+            ploco = pv.loco_pvals(
+                geno, z1_t, x1_t, geno.chromosomes(),
+                predictor_cb=_loco_predictor_writer(opt, geno, f"_phen{t}"))
+            vecio.write_bin_shard(f"{opt.out_prefix}_phen{t}_pvals_LOCO.bin",
+                                  ploco, geno.S)
 
 
 def _store_pvals_after_infer(opt, geno, state):
@@ -329,75 +389,133 @@ def _tagged(path, tag):
         d, f"{m.group('stem')}{tag}{m.group('it') or ''}.{m.group('ext')}")
 
 
+def _trait_tags(opt, test=False):
+    """('' ,) for single-trait; ('_phen0', '_phen1', ...) for multi-trait —
+    the series tags written by the multi-trait infere dumps."""
+    phens = (opt.phen_files_test if test else opt.phen_files) or opt.phen_files
+    if len(phens) <= 1:
+        return [("", phens[0] if phens else None)]
+    return [(f"_phen{t}", pf) for t, pf in enumerate(phens)]
+
+
 def mode_test(opt: Options):
+    """R2 / confusion sweep over a stored estimate series
+    (main_real.cpp:129-244; probit variant main_real_probit.cpp:117-157).
+    Multi-trait runs evaluate each trait's ``_phen{t}`` series in turn
+    (extension: the reference handles one phenotype per run)."""
     geno = _load_geno(opt, test=True)
     import jax.numpy as jnp
-    y = np.asarray(geno.deplanarize(geno.filter_pheno()))[: geno.N]
-    best, best_it = -np.inf, -1
-    sqn = np.sqrt(geno.N)
-    for it, est in _estimate_series(opt, geno.M, geno.S):
-        z = geno.deplanarize(geno.ax(geno.pad_m(est * sqn)))[: geno.N]
-        if opt.model == "bin_class":
-            from gvamp_tpu.ops.special import normal_cdf
-            m_cov = np.zeros(geno.N)
-            if opt.cov_estimate_file and opt.C:
-                eff = vecio.read_estimate(opt.cov_estimate_file, opt.C, 0)
-                m_cov = geno.covs_np @ eff
-            prob = np.asarray(normal_cdf(jnp.asarray(z + m_cov)))
-            pred = prob >= 0.5
-            truth = y >= 0.5
-            tp = np.sum(pred & truth); fp = np.sum(pred & ~truth)
-            fn = np.sum(~pred & truth); tn = np.sum(~pred & ~truth)
-            tpr = tp / max(tp + fn, 1); fpr = fp / max(fp + tn, 1)
-            acc = (tp + tn) / geno.N
-            print(f"it {it}: TPR={tpr:.4f} FPR={fpr:.4f} acc={acc:.4f}")
-            score = acc
-        else:
-            err2 = float(np.sum((y - z) ** 2))
-            sd = np.std(y, ddof=1)
-            score = 1.0 - err2 / (sd * sd * geno.N)
-            print(f"it {it}: R2 = {score:.6f}")
-        if score > best:
-            best, best_it = score, it
-    print(f"max score = {best:.6f} at it = {best_it}")
-    return best, best_it
+    traits = _trait_tags(opt, test=True)
+    results = []
+    for tag, pf in traits:
+        if len(traits) > 1:
+            y_raw, isna = plink.read_phen(pf)
+            geno.set_phen(np.where(isna, np.nan, y_raw),
+                          standardize=(opt.model != "bin_class"))
+            print(f"trait {tag or pf}:")
+        y = np.asarray(geno.deplanarize(geno.filter_pheno()))[: geno.N]
+        best, best_it = -np.inf, -1
+        sqn = np.sqrt(geno.N)
+        for it, est in _estimate_series(opt, geno.M, geno.S, tag=tag):
+            z = geno.deplanarize(geno.ax(geno.pad_m(est * sqn)))[: geno.N]
+            if opt.model == "bin_class":
+                from gvamp_tpu.ops.special import normal_cdf
+                m_cov = np.zeros(geno.N)
+                if opt.cov_estimate_file and opt.C:
+                    eff = vecio.read_estimate(opt.cov_estimate_file, opt.C, 0)
+                    m_cov = geno.covs_np @ eff
+                prob = np.asarray(normal_cdf(jnp.asarray(z + m_cov)))
+                pred = prob >= 0.5
+                truth = y >= 0.5
+                tp = np.sum(pred & truth); fp = np.sum(pred & ~truth)
+                fn = np.sum(~pred & truth); tn = np.sum(~pred & ~truth)
+                tpr = tp / max(tp + fn, 1); fpr = fp / max(fp + tn, 1)
+                acc = (tp + tn) / geno.N
+                print(f"it {it}: TPR={tpr:.4f} FPR={fpr:.4f} acc={acc:.4f}")
+                score = acc
+            else:
+                err2 = float(np.sum((y - z) ** 2))
+                sd = np.std(y, ddof=1)
+                score = 1.0 - err2 / (sd * sd * geno.N)
+                print(f"it {it}: R2 = {score:.6f}")
+            if score > best:
+                best, best_it = score, it
+        print(f"max score = {best:.6f} at it = {best_it}")
+        results.append((best, best_it))
+    return results if len(traits) > 1 else results[0]
 
 
 def mode_both(opt: Options):
     """infere on train, then test-set R^2 with train intercept/scale
-    de-standardization (main_real.cpp:245-330)."""
+    de-standardization (main_real.cpp:245-330).  Multi-trait runs score
+    each trait against its own test phenotype (extension)."""
     geno = _load_geno(opt)
     x_est, state, hist = run_inference(opt, geno)
-    intercept, scale = geno.intercept, geno.scale
+    x_est = np.asarray(x_est)
+    traits = _trait_tags(opt, test=True)
+    multi = x_est.ndim == 2
+    # per-trait train standardization (the multi-trait binder standardizes
+    # each phenotype like the single-trait loader; recompute here)
+    scales = []
+    if multi:
+        for _, pf in _trait_tags(opt, test=False):
+            yt, isna = plink.read_phen(pf)
+            y_v = np.where(isna, np.nan, yt)
+            avg = float(np.nanmean(y_v))
+            sqn_t = float(np.sqrt(((~isna).sum() - 1)
+                                  / np.nansum((y_v - avg) ** 2)))
+            scales.append((avg, sqn_t))
+    else:
+        scales = [(geno.intercept, geno.scale)]
     geno_t = _load_geno(opt, test=True)
     sqn = np.sqrt(geno_t.N)
-    z = geno_t.deplanarize(geno_t.ax(geno_t.pad_m(
-        np.asarray(x_est)[: geno_t.M] * sqn)))[: geno_t.N]
-    z = intercept + scale * z
-    y = np.asarray(geno_t.deplanarize(geno_t.filter_pheno()))[: geno_t.N]
-    err2 = float(np.sum((y - z) ** 2))
-    sd = np.std(y, ddof=1)
-    r2 = 1.0 - err2 / (sd * sd * geno_t.N)
-    print(f"test R2 = {r2:.6f}")
-    return r2
+    r2s = []
+    for t, (tag, pf) in enumerate(traits):
+        if multi:
+            y_raw, isna = plink.read_phen(pf)
+            geno_t.set_phen(np.where(isna, np.nan, y_raw),
+                            standardize=(opt.model != "bin_class"))
+        est_t = x_est[:, t] if multi else x_est
+        intercept, scale = scales[min(t, len(scales) - 1)]
+        z = geno_t.deplanarize(geno_t.ax(geno_t.pad_m(
+            est_t[: geno_t.M] * sqn)))[: geno_t.N]
+        z = intercept + scale * z
+        y = np.asarray(geno_t.deplanarize(geno_t.filter_pheno()))[: geno_t.N]
+        err2 = float(np.sum((y - z) ** 2))
+        sd = np.std(y, ddof=1)
+        r2 = 1.0 - err2 / (sd * sd * geno_t.N)
+        print(f"test R2{tag and f' ({tag})' or ''} = {r2:.6f}")
+        r2s.append(r2)
+    return r2s if multi else r2s[0]
 
 
 def mode_pvals_calc(opt: Options):
+    """LOO/LOCO p-values for stored estimates (main_real.cpp:331-452).
+    Multi-trait: each trait's series is residualized against its own
+    phenotype and written with the ``_phen{t}`` tag (extension)."""
     from gvamp_tpu.ops import pvals as pv
     geno = _load_geno(opt)
     sqn = np.sqrt(geno.N)
-    for it, est in _estimate_series(opt, geno.M, geno.S):
-        tag = f"_it_{it}" if it != -1 else ""
-        x1 = geno.pad_m(est * sqn)
-        z1 = geno.ax(x1)
-        if opt.store_pvals in (0, 1):
-            p = pv.loo_pvals(geno, z1, x1)
-            vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals.bin", p, geno.S)
-        if opt.bim_file and opt.store_pvals in (0, 2):
-            p = pv.loco_pvals(geno, z1, x1, geno.chromosomes(),
-                              predictor_cb=_loco_predictor_writer(opt, geno, tag))
-            vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals_LOCO.bin",
-                                  p, geno.S)
+    traits = _trait_tags(opt)
+    for ttag, pf in traits:
+        if len(traits) > 1:
+            y_raw, isna = plink.read_phen(pf)
+            geno.set_phen(np.where(isna, np.nan, y_raw),
+                          standardize=(opt.model != "bin_class"))
+        for it, est in _estimate_series(opt, geno.M, geno.S, tag=ttag):
+            tag = ttag + (f"_it_{it}" if it != -1 else "")
+            x1 = geno.pad_m(est * sqn)
+            z1 = geno.ax(x1)
+            if opt.store_pvals in (0, 1):
+                p = pv.loo_pvals(geno, z1, x1)
+                vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals.bin", p,
+                                      geno.S)
+            if opt.bim_file and opt.store_pvals in (0, 2):
+                p = pv.loco_pvals(
+                    geno, z1, x1, geno.chromosomes(),
+                    predictor_cb=_loco_predictor_writer(opt, geno, tag))
+                vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals_LOCO.bin",
+                                      p, geno.S)
 
 
 def mode_predict(opt: Options, single: bool = False):

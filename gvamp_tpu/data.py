@@ -125,6 +125,7 @@ class GenoBed:
     covs: Optional[np.ndarray] = None  # [N, C] covariates (probit model)
     _chroms: Optional[np.ndarray] = None
     _complete: Optional[bool] = None   # no missing genotypes (lazy-computed)
+    n_offset: int = 0  # first window individual (sample_window views only)
 
     # ---------------------------------------------------------------- build
 
@@ -269,7 +270,7 @@ class GenoBed:
         return cls.from_arrays(bed, y, N=N, Mt=Mt, S=S, **kw)
 
     def sample_window(self, sb: int, lb: int) -> "GenoBed":
-        """Sub-block of individuals [4*sb, 4*(sb+lb)) as a standalone container.
+        """Sub-block of individuals [4*sb, 4*(sb+lb)) as a masked VIEW.
 
         The TPU-native reshape of the reference's (SB, LB) byte-window matvec
         arguments (data.cpp:728-801, 852), used by the cross-validation
@@ -279,19 +280,32 @@ class GenoBed:
         the full mave/msig, data.cpp:744-747) and the matvec scale becomes
         1/sqrt(4*lb) (data.cpp:825-832); the phenotype window keeps the
         full-data standardization.
+
+        The view SHARES the packed words on device (no host round-trip, no
+        second HBM copy — the r1 implementation repacked via NumPy, O(M*Nw)
+        host traffic per window): out-of-window individuals are zeroed
+        through the planar phenotype-NA mask, which every matvec already
+        applies (ax outputs are multiplied by it; atx inputs are pre-masked).
+        ``deplanarize`` shifts by ``n_offset`` so callers' ``[: win.N]``
+        slicing sees window individuals at the origin, like a standalone
+        container.
         """
-        by = self.layout.words_to_bytes(np.asarray(self.words).T[: self.M])
-        by_w = by[:, sb : sb + lb]
-        na = self.layout.deplanarize(np.asarray(self.na_planar))[: self.N]
-        yv = self.layout.deplanarize(np.asarray(self.y_planar))[: self.N]
-        y_raw = np.where(na > 0, yv, np.nan)
+        import copy
+
+        nb = self.layout.n_bytes
         n_lo, n_hi = 4 * sb, min(4 * (sb + lb), self.N)
-        win = GenoBed.from_arrays(
-            by_w, y_raw[n_lo:n_hi], N=n_hi - n_lo, Mt=self.Mt, S=self.S,
-            standardize_phen=False, alpha_scale=self.alpha_scale,
-            mesh=self.mesh, backend=self.backend, dtype=self.dtype)
-        win.intercept, win.scale = self.intercept, self.scale
-        win.mave, win.msig = self.mave[: win.Mpad], self.msig[: win.Mpad]
+        cols = jnp.arange(nb)
+        colmask = ((cols >= sb) & (cols < sb + lb)).astype(self.dtype)[None, :]
+        win = copy.copy(self)
+        win.N = n_hi - n_lo
+        win.n_offset = n_lo
+        win.na_planar = self.na_planar * colmask
+        win.y_planar = self.y_planar * colmask
+        win.nonas = int(np.asarray(jnp.sum(win.na_planar)))
+        # full-data completeness implies window completeness (the converse
+        # need not hold; the conservative inherit keeps the a-only fast path
+        # sound — an incomplete parent just uses the general kernels)
+        win._complete = self.geno_complete
         return win
 
     def set_phen(self, y: np.ndarray, standardize: bool = False) -> None:
@@ -633,7 +647,10 @@ class GenoBed:
         return jnp.asarray(self.layout.planarize(np.asarray(v)), self.dtype)
 
     def deplanarize(self, vp: jax.Array) -> np.ndarray:
-        return self.layout.deplanarize(np.asarray(vp))
+        arr = self.layout.deplanarize(np.asarray(vp))
+        # sample_window views: window individuals appear at the origin so
+        # callers' [: self.N] slicing works like a standalone container
+        return arr[self.n_offset:] if self.n_offset else arr
 
     def pad_m(self, x: np.ndarray, fill: float = 0.0) -> jax.Array:
         out = np.full((self.Mpad,), fill, dtype=np.float64)

@@ -52,9 +52,26 @@ def main():
     checks["atxm_pallas(bf16)"] = max(rel(fa, ra64), rel(fb, rb64))
     checks["atxm_i8_pallas"] = max(rel(ia, ra64), rel(ib, rb64))
 
+    # Production-size adversarial case (advisor r1): the radix-127 digit
+    # error is O(M * colmax / 127^NDIG) worst-case, so a constant-sign RHS
+    # at production contraction length must stay within the documented
+    # bound.  M=131072 matches the measured BASELINE config.
+    Mbig = 131072
+    wb_np = rng.integers(0, 2**32, size=(8, Mbig), dtype=np.uint64).astype(np.uint32)
+    wbig = jnp.asarray(wb_np)
+    Wbig = np.abs(rng.standard_normal((Mbig, 2))).astype(np.float32)  # one sign
+    by_b = wb_np.T.copy().view(np.uint8).reshape(Mbig, 32)
+    zb64 = np.zeros((4, 32, 2))
+    for k in range(4):
+        code = (by_b >> (2 * k)) & 3
+        a = np.select([code == 0, code == 2], [2.0, 1.0], 0.0)
+        zb64[k] = a.T @ Wbig.astype(np.float64)
+    checks["axm_i8a (M=131k, const-sign)"] = rel(
+        matvec.axm_i8a_pallas(wbig, jnp.asarray(Wbig), tnw=8, tm=512), zb64)
+
     bad = {k: v for k, v in checks.items() if v > TOL}
     for k, v in checks.items():
-        print(f"{'FAIL' if v > TOL else 'ok  '} {k:22s} relerr {v:.3g}")
+        print(f"{'FAIL' if v > TOL else 'ok  '} {k:30s} relerr {v:.3g}")
     if bad:
         sys.exit(1)
     print("all kernels hardware-exact")
