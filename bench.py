@@ -1,20 +1,29 @@
-"""Benchmark: wall-clock per linear-VAMP iteration on the BASELINE config.
+"""Benchmark: wall-clock per linear-VAMP iteration, two configs.
 
-Config = BASELINE.json configs[0]: linear VAMP on simulated data, N=5k,
-M=20k, 3-component mixture, CG LMMSE.  The reference publishes no numbers
-(BASELINE.md), so the baseline was MEASURED: the actual reference C++ was
-compiled on this host (g++ -march=native -DMANVECT -Ofast, single-rank MPI
-stub, 1 CPU core with AVX-512) and run on this exact config — 2.09 s per
-VAMP iteration steady-state (mean of iterations 2-6 of sim.cpp's own
-timers; see BASELINE.md "Measured" section).  vs_baseline is that number
-over our per-iteration wall-clock.  Estimate parity on the identical
-dataset: corr(ours, reference it 6) = 0.99997.
+Config A (headline, BASELINE.json configs[0]): linear VAMP on simulated
+data, N=5k, M=20k, 3-component mixture, CG LMMSE.  The reference publishes
+no numbers (BASELINE.md), so the baseline was MEASURED: the actual
+reference C++ was compiled on this host (g++ -march=native -DMANVECT
+-Ofast, single-rank MPI stub, 1 CPU core with AVX-512) and run on this
+exact config — 2.09 s per VAMP iteration steady-state (mean of iterations
+2-6 of sim.cpp's own timers; see BASELINE.md "Measured" section).
+vs_baseline is that number over our per-iteration wall-clock.  Estimate
+parity on the identical dataset: corr(ours, reference it 6) = 0.99997.
+NOTE: at this 0.03 GB size the number is dominated by the ~10 ms/dispatch
+axon-tunnel latency (docs/ROOFLINE.md), amortized over BENCH_ITERS by the
+scan — it measures dispatch+latency, not kernels.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Config B (bandwidth-bound, VERDICT r1 #4): the same engine at
+N=~328k, M=131k — ~10.7 GB packed, the largest complete-genotype problem
+that fits HBM next to the engine state.  Its per-iteration seconds and
+packed GB/s are reported as extra fields ("bw_*") on the same JSON line.
+Skip with BENCH_FAST=1.
 
-Timing discipline: everything stays on device; the only host fetches are tiny
-scalars, amortized over K iterations (remote-tunnel TPU attachments make
-per-call fetches expensive).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", bw_*...}.
+
+Timing discipline: everything stays on device; the only host fetches are
+tiny scalars, amortized over K iterations (remote-tunnel TPU attachments
+make per-call fetches expensive).
 """
 
 import json
@@ -27,48 +36,71 @@ import numpy as np
 N = int(os.environ.get("BENCH_N", 5000))
 M = int(os.environ.get("BENCH_M", 20480))
 K_ITERS = int(os.environ.get("BENCH_ITERS", 8))
+# config B: NW=20480 words -> N=327,680 individuals; 10.74 GB packed
+BW_N = int(os.environ.get("BENCH_BW_N", 327680))
+BW_M = int(os.environ.get("BENCH_BW_M", 131072))
+BW_ITERS = int(os.environ.get("BENCH_BW_ITERS", 2))
 
 
-def main():
+def synth_geno(N, M, chunk_cols=4096):
+    """Complete-genotype packed matrix synthesized ON DEVICE (the measured
+    reference baseline ran sim.cpp, whose genotypes have no missing calls):
+    every 2-bit "01" missing code is remapped to "11", so the complete-data
+    fast path engages, like imputed data.  Generated in column chunks — a
+    single jax.random.bits of a >3 GB array OOMs from temporaries."""
     import jax
     import jax.numpy as jnp
     from gvamp_tpu.data import GenoBed
     from gvamp_tpu.ops.layout import PlanarLayout
+
+    lay = PlanarLayout.create(N)
+    mpad = ((M + 511) // 512) * 512
+    chunk_cols = min(chunk_cols, mpad)
+    assert mpad % chunk_cols == 0, (mpad, chunk_cols)
+
+    @jax.jit
+    def gen():
+        def body(i, acc):
+            k = jax.random.fold_in(jax.random.key(0), i)
+            raw = jax.random.bits(k, (lay.n_words, chunk_cols),
+                                  dtype=jnp.uint32)
+            lo = raw & np.uint32(0x55555555)
+            hi = (raw >> np.uint32(1)) & np.uint32(0x55555555)
+            is01 = lo & ~hi
+            w = raw | (is01 << np.uint32(1))
+            return jax.lax.dynamic_update_slice(acc, w, (0, i * chunk_cols))
+        out = jnp.zeros((lay.n_words, mpad), jnp.uint32)
+        return jax.lax.fori_loop(0, mpad // chunk_cols, body, out)
+
+    words = gen()
+    return GenoBed.from_device_words(words, np.zeros(N), N=N, M=M,
+                                     standardize_phen=False), lay, mpad
+
+
+def run_config(N, M, k_iters, warm_steps=2):
+    """Build the sim problem, run the scan-mode engine, return timings."""
+    import jax
     from gvamp_tpu import linear, sim
 
     rng = np.random.default_rng(0)
-    lay = PlanarLayout.create(N)
-    mpad = ((M + 511) // 512) * 512
-
-    # synthetic packed genotypes generated ON DEVICE.  The measured reference
-    # baseline ran the sim.cpp recipe, whose genotypes have NO missing calls
-    # (BASELINE.md); generate the same: remap every 2-bit "01" missing code
-    # to "11" so the complete-data fast path engages, like imputed data.
-    raw = jax.random.bits(jax.random.key(0), (lay.n_words, mpad), dtype=jnp.uint32)
-    lo = raw & np.uint32(0x55555555)
-    hi = (raw >> np.uint32(1)) & np.uint32(0x55555555)
-    is01 = lo & ~hi
-    words = raw | (is01 << np.uint32(1))
-    geno = GenoBed.from_device_words(words, np.zeros(N), N=N, M=M,
-                                     standardize_phen=False)
-
+    geno, lay, mpad = synth_geno(N, M)
     vars_t, probs_t = sim.two_group_prior(M, 1000, 0.5)
     beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
     y = sim.simulate_linear_phenotype(geno, beta[:M], 2.0, rng)
     geno.set_phen(y)
 
-    cfg = linear.VampConfig(max_iter=K_ITERS + 2, rho=0.15, gam1_init=1e-8,
-                            gamw_init=2.0)
+    cfg = linear.VampConfig(max_iter=k_iters + warm_steps, rho=0.15,
+                            gam1_init=1e-8, gamw_init=2.0)
     state = linear.init_state(geno, cfg, probs_t, vars_t)
     aux = linear.make_aux(geno, cfg)
     step = linear.make_step(geno, cfg)
-    scan_step = linear.make_scan_step(geno, cfg, K_ITERS)
+    scan_step = linear.make_scan_step(geno, cfg, k_iters)
 
-    # warmup: compile + 2 iterations (CG iteration counts stabilize), then
-    # TWO scan executions — the first post-compile run pays a one-time
+    # warmup: compile + iterations until CG counts stabilize, then TWO scan
+    # executions — the first post-compile run pays a one-time
     # executable-upload/autotune cost through the tunnel
-    state, metrics = step(state, aux)
-    state, metrics = step(state, aux)
+    for _ in range(warm_steps):
+        state, metrics = step(state, aux)
     _s, _m = scan_step(state, aux)
     float(_m["gam1"][-1])  # sync
     _s, _m = scan_step(state, aux)
@@ -80,33 +112,59 @@ def main():
     t0 = time.perf_counter()
     state, metrics = scan_step(state, aux)
     metrics = {k: np.asarray(v)[-1] for k, v in jax.device_get(metrics).items()}
-    dt_iter = (time.perf_counter() - t0) / K_ITERS
+    dt_iter = (time.perf_counter() - t0) / k_iters
     cg_it = float(metrics["cg_iters"])
     probe_it = float(metrics["probe_iters"])
-    gam1 = float(metrics["gam1"])
 
     # single-pass-equivalents per iteration after the block-CG redesign:
     # joint block CG (width 2, ax+atx per it incl init) + z1 + the final
     # width-2 axm for [x2, invq]; ATy and A@bern are precomputed in aux.
     passes = 2 * (max(cg_it, probe_it) + 1) + 1 + 1
     packed_bytes = lay.n_words * 4 * mpad
-    eff_gbs = passes * packed_bytes / dt_iter / 1e9
+    return dict(dt_iter=dt_iter, passes=passes, packed_bytes=packed_bytes,
+                gbs=passes * packed_bytes / dt_iter / 1e9,
+                cg_it=cg_it, gam1=float(metrics["gam1"]))
+
+
+def main():
+    import jax
+
+    a = run_config(N, M, K_ITERS)
 
     # ---- measured reference baseline (BASELINE.md): 2.09 s/iteration on
     # this host's CPU (1 core, AVX-512, -DMANVECT -Ofast), same config
     REF_ITER_S = 2.09
-    vs_baseline = REF_ITER_S / dt_iter
-
     out = {
         "metric": "linear_vamp_iter_wallclock_N5k_M20k",
-        "value": round(dt_iter * 1e3, 3),
+        "value": round(a["dt_iter"] * 1e3, 3),
         "unit": "ms",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": round(REF_ITER_S / a["dt_iter"], 2),
     }
+    print(f"# A: backend={jax.default_backend()} passes/it={a['passes']:.0f} "
+          f"packed={a['packed_bytes']/1e9:.2f}GB "
+          f"eff_bandwidth={a['gbs']:.0f}GB/s "
+          f"gam1={a['gam1']:.4g} cg_it={a['cg_it']:.0f}", file=sys.stderr)
+
+    if os.environ.get("BENCH_FAST", "") != "1" \
+            and jax.default_backend() != "cpu":
+        try:
+            b = run_config(BW_N, BW_M, BW_ITERS, warm_steps=1)
+            out.update(
+                bw_config=f"N{BW_N}_M{BW_M}",
+                bw_packed_gb=round(b["packed_bytes"] / 1e9, 2),
+                bw_iter_s=round(b["dt_iter"], 3),
+                bw_passes=int(b["passes"]),
+                bw_gbs=round(b["gbs"], 1),
+            )
+            print(f"# B: packed={b['packed_bytes']/1e9:.2f}GB "
+                  f"iter={b['dt_iter']:.3f}s passes={b['passes']:.0f} "
+                  f"bandwidth={b['gbs']:.0f}GB/s cg_it={b['cg_it']:.0f}",
+                  file=sys.stderr)
+        except Exception as e:  # never lose the headline metric
+            print(f"# B failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+
     print(json.dumps(out))
-    print(f"# backend={jax.default_backend()} passes/it={passes:.0f} "
-          f"packed={packed_bytes/1e9:.2f}GB eff_bandwidth={eff_gbs:.0f}GB/s "
-          f"gam1={gam1:.4g} cg_it={cg_it:.0f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -415,6 +415,11 @@ def atxm_pallas(words, V, tnw=0, tm=0):
 # emitted separately because their digit scales differ.  Absolute error is
 # ~127^-_NDIG of the per-column max (~3.8e-9), on par with the bf16 3-split.
 
+# Worst-case digit-quantization error of a length-M dot against the integer
+# LHS: |err| <= M * 2 * colmax / (2 * 127^NDIG) ~ M * colmax * 3.8e-9 at
+# NDIG=4 (all-same-sign adversarial inputs; typical ~1e-8 relative).  At the
+# production M=131k this is ~5e-4 * colmax absolute worst case —
+# tools/tpu_check.py pins a constant-sign M=131k case on hardware.
 _NDIG = 4
 
 # Wide-RHS kernels hold their whole output block (and digit inputs) in VMEM

@@ -262,3 +262,48 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---- v7: int8-input decode (no in-kernel bitcast) --------------------------
+# The words buffer is stored pre-expanded as int8[4Nw, M] (same bytes, host
+# reinterpretation — zero extra HBM).  Decode runs as int8 elementwise ops;
+# if Mosaic executes those at full lane rate this deletes the 2.5 ms
+# bitcast relayout, if it emulates them via i32 unpack it re-pays it.
+
+def _v7_kernel(g_ref, w8_ref, za_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        za_ref[...] = jnp.zeros(za_ref.shape, za_ref.dtype)
+    g = g_ref[...]                      # int8[4*TNW, TM] packed bytes
+    w8 = w8_ref[...]
+    one = jnp.int8(1)
+    for k in range(4):
+        c = (g >> jnp.int8(2 * k)) & jnp.int8(3)
+        lo = c & one
+        hi = (c >> one) & one
+        notlo = lo ^ one
+        a8 = (notlo << one) - (hi & notlo)
+        za_ref[k] += jax.lax.dot_general(
+            a8, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+
+@jax.jit
+def v7_i8decode(bytes8, W):
+    N8, Mm = bytes8.shape           # N8 = 4*Nw
+    B = W.shape[1]
+    w8, ws = _quant_digits(W, 1)
+    D = _NDIG * B
+    za = pl.pallas_call(
+        _v7_kernel, grid=(N8 // (4 * TNW), Mm // TM),
+        in_specs=[
+            pl.BlockSpec((4 * TNW, TM), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, 4 * TNW, D), lambda i, j: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, N8, D), jnp.int32),
+    )(bytes8, w8)
+    return _fold_digits(za, ws[0][None, None, :], B)
