@@ -230,8 +230,19 @@ def make_deflated_precond(V, lam, tau, gam2, diag):
 
     SPD for positive (tau, gam2); cost per CG iteration = two skinny
     [m, k] matmuls, negligible next to a packed-matrix pass.
+
+    ``tau``/``gam2`` may be scalars or per-column [B] vectors (the
+    multi-trait block solve, where column j's operator is
+    tau_j S + gam2_j I); V/lam stay shared across columns.
     """
-    inv_eig = 1.0 / (tau * lam + gam2)      # [k] (or [k, B] if per-column)
+    tau = jnp.asarray(tau)
+    gam2 = jnp.asarray(gam2)
+    if tau.ndim or gam2.ndim:
+        # per-column: [k, B]
+        inv_eig = 1.0 / (jnp.reshape(tau, (1, -1)) * lam[:, None]
+                         + jnp.reshape(gam2, (1, -1)))
+    else:
+        inv_eig = 1.0 / (tau * lam + gam2)      # [k]
 
     def apply(r):  # r: [m, B]
         c = V.T @ r                          # [k, B]

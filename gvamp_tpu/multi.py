@@ -188,6 +188,25 @@ class MultiAux(NamedTuple):
     aty: jax.Array      # [Mpad, T] per-trait A_t^T y_t
     z_bern: jax.Array   # [4, Nb, T*P] per-trait A_t @ probes
     m_mask: jax.Array
+    defl: object = None  # (V [Mpad, k], lam [k]) shared deflation basis
+
+
+def _make_defl(mp: MultiPhen, cfg):
+    """Shared CG deflation basis (cg.top_eigs) for the multi-trait block
+    solves.  The basis is computed over trait 0's standardized Gram; other
+    traits' Grams differ only through their phenotype-NA supports, so the
+    basis remains an SPD preconditioner for every column (correctness is
+    unaffected — only the per-trait iteration savings are approximate)."""
+    if cfg.deflate_k <= 0:
+        return None
+    from gvamp_tpu import cg as _cg
+    axm_fn, atxm_fn = mp.fns()
+    op = mp.op
+    cols0 = np.zeros(cfg.deflate_k, dtype=int)
+    mult = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk, cols0), cols0))
+    return _cg.top_eigs(mult, mp.geno.Mpad, cfg.deflate_k,
+                        jax.random.fold_in(jax.random.key(cfg.seed), 7),
+                        n_iter=cfg.deflate_iters, dtype=mp.geno.dtype)
 
 
 def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:
@@ -204,7 +223,7 @@ def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:
     bern_tp = jnp.tile(bern, (1, T))  # [Mpad, T*P] (probe j of trait t)
     z_bern = axm_fn(mp.op, bern_tp, cols_tp)
     return MultiAux(op=mp.op, y=yf, bern=bern, aty=aty, z_bern=z_bern,
-                    m_mask=mp.geno.m_mask)
+                    m_mask=mp.geno.m_mask, defl=_make_defl(mp, cfg))
 
 
 def make_step(mp: MultiPhen, cfg: VampConfig):
@@ -313,10 +332,15 @@ def make_step(mp: MultiPhen, cfg: VampConfig):
         bern_tp = jnp.tile(bern, (1, T))
         V = jnp.concatenate([v, bern_tp], axis=1)
         mu0 = jnp.concatenate([state.mu_cg, state.mu_probe], axis=1)
+        precond = None
+        if cfg.deflate_k > 0:
+            precond = cg.make_deflated_precond(
+                aux.defl[0], aux.defl[1], tau_cols, gam2_cols, diag_cols)
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol)
+                             onsager_tol=cfg.onsager_tol,
+                             precond=precond)
         x2 = sol.mu[:, :T] * m_mask[:, None]
         invq = sol.mu[:, T:]
         x2 = jnp.where(live[None, :], x2, state.x2)
@@ -539,7 +563,8 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
     cols_tp = np.repeat(np.arange(T), P_)
     cols_all = np.concatenate([cols_t, cols_tp])
 
-    def lmmse(op, aux_bern, state_mu_probe, m_mask, it, p2f, tau2, gam2, r2):
+    def lmmse(op, aux_bern, state_mu_probe, m_mask, it, p2f, tau2, gam2, r2,
+              defl=None):
         nb = mp.y.shape[1]
         v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
             + gam2[None, :] * r2
@@ -555,11 +580,16 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
         bern_tp = jnp.tile(aux_bern, (1, T))
         V = jnp.concatenate([v, bern_tp], axis=1)
         mu0 = jnp.concatenate([jnp.zeros_like(v), state_mu_probe], axis=1)
+        precond = None
+        if defl is not None:
+            precond = cg.make_deflated_precond(
+                defl[0], defl[1], tau_cols, gam2_cols, diag_cols)
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter,
                              modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol)
+                             onsager_tol=cfg.onsager_tol,
+                             precond=precond)
         x2 = sol.mu[:, :T] * m_mask[:, None]
         invq = sol.mu[:, T:]
         quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
@@ -651,7 +681,7 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
         nb = mp.y.shape[1]
         (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2) = \
             lmmse_z(op, aux.bern, state.mu_probe, m_mask, it, p2f, tau2,
-                    gam2, r2)
+                    gam2, r2, defl=aux.defl)
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
@@ -703,6 +733,7 @@ class ProbitMultiAux(NamedTuple):
     bern: jax.Array
     Z: jax.Array
     m_mask: jax.Array
+    defl: object = None
 
 
 def make_probit_aux(mp: MultiPhen, cfg) -> ProbitMultiAux:
@@ -716,7 +747,7 @@ def make_probit_aux(mp: MultiPhen, cfg) -> ProbitMultiAux:
     return ProbitMultiAux(
         op=mp.op, y=mp.filter_pheno(), n_mask=geno.n_mask_planar,
         bern=make_bern_probe(geno, cfg.seed, cfg.n_probes),
-        Z=Z, m_mask=geno.m_mask)
+        Z=Z, m_mask=geno.m_mask, defl=_make_defl(mp, cfg))
 
 
 def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
@@ -856,7 +887,8 @@ def make_huber_step(mp: MultiPhen, cfg):
         nb = mp.y.shape[1]
         (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2,
          z2f, beta2) = lmmse_z(op, aux.bern, state.mu_probe,
-                               m_mask, it, p2f, tau2, gam2, r2)
+                               m_mask, it, p2f, tau2, gam2, r2,
+                               defl=aux.defl)
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)

@@ -176,3 +176,38 @@ def test_multi_huber_matches_single_runs():
         assert np.isfinite(xm[:, t]).all()
         assert corr_m > 0.5, (t, corr_m)
         assert abs(corr_m - corr_s) < 0.1, (t, corr_m, corr_s)
+
+
+def test_multi_deflation_matches_plain():
+    """--deflate-k in the multi-trait engines: identical estimates (the
+    deflation basis is a preconditioner, not an approximation)."""
+    geno, codes, ys, betas, priors = _build(N=400, M=256, T=2, h2s=(0.8, 0.5))
+    probs_t, vars_t = priors[0]
+    mp = multi.MultiPhen.build(geno, ys, standardize=False)
+    base = dict(max_iter=4, rho=0.3, gam1_init=1e-8, gamw_init=2.0,
+                stop_criteria_thr=0.0)
+    cfg0 = linear.VampConfig(**base)
+    cfgd = linear.VampConfig(deflate_k=16, deflate_iters=4, **base)
+    x0, s0, h0 = multi.infer(mp, cfg0, probs_t, vars_t, verbose=False)
+    xd, sd, hd = multi.infer(mp, cfgd, probs_t, vars_t, verbose=False)
+    # both runs solve to the same CG residual tolerance; agreement is at
+    # the solve-tolerance scale, not exact (test_cg.py convention)
+    np.testing.assert_allclose(x0, xd, rtol=1e-2, atol=2e-3)
+    for t in range(2):
+        assert np.corrcoef(x0[:, t], xd[:, t])[0, 1] > 0.99999
+    # deflation must not need MORE CG iterations
+    assert (hd[-1]["cg_iters"] <= h0[-1]["cg_iters"] + 1).all()
+
+    # probit multi engine takes the same path through _make_zmodel_lmmse
+    from gvamp_tpu import probit as probit_mod
+    rng = np.random.default_rng(3)
+    ys_bin = [(np.sign(ys[t] - np.nanmean(ys[t])) + 1) / 2 for t in range(2)]
+    mpb = multi.MultiPhen.build(geno, ys_bin, standardize=False)
+    pcfg0 = probit_mod.ProbitConfig(max_iter=3, stop_criteria_thr=0.0)
+    pcfgd = probit_mod.ProbitConfig(max_iter=3, stop_criteria_thr=0.0,
+                                    deflate_k=16, deflate_iters=4)
+    xp0, _, _ = multi.infer_probit(mpb, pcfg0, probs_t, vars_t, verbose=False)
+    xpd, _, _ = multi.infer_probit(mpb, pcfgd, probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(xp0, xpd, rtol=1e-2, atol=2e-3)
+    for t in range(2):
+        assert np.corrcoef(xp0[:, t], xpd[:, t])[0, 1] > 0.9999
