@@ -531,7 +531,7 @@ def axm_i8_pallas(words, W, U, tnw=0, tm=0):
         zb, us[0][None, None, :], B)
 
 
-def _atxm_i8_kernel(g_ref, v8_ref, av_ref, bv_ref):
+def _atxm_i8_kernel(g_ref, vt_ref, av_ref, bv_ref):
     jn = pl.program_id(1)
 
     @pl.when(jn == 0)
@@ -546,13 +546,41 @@ def _atxm_i8_kernel(g_ref, v8_ref, av_ref, bv_ref):
         a_sw, b_sw = _swar(g, k)
         a8 = pltpu.bitcast(a_sw, jnp.int8)
         b8 = pltpu.bitcast(b_sw, jnp.int8)
-        vk = v8_ref[k]  # [4*TNW, NDIG*B] int8
+        vt = vt_ref[k]  # [NDIG*B, 4*TNW] int8 (digits of V^T)
+        # standard-form dot (contraction = lhs last x rhs FIRST dim): the
+        # decoded plane streams through the MXU as the tm-wide RHS.
+        # Measured 3x faster than the dim0-contraction orientation, which
+        # makes Mosaic transpose the big operand (533 vs 181 GB/s packed,
+        # docs/ROOFLINE.md round-2 study).
         av += jax.lax.dot_general(
-            a8, vk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            vt, a8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
         bv += jax.lax.dot_general(
-            b8, vk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            vt, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     av_ref[...] += av
     bv_ref[...] += bv
+
+
+def _quant_digits_t(V):
+    """Digits of V^T: f32[4, Nb, B] -> (int8[4, NDIG*B, Nb], scales [B]).
+
+    The transpose happens in f32 BEFORE quantization (an int8 XLA
+    transpose produced wrong values through the axon backend in round-2
+    testing; f32 transposes are exercised everywhere and trusted)."""
+    vt = jnp.transpose(V.astype(jnp.float32), (0, 2, 1))  # [4, B, Nb]
+    v8, vs = _quant_digits(vt, 1)                          # [4, NDIG*B, Nb]
+    return v8, vs[0, :, 0]
+
+
+def _fold_digits_t(av_i32, s0, B: int):
+    """int32[NDIG*B, M] digit rows + scales [B] -> f32[M, B] (fold in the
+    [D, M] orientation, then one f32 transpose)."""
+    zf = av_i32.astype(jnp.float32)
+    out = zf[:B] * s0[:, None]
+    scale = s0
+    for d in range(1, _NDIG):
+        scale = scale / 127.0
+        out = out + zf[d * B:(d + 1) * B] * scale[:, None]
+    return out.T
 
 
 @functools.partial(jax.jit, static_argnames=("tnw", "tm"))
@@ -568,28 +596,27 @@ def atxm_i8_pallas(words, V, tnw=0, tm=0):
             lambda lo, hi: atxm_i8_pallas(words, V[:, :, lo:hi],
                                           tnw=tnw, tm=tm),
             B, _BMAX_ATXM, 1)
-    v8, vs = _quant_digits(V, 2)
+    v8, s0 = _quant_digits_t(V)
     grid = (M // tm, Nw // tnw)
     D = _NDIG * B
     av, bv = pl.pallas_call(
         _atxm_i8_kernel, grid=grid,
         in_specs=[
             pl.BlockSpec((tnw, tm), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * tnw, D), lambda j, i: (0, i, 0),
+            pl.BlockSpec((4, D, 4 * tnw), lambda j, i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tm, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, D), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, D), jnp.int32),
-            jax.ShapeDtypeStruct((M, D), jnp.int32),
+            jax.ShapeDtypeStruct((D, M), jnp.int32),
+            jax.ShapeDtypeStruct((D, M), jnp.int32),
         ],
         interpret=_interpret(),
     )(words, v8)
-    s = vs[0, 0][None, :]
-    return _fold_digits(av, s, B), _fold_digits(bv, s, B)
+    return _fold_digits_t(av, s0, B), _fold_digits_t(bv, s0, B)
 
 
 # --------------------------------------------------------------------------
@@ -686,7 +713,7 @@ def atx_a_pallas(words, v_planar, tnw=0, tm=0):
     return av[0]
 
 
-def _atxm_i8a_kernel(g_ref, v8_ref, av_ref):
+def _atxm_i8a_kernel(g_ref, vt_ref, av_ref):
     jn = pl.program_id(1)
 
     @pl.when(jn == 0)
@@ -698,8 +725,10 @@ def _atxm_i8a_kernel(g_ref, v8_ref, av_ref):
     for k in range(4):
         a_sw, _ = _swar(g, k)
         a8 = pltpu.bitcast(a_sw, jnp.int8)
+        # standard-form dot: decoded plane as the streaming RHS (see
+        # _atxm_i8_kernel note; 533 vs 181 GB/s measured)
         av += jax.lax.dot_general(
-            a8, v8_ref[k], (((0,), (0,)), ((), ())),
+            vt_ref[k], a8, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
     av_ref[...] += av
 
@@ -717,19 +746,19 @@ def atxm_i8a_pallas(words, V, tnw=0, tm=0):
             lambda lo, hi: atxm_i8a_pallas(words, V[:, :, lo:hi],
                                            tnw=tnw, tm=tm),
             B, _BMAX_ATXM, 1)
-    v8, vs = _quant_digits(V, 2)
+    v8, s0 = _quant_digits_t(V)
     grid = (M // tm, Nw // tnw)
     D = _NDIG * B
     av = pl.pallas_call(
         _atxm_i8a_kernel, grid=grid,
         in_specs=[
             pl.BlockSpec((tnw, tm), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * tnw, D), lambda j, i: (0, i, 0),
+            pl.BlockSpec((4, D, 4 * tnw), lambda j, i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, D), lambda j, i: (j, 0),
+        out_specs=pl.BlockSpec((D, tm), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, D), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((D, M), jnp.int32),
         interpret=_interpret(),
     )(words, v8)
-    return _fold_digits(av, vs[0, 0][None, :], B)
+    return _fold_digits_t(av, s0, B)

@@ -51,6 +51,8 @@ def main():
     checks["atx_pallas"] = max(rel(sa, ra64[:, 0]), rel(sb, rb64[:, 0]))
     checks["atxm_pallas(bf16)"] = max(rel(fa, ra64), rel(fb, rb64))
     checks["atxm_i8_pallas"] = max(rel(ia, ra64), rel(ib, rb64))
+    checks["atxm_i8a_pallas"] = rel(
+        matvec.atxm_i8a_pallas(words, jnp.asarray(V)), ra64)
 
     # Production-size adversarial case (advisor r1): the radix-127 digit
     # error is O(M * colmax / 127^NDIG) worst-case, so a constant-sign RHS
