@@ -440,9 +440,12 @@ class GenoBed:
         scale = self.inv_sqrt_n
 
         if backend == "pallas" and self.geno_complete:
-            # no-missing fast path: b == 1, its contractions are scalars
+            # no-missing fast path: b == 1, its contractions are scalars.
+            # Single-vector calls ride the wide int8 kernels at B=1: the
+            # standard-form atx orientation measured 480 GB/s packed vs the
+            # VPU kernel's 107 (docs/ROOFLINE.md round 2)
             ax_a = lambda g, w_: matvec.axm_i8a_pallas(g, w_[:, None])[..., 0]
-            atx_a = matvec.atx_a_pallas
+            atx_a = lambda g, v_: matvec.atxm_i8a_pallas(g, v_[:, :, None])[:, 0]
             if mesh is not None:
                 ax_a_sh = jax.shard_map(
                     lambda g, w_: jax.lax.psum(ax_a(g, w_), "m"),
@@ -470,12 +473,15 @@ class GenoBed:
             return ax_fn, atx_fn
 
         if backend == "pallas":
-            # ax via the int8-MXU wide kernel at B=1 (measured faster than
-            # the VPU variant: 9.6 vs 12.6 ms/GB); atx stays on the VPU
-            # kernel (11.2 vs 12.5 ms/GB)
+            # both directions via the int8-MXU wide kernels at B=1 (the
+            # standard-form atx orientation measured 475 GB/s packed vs the
+            # VPU kernel's 60-107, docs/ROOFLINE.md round 2)
             ax_raw = lambda g, w_, u_: matvec.axm_i8_pallas(
                 g, w_[:, None], u_[:, None])[..., 0]
-            atx_raw = matvec.atx_pallas
+
+            def atx_raw(g, v_):
+                av, bv = matvec.atxm_i8_pallas(g, v_[:, :, None])
+                return av[:, 0], bv[:, 0]
         else:
             ax_raw = lambda g, w_, u_: matvec.ax_xla(g, w_, u_, dtype=dtype)
             atx_raw = lambda g, v: matvec.atx_xla(g, v, dtype=dtype)
