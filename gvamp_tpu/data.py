@@ -335,7 +335,15 @@ class GenoBed:
         """(mave, msig) over an arbitrary phenotype-NA support — shared by the
         container's own stats and the multi-trait binder (multi.MultiPhen)."""
         use64 = self.dtype == jnp.float64
-        block = min(512, self.Mpad)
+        # decode temporaries are 2 arrays x [4, Nb, block] floats: cap them
+        # near 512 MB so biobank-scale N (Nb ~ 100k) fits next to a >10 GB
+        # packed matrix in HBM
+        nb = self.layout.n_bytes
+        elt = 8 if use64 else 4
+        cap = max(64, int(2 ** 29 // max(1, 2 * 4 * nb * elt)))
+        block = min(512, self.Mpad, ((cap + 63) // 64) * 64)
+        while self.Mpad % block:
+            block //= 2
         if self.mesh is not None:
             stats = jax.jit(
                 jax.shard_map(
