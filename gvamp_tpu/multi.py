@@ -413,9 +413,12 @@ def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
     step = make_step(mp, cfg)
     history = []
     sqn = float(np.sqrt(mp.geno.N))
+    import time as _time
     for it in range(1, cfg.max_iter + 1):
+        _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
         m = {k: np.asarray(v) for k, v in metrics.items()}
+        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
         history.append(m)
         if verbose:
             r2s = " ".join(f"{v:.4f}" for v in m["R2_train_1"])
@@ -759,9 +762,12 @@ def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
     step = make_probit_step(mp, cfg, n_cov=n_cov)
     history = []
     sqn = float(np.sqrt(mp.geno.N))
+    import time as _time
     for it in range(1, cfg.max_iter + 1):
+        _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
         m = {k: np.asarray(v) for k, v in metrics.items()}
+        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
         history.append(m)
         if verbose:
             print(f"[multi-probit it {it}] "
@@ -940,9 +946,12 @@ def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
     step = make_huber_step(mp, cfg)
     history = []
     sqn = float(np.sqrt(mp.geno.N))
+    import time as _time
     for it in range(1, cfg.max_iter + 1):
+        _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
         m = {k: np.asarray(v) for k, v in metrics.items()}
+        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
         history.append(m)
         if verbose:
             print(f"[multi-huber it {it}] "

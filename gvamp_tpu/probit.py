@@ -470,9 +470,14 @@ def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
     aux = make_aux(geno, cfg, true_signal=true_signal)
     step = make_step(geno, cfg, n_cov=n_cov, with_truth=true_signal is not None)
     history = []
+    import time as _time
     for it in range(1, cfg.max_iter + 1):
+        _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
         m = {k: np.asarray(v) for k, v in metrics.items()}
+        # np.asarray above synced the dispatch: honest per-iteration span
+        # (reference per-iteration MPI_Wtime prints)
+        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
         history.append(m)
         if verbose:
             extra = f" corr={m['corr_x1']:.4f}" if "corr_x1" in m else ""
