@@ -76,9 +76,17 @@ def _pick_tnw(nw: int, prefer: int) -> int:
     return nw  # tiny unpadded arrays (tests)
 
 
-def _pick_tm(m: int) -> int:
-    for t in (_TM, 256, 128):
-        if m % t == 0:
+def _pick_tm(m: int, prefer: int = _TM) -> int:
+    """Largest marker-tile <= prefer dividing m.
+
+    Round-2 tile sweep (1.68 GB packed): the transposed-orientation atx
+    kernels gain strongly from wide lane tiles (tm=2048: 610 GB/s vs 470
+    at 512 — the plane streams through the MXU as the RHS, and wider
+    tiles amortize its weight loads); ax gains mildly from tm=1024
+    (341 vs 300).  VMEM bounds the atx choice by D (out + digit blocks
+    scale with D), handled by the callers."""
+    for t in (2048, 1024, _TM, 256, 128):
+        if t <= prefer and m % t == 0:
             return t
     return m
 
@@ -497,7 +505,7 @@ def axm_i8_pallas(words, W, U, tnw=0, tm=0):
     Nw, M = words.shape
     B = W.shape[1]
     tnw = tnw or _pick_tnw(Nw, 256)
-    tm = tm or _pick_tm(M)
+    tm = tm or _pick_tm(M, 1024)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_AXM:
         return _chunk_cols(
@@ -589,7 +597,9 @@ def atxm_i8_pallas(words, V, tnw=0, tm=0):
     Nw, M = words.shape
     B = V.shape[2]
     tnw = tnw or _pick_tnw(Nw, 256)
-    tm = tm or _pick_tm(M)
+    # wide lane tiles feed the streaming-RHS orientation (tile sweep:
+    # tm=2048 610 GB/s vs 470 at 512); VMEM caps the width for big D
+    tm = tm or _pick_tm(M, 2048 if _NDIG * B <= 128 else 1024)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_ATXM:
         return _chunk_cols(
@@ -653,7 +663,7 @@ def axm_i8a_pallas(words, W, tnw=0, tm=0):
     Nw, M = words.shape
     B = W.shape[1]
     tnw = tnw or _pick_tnw(Nw, 256)
-    tm = tm or _pick_tm(M)
+    tm = tm or _pick_tm(M, 1024)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_AXM_A:
         return _chunk_cols(
@@ -739,7 +749,9 @@ def atxm_i8a_pallas(words, V, tnw=0, tm=0):
     Nw, M = words.shape
     B = V.shape[2]
     tnw = tnw or _pick_tnw(Nw, 256)
-    tm = tm or _pick_tm(M)
+    # wide lane tiles feed the streaming-RHS orientation (tile sweep:
+    # tm=2048 610 GB/s vs 470 at 512); VMEM caps the width for big D
+    tm = tm or _pick_tm(M, 2048 if _NDIG * B <= 128 else 1024)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_ATXM:
         return _chunk_cols(
