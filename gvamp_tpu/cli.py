@@ -129,7 +129,10 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         def dump_cb(it, state, metrics, g):
             if opt.dump_every and it % opt.dump_every == 0:
+                # to_numpy allgathers sharded arrays; one writer suffices
                 x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
+                if not dist.is_main():
+                    return
                 for t in range(mp.T):
                     vecio.write_bin_shard(
                         f"{opt.out_prefix}_phen{t}_it_{it}.bin", x[:, t], g.S)
@@ -183,7 +186,10 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         def dump_cb(it, state, metrics, g):
             if opt.dump_every and it % opt.dump_every == 0:
+                # to_numpy allgathers sharded arrays; one writer suffices
                 x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
+                if not dist.is_main():
+                    return
                 for t in range(mp.T):
                     vecio.write_bin_shard(
                         f"{opt.out_prefix}_phen{t}_probit_it_{it}.bin",
@@ -212,7 +218,10 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         def dump_cb(it, state, metrics, g):
             if opt.dump_every and it % opt.dump_every == 0:
+                # to_numpy allgathers sharded arrays; one writer suffices
                 x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
+                if not dist.is_main():
+                    return
                 for t in range(mp.T):
                     vecio.write_bin_shard(
                         f"{opt.out_prefix}_phen{t}_robust_it_{it}.bin",

@@ -127,3 +127,53 @@ def test_two_process_matches_single_process(ds):
     ps = vecio.read_bin_shard(str(ds["dir"] / "single_pvals.bin"), M, 0)
     pm = vecio.read_bin_shard(str(ds["dir"] / "multi_pvals.bin"), M, 0)
     np.testing.assert_allclose(pm, ps, rtol=1e-6, atol=1e-300)
+
+
+@pytest.mark.slow
+def test_two_process_multi_trait(ds):
+    """Multi-process x multi-trait: 2-process mesh reproduces the
+    single-process multi-trait per-trait estimates."""
+    rng = np.random.default_rng(77)
+    import jax.numpy as jnp
+    from gvamp_tpu.data import GenoBed
+    codes_geno = GenoBed.from_files(str(ds["dir"] / "t.bed"), None,
+                                    N=ds["N"], Mt=ds["M"],
+                                    standardize_phen=False,
+                                    dtype=jnp.float64)
+    beta2 = sim.simulate_mixture(rng, ds["M"], ds["vars"], ds["probs"])
+    y2 = sim.simulate_linear_phenotype(codes_geno, beta2, 5.0, rng)
+    plink.write_phen(str(ds["dir"] / "t2.phen"), y2)
+
+    iters = 3
+    args = _cli_args(ds, "mts", iters)
+    i = args.index("--phen-files")
+    args[i + 1] = f"{ds['dir'] / 't.phen'},{ds['dir'] / 't2.phen'}"
+    args[args.index("--store-pvals") + 1] = "0"
+    args[args.index("--store-pvals")] = "--store-pvals"
+
+    p = _spawn(args, n_devices=4)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out
+
+    port = _free_port()
+    margs = list(args)
+    margs[margs.index("mts")] = "mtm"
+    procs = [
+        _spawn(margs + ["--distributed", "1",
+                        "--coordinator", f"localhost:{port}",
+                        "--n-processes", "2", "--process-id", str(i)],
+               n_devices=2)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    M = ds["M"]
+    for t in range(2):
+        s = vecio.read_bin_shard(
+            str(ds["dir"] / f"mts_phen{t}_it_{iters}.bin"), M, 0)
+        m = vecio.read_bin_shard(
+            str(ds["dir"] / f"mtm_phen{t}_it_{iters}.bin"), M, 0)
+        np.testing.assert_allclose(m, s, rtol=1e-8, atol=1e-12,
+                                   err_msg=f"trait {t}")
