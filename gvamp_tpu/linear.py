@@ -607,19 +607,18 @@ def _phase_sync(tree) -> float:
     return _t.perf_counter()
 
 
-def make_timed_step(geno, cfg: VampConfig, **kw):
-    """Per-phase-timed step (reference MPI_Wtime spans, vamp.cpp:752-755).
+def timed_step_from_phases(phases):
+    """Compose (name, phase_fn) sub-steps into a per-phase-timed step.
 
     Each phase runs as its own dispatch with a host sync in between, so the
     reported ms include one dispatch latency each — use for observability,
     not for peak throughput (that is ``make_scan_step``).  Timings are
     attached to metrics as ``phase_ms_<name>``; the first iteration includes
-    compilation.
+    compilation.  Shared by the linear and probit engines.
     """
-    phases = make_step(geno, cfg, phased=True, **kw)
     jitted = [(nm, jax.jit(fn)) for nm, fn in phases]
 
-    def step(state: LinState, aux: Aux):
+    def step(state, aux):
         import time as _t
         timings = {}
         t = _t.perf_counter()
@@ -642,6 +641,12 @@ def make_timed_step(geno, cfg: VampConfig, **kw):
         return new_state, metrics
 
     return step
+
+
+def make_timed_step(geno, cfg: VampConfig, **kw):
+    """Per-phase-timed linear step (reference MPI_Wtime spans,
+    vamp.cpp:752-755)."""
+    return timed_step_from_phases(make_step(geno, cfg, phased=True, **kw))
 
 
 def infer(geno, cfg: VampConfig, probs, vars_user,

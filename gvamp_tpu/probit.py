@@ -289,7 +289,10 @@ def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
 
 
 def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
-              jit: bool = True):
+              jit: bool = True, phased: bool = False):
+    """Per-iteration probit step; ``phased=True`` returns the ordered
+    (name, phase_fn) sub-steps for per-phase timing (the reference's
+    MPI_Wtime spans in vamp_probit.cpp), composing to the fused step."""
     dt = geno.dtype
     Mt = float(geno.Mt)
     N = float(geno.N)
@@ -297,7 +300,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
     axm_fn, atxm_fn = geno.fns_multi()
     pv = cfg.probit_var
 
-    def step(state: ProbitState, aux: ProbitAux):
+    def phase_denoise_x(state: ProbitState, aux: ProbitAux):
         op, m_mask, n_mask = aux.op, aux.m_mask, aux.n_mask
         yf = aux.y.reshape(-1)            # flat planar filtered y
         nm = n_mask.reshape(-1)
@@ -362,6 +365,16 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         gam2 = _clamp_gamma(eta1 - gam1)
         r2 = ((eta1 * x1 - gam1 * state.r1) / gam2) * m_mask
 
+        return {"it": it, "x1_prev": x1_prev, "x1": x1, "gam1": gam1,
+                "alpha1": alpha1, "eta1": eta1, "probs": probs,
+                "vars": vars_, "cov_eff": cov_eff, "m_cov": m_cov,
+                "gam2": gam2, "r2": r2}
+
+    def phase_denoise_z(w, state: ProbitState, aux: ProbitAux):
+        yf = aux.y.reshape(-1)
+        nm = aux.n_mask.reshape(-1)
+        it, m_cov = w["it"], w["m_cov"]
+
         # ---- denoise z (vamp_probit.cpp:330-390) ---------------------------
         p1f = state.p1.reshape(-1)
         tau1 = state.tau1
@@ -376,6 +389,14 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
 
         p2f = ((z1f - beta1 * p1f) / (1.0 - beta1)) * nm
         tau2 = tau1 * (1.0 - beta1) / beta1
+        w = dict(w)
+        w.update(z1f=z1f, beta1=beta1, tau1=tau1, p2f=p2f, tau2=tau2)
+        return w
+
+    def phase_lmmse_x(w, state: ProbitState, aux: ProbitAux):
+        op, m_mask = aux.op, aux.m_mask
+        it, gam2, r2 = w["it"], w["gam2"], w["r2"]
+        p2f, tau2 = w["p2f"], w["tau2"]
 
         # ---- LMMSE x (vamp_probit.cpp:495-560) -----------------------------
         nb = state.p2.shape[-1]
@@ -409,6 +430,22 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
                          _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
         r1 = ((x2 - alpha2 * r2) / (1.0 - alpha2)) * m_mask
         gam1_new = gam2 * (1.0 - alpha2) / alpha2
+        w = dict(w)
+        w.update(x2=x2, alpha2=alpha2, gam2=gam2, r1=r1, gam1_new=gam1_new,
+                 cg_iters=sol.iters[0])
+        return w
+
+    def phase_lmmse_z(w, state: ProbitState, aux: ProbitAux):
+        op, m_mask = aux.op, aux.m_mask
+        nm = aux.n_mask.reshape(-1)
+        it, x1, x1_prev = w["it"], w["x1"], w["x1_prev"]
+        x2, r1, r2 = w["x2"], w["r1"], w["r2"]
+        gam1_new, gam2, alpha1, alpha2 = (w["gam1_new"], w["gam2"],
+                                          w["alpha1"], w["alpha2"])
+        eta1, beta1 = w["eta1"], w["beta1"]
+        p2f, tau2, z1f = w["p2f"], w["tau2"], w["z1f"]
+        probs, vars_, cov_eff = w["probs"], w["vars"], w["cov_eff"]
+        nb = state.p2.shape[-1]
 
         # ---- LMMSE z (vamp_probit.cpp:567-614) -----------------------------
         z2 = ax_fn(op, x2)
@@ -428,7 +465,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
             "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
             "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
             "beta2": beta2, "eta1": eta1, "rel_change": rel_change,
-            "cg_iters": sol.iters[0], "probs": probs, "vars": vars_,
+            "cg_iters": w["cg_iters"], "probs": probs, "vars": vars_,
             "cov_eff": cov_eff,
         }
         if with_truth:
@@ -445,6 +482,17 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
             alpha1=alpha1, probs=probs, vars=vars_, cov_eff=cov_eff)
         return _cast_like(new_state, state), metrics
 
+    phases = (("denoise_x", phase_denoise_x), ("denoise_z", phase_denoise_z),
+              ("lmmse_cg", phase_lmmse_x), ("lmmse_z_finish", phase_lmmse_z))
+
+    def step(state: ProbitState, aux: ProbitAux):
+        w = phase_denoise_x(state, aux)
+        w = phase_denoise_z(w, state, aux)
+        w = phase_lmmse_x(w, state, aux)
+        return phase_lmmse_z(w, state, aux)
+
+    if phased:
+        return phases
     return jax.jit(step) if jit else step
 
 
@@ -463,12 +511,20 @@ def make_scan_step(geno, cfg, k: int, **kw):
 
 
 def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
-          verbose: bool = True, callbacks=None):
-    """Full probit VAMP run; returns (x1_hat_stored /sqrt(N), state, history)."""
+          verbose: bool = True, callbacks=None, phase_timers: bool = False):
+    """Full probit VAMP run; returns (x1_hat_stored /sqrt(N), state, history).
+
+    ``phase_timers`` dispatches each phase separately and records
+    ``phase_ms_*`` per iteration (linear.timed_step_from_phases)."""
     n_cov = geno.covs.shape[1] if geno.covs is not None else 0
     state = init_state(geno, cfg, probs, vars_user)
     aux = make_aux(geno, cfg, true_signal=true_signal)
-    step = make_step(geno, cfg, n_cov=n_cov, with_truth=true_signal is not None)
+    kw = dict(n_cov=n_cov, with_truth=true_signal is not None)
+    if phase_timers:
+        from gvamp_tpu.linear import timed_step_from_phases
+        step = timed_step_from_phases(make_step(geno, cfg, phased=True, **kw))
+    else:
+        step = make_step(geno, cfg, **kw)
     history = []
     import time as _time
     for it in range(1, cfg.max_iter + 1):
@@ -484,6 +540,11 @@ def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
             print(f"[probit it {it}] gam1={m['gam1']:.5g} tau1={m['tau1']:.5g} "
                   f"beta1={m['beta1']:.4g} alpha2={m['alpha2']:.4g} "
                   f"rel={m['rel_change']:.3e}{extra}", flush=True)
+            pk = [k for k in m if k.startswith("phase_ms_")]
+            if pk:
+                print("        " + "  ".join(
+                    f"{k[len('phase_ms_'):]}={float(m[k]):.1f}ms"
+                    for k in pk), flush=True)
         if callbacks:
             for cb in callbacks:
                 cb(it, state, m, geno)

@@ -94,3 +94,26 @@ def test_probit_scan_step_matches():
     s3, ms = scan3(s3, aux)
     np.testing.assert_allclose(np.asarray(s1.x1), np.asarray(s3.x1),
                                rtol=1e-10, atol=1e-14)
+
+
+def test_probit_phase_timers_match_fused():
+    """Phased probit step == fused step; phase_ms_* recorded."""
+    rng = np.random.default_rng(9)
+    N, M = 600, 200
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_probit_phenotype(geno, beta, 1.0, rng)
+    geno.set_phen(y)
+    cfg = probit.ProbitConfig(max_iter=3, rho=0.3, seed=2,
+                              stop_criteria_thr=0.0)
+    x_f, s_f, h_f = probit.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    x_p, s_p, h_p = probit.infer(geno, cfg, probs_t, vars_t, verbose=False,
+                                 phase_timers=True)
+    np.testing.assert_array_equal(x_f, x_p)
+    for k in ("gam1", "tau1", "alpha2"):
+        np.testing.assert_array_equal(float(h_f[-1][k]), float(h_p[-1][k]))
+    for nm in ("denoise_x", "denoise_z", "lmmse_cg", "lmmse_z_finish"):
+        assert f"phase_ms_{nm}" in h_p[-1]
