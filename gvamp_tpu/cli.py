@@ -235,7 +235,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
     if opt.model == "robust":
         from gvamp_tpu import robust
         cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
-        return robust.infer(geno, cfg, probs, vars_user, **common)
+        return robust.infer(geno, cfg, probs, vars_user,
+                            phase_timers=bool(opt.phase_timers), **common)
 
     raise SystemExit(f"invalid model {opt.model!r}")
 

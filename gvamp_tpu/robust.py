@@ -184,17 +184,18 @@ def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
 
 
 def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
-              jit: bool = True):
+              jit: bool = True, phased: bool = False):
+    """Per-iteration Huber step; ``phased=True`` returns the ordered
+    (name, phase_fn) sub-steps for per-phase timing, composing to the
+    fused step."""
     dt = geno.dtype
     Mt = float(geno.Mt)
     N = float(geno.N)
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
 
-    def step(state: RobustState, aux: RobustAux):
-        op, m_mask = aux.op, aux.m_mask
-        yf = aux.y.reshape(-1)
-        nm = aux.n_mask.reshape(-1)
+    def phase_denoise_x(state: RobustState, aux: RobustAux):
+        m_mask = aux.m_mask
         it = state.it + 1
         x1_prev = state.x1
 
@@ -239,6 +240,15 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         gam2 = _clamp_gamma(eta1 - gam1)
         r2 = ((eta1 * x1 - gam1 * state.r1) / gam2) * m_mask
 
+        return {"it": it, "x1_prev": x1_prev, "x1": x1, "gam1": gam1,
+                "alpha1": alpha1, "eta1": eta1, "probs": probs,
+                "vars": vars_, "gam2": gam2, "r2": r2}
+
+    def phase_denoise_z(w, state: RobustState, aux: RobustAux):
+        yf = aux.y.reshape(-1)
+        nm = aux.n_mask.reshape(-1)
+        it = w["it"]
+
         # ---- denoise z with the Huber proximal (vamp_Huber.cpp:225-262) ----
         p1f = state.p1.reshape(-1)
         tau1 = state.tau1
@@ -256,6 +266,15 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
 
         p2f = ((z1f - beta1 * p1f) / (1.0 - beta1)) * nm
         tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)
+        w = dict(w)
+        w.update(z1f=z1f, beta1=beta1, tau1=tau1, delta=delta, key=key,
+                 p2f=p2f, tau2=tau2)
+        return w
+
+    def phase_lmmse_x(w, state: RobustState, aux: RobustAux):
+        op, m_mask = aux.op, aux.m_mask
+        it, gam2, r2 = w["it"], w["gam2"], w["r2"]
+        p2f, tau2 = w["p2f"], w["tau2"]
 
         # ---- LMMSE x (vamp_Huber.cpp:297-330) ------------------------------
         nb = state.p2.shape[-1]
@@ -288,6 +307,22 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
                          _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
         r1 = ((x2 - alpha2 * r2) / (1.0 - alpha2)) * m_mask
         gam1_new = gam2 * (1.0 - alpha2) / alpha2
+        w = dict(w)
+        w.update(x2=x2, alpha2=alpha2, gam2=gam2, r1=r1, gam1_new=gam1_new,
+                 cg_iters=sol.iters[0])
+        return w
+
+    def phase_lmmse_z(w, state: RobustState, aux: RobustAux):
+        op, m_mask = aux.op, aux.m_mask
+        nm = aux.n_mask.reshape(-1)
+        it, x1, x1_prev = w["it"], w["x1"], w["x1_prev"]
+        x2, r1, r2 = w["x2"], w["r1"], w["r2"]
+        gam1_new, gam2, alpha1, alpha2 = (w["gam1_new"], w["gam2"],
+                                          w["alpha1"], w["alpha2"])
+        beta1, delta, key = w["beta1"], w["delta"], w["key"]
+        p2f, tau2, z1f = w["p2f"], w["tau2"], w["z1f"]
+        probs, vars_ = w["probs"], w["vars"]
+        nb = state.p2.shape[-1]
 
         # ---- LMMSE z (vamp_Huber.cpp:368-412) ------------------------------
         z2 = ax_fn(op, x2)
@@ -306,7 +341,8 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         metrics = {
             "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
             "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
-            "deltaH": delta, "rel_change": rel_change, "cg_iters": sol.iters[0],
+            "deltaH": delta, "rel_change": rel_change,
+            "cg_iters": w["cg_iters"],
             "probs": probs, "vars": vars_,
         }
         if with_truth:
@@ -322,6 +358,17 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
             alpha1=alpha1, deltaH=delta, probs=probs, vars=vars_, key=key)
         return _cast_like(new_state, state), metrics
 
+    phases = (("denoise_x", phase_denoise_x), ("denoise_z", phase_denoise_z),
+              ("lmmse_cg", phase_lmmse_x), ("lmmse_z_finish", phase_lmmse_z))
+
+    def step(state: RobustState, aux: RobustAux):
+        w = phase_denoise_x(state, aux)
+        w = phase_denoise_z(w, state, aux)
+        w = phase_lmmse_x(w, state, aux)
+        return phase_lmmse_z(w, state, aux)
+
+    if phased:
+        return phases
     return jax.jit(step) if jit else step
 
 
@@ -340,10 +387,15 @@ def make_scan_step(geno, cfg, k: int, **kw):
 
 
 def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
-          verbose: bool = True, callbacks=None):
+          verbose: bool = True, callbacks=None, phase_timers: bool = False):
     state = init_state(geno, cfg, probs, vars_user)
     aux = make_aux(geno, cfg, true_signal=true_signal)
-    step = make_step(geno, cfg, with_truth=true_signal is not None)
+    kw = dict(with_truth=true_signal is not None)
+    if phase_timers:
+        from gvamp_tpu.linear import timed_step_from_phases
+        step = timed_step_from_phases(make_step(geno, cfg, phased=True, **kw))
+    else:
+        step = make_step(geno, cfg, **kw)
     history = []
     import time as _time
     for it in range(1, cfg.max_iter + 1):
@@ -359,6 +411,11 @@ def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
             print(f"[robust it {it}] gam1={m['gam1']:.5g} tau1={m['tau1']:.5g} "
                   f"deltaH={m['deltaH']:.4g} alpha2={m['alpha2']:.4g} "
                   f"rel={m['rel_change']:.3e}{extra}", flush=True)
+            pk = [k for k in m if k.startswith("phase_ms_")]
+            if pk:
+                print("        " + "  ".join(
+                    f"{k[len('phase_ms_'):]}={float(m[k]):.1f}ms"
+                    for k in pk), flush=True)
         if callbacks:
             for cb in callbacks:
                 cb(it, state, m, geno)

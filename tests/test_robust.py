@@ -68,3 +68,27 @@ def test_robust_vamp_recovers_under_heavy_tails():
     corr = np.corrcoef(x_hat, beta)[0, 1]
     assert corr > 0.6, f"corr {corr}"
     assert np.isfinite(float(hist[-1]["deltaH"]))
+
+
+def test_robust_phase_timers_match_fused():
+    """Phased Huber step == fused step; phase_ms_* recorded."""
+    rng = np.random.default_rng(12)
+    N, M = 600, 200
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    x = geno.pad_m(beta * np.sqrt(N))
+    g = geno.deplanarize(geno.ax(jnp.asarray(x)))[:N]
+    geno.set_phen(g + rng.standard_t(3.0, N) * 0.5)
+    cfg = robust.RobustConfig(max_iter=3, rho=0.3, seed=2,
+                              stop_criteria_thr=0.0)
+    x_f, s_f, h_f = robust.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    x_p, s_p, h_p = robust.infer(geno, cfg, probs_t, vars_t, verbose=False,
+                                 phase_timers=True)
+    np.testing.assert_array_equal(x_f, x_p)
+    for k in ("gam1", "tau1", "deltaH"):
+        np.testing.assert_array_equal(float(h_f[-1][k]), float(h_p[-1][k]))
+    for nm in ("denoise_x", "denoise_z", "lmmse_cg", "lmmse_z_finish"):
+        assert f"phase_ms_{nm}" in h_p[-1]
