@@ -688,9 +688,16 @@ class GenoBed:
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def _people_sumsq(words, mave, msig, block=512):
+def _people_sumsq(words, mave, msig, block=0):
     """sum_m ((a - mave_m) * msig_m)^2 * b per planar slot -> f32[4, Nb]."""
     Nw, M = words.shape
+    if not block:
+        # cap decode temporaries (2 x [4, 4Nw, block] f32) near 512 MB for
+        # biobank-scale N, like marker_stats_for
+        cap = max(64, int(2 ** 29 // max(1, 2 * 16 * Nw * 4)))
+        block = min(512, M, ((cap + 63) // 64) * 64)
+        while M % block:
+            block //= 2
 
     def body(i, acc):
         blk = jax.lax.dynamic_slice(words, (0, i * block), (Nw, block))
