@@ -204,7 +204,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         cfg = probit.ProbitConfig(probit_var=opt.probit_var,
                                   **_common_cfg(opt, gam1, 1e-8))
         return probit.infer(geno, cfg, probs, vars_user,
-                            phase_timers=bool(opt.phase_timers), **common)
+                            phase_timers=bool(opt.phase_timers),
+                            sync_every=opt.sync_every, **common)
 
     if opt.model == "robust" and len(opt.phen_files) > 1:
         # multi-trait Huber extension (gvamp_tpu/multi.py)
@@ -236,7 +237,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         from gvamp_tpu import robust
         cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
         return robust.infer(geno, cfg, probs, vars_user,
-                            phase_timers=bool(opt.phase_timers), **common)
+                            phase_timers=bool(opt.phase_timers),
+                            sync_every=opt.sync_every, **common)
 
     raise SystemExit(f"invalid model {opt.model!r}")
 

@@ -387,25 +387,42 @@ def make_scan_step(geno, cfg, k: int, **kw):
 
 
 def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
-          verbose: bool = True, callbacks=None, phase_timers: bool = False):
+          verbose: bool = True, callbacks=None, phase_timers: bool = False,
+          sync_every: int = 1):
     state = init_state(geno, cfg, probs, vars_user)
     aux = make_aux(geno, cfg, true_signal=true_signal)
     kw = dict(with_truth=true_signal is not None)
+    chunk = 1 if phase_timers else max(1, int(sync_every))
     if phase_timers:
         from gvamp_tpu.linear import timed_step_from_phases
         step = timed_step_from_phases(make_step(geno, cfg, phased=True, **kw))
+    elif chunk > 1:
+        step = make_scan_step(geno, cfg, chunk, **kw)
     else:
         step = make_step(geno, cfg, **kw)
     history = []
     import time as _time
-    for it in range(1, cfg.max_iter + 1):
+    it = 0
+    while it < cfg.max_iter:
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
-        m = {k: np.asarray(v) for k, v in metrics.items()}
-        # np.asarray above synced the dispatch: honest per-iteration span
-        # (reference per-iteration MPI_Wtime prints)
-        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
-        history.append(m)
+        fetched = {k: np.asarray(v) for k, v in metrics.items()}
+        span = np.float64((_time.perf_counter() - _t0) * 1e3)
+        if chunk == 1:
+            chunk_ms = [fetched]
+        else:
+            chunk_ms = [{k: v[i] for k, v in fetched.items()}
+                        for i in range(chunk)]
+        for m in chunk_ms:
+            it += 1
+            # np.asarray above synced the dispatch: honest per-iteration
+            # span (reference per-iteration MPI_Wtime prints), amortized
+            # over the chunk in scan mode
+            m["iter_ms"] = span / len(chunk_ms)
+            history.append(m)
+            if it >= cfg.max_iter:
+                break
+        m = history[-1]
         if verbose:
             extra = f" corr={m['corr_x1']:.4f}" if "corr_x1" in m else ""
             print(f"[robust it {it}] gam1={m['gam1']:.5g} tau1={m['tau1']:.5g} "

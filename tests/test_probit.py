@@ -117,3 +117,25 @@ def test_probit_phase_timers_match_fused():
         np.testing.assert_array_equal(float(h_f[-1][k]), float(h_p[-1][k]))
     for nm in ("denoise_x", "denoise_z", "lmmse_cg", "lmmse_z_finish"):
         assert f"phase_ms_{nm}" in h_p[-1]
+
+
+def test_probit_sync_every_matches():
+    """Scan throughput mode (sync_every) == per-iteration dispatch."""
+    rng = np.random.default_rng(9)
+    N, M = 600, 200
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_probit_phenotype(geno, beta, 1.0, rng)
+    geno.set_phen(y)
+    cfg = probit.ProbitConfig(max_iter=4, rho=0.3, seed=2,
+                              stop_criteria_thr=0.0)
+    x1, s1, h1 = probit.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    x2, s2, h2 = probit.infer(geno, cfg, probs_t, vars_t, verbose=False,
+                              sync_every=2)
+    np.testing.assert_array_equal(x1, x2)
+    assert len(h1) == len(h2) == 4
+    for k in ("gam1", "tau1"):
+        np.testing.assert_array_equal(float(h1[-1][k]), float(h2[-1][k]))
