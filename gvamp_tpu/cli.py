@@ -690,7 +690,14 @@ def main(argv=None):
         if rank != 0:
             # rank-0-gated logging, like the reference's rank-0 std::cout
             opt.verbosity = 0
-    out = MODES[opt.run_mode](opt)
+    if opt.profile_dir:
+        # structured hardware trace (the jax.profiler complement to the
+        # --phase-timers wall-clock spans): view with tensorboard/xprof
+        import jax
+        with jax.profiler.trace(opt.profile_dir):
+            out = MODES[opt.run_mode](opt)
+    else:
+        out = MODES[opt.run_mode](opt)
     if opt.distributed:
         dist.barrier("run-end")
     return out

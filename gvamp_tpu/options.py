@@ -74,6 +74,8 @@ class Options:
     dump_every: int = 1             # per-iteration estimate dumps (0 = off)
     sync_every: int = 1             # iterations per device dispatch
                                     # (throughput mode, linear model)
+    profile_dir: str = ""           # jax.profiler trace output directory
+                                    # ("" = off); pairs with --phase-timers
     phase_timers: int = 0           # per-phase wall-clock per iteration
                                     # (denoise/z1/CG/noise spans like the
                                     # reference's MPI_Wtime prints,
@@ -111,7 +113,7 @@ class Options:
         for f in ["--bed-file", "--bed-file-test", "--cov-file", "--bim-file",
                   "--estimate-file", "--cov-estimate-file",
                   "--freeze-index-file", "--out-dir", "--out-name",
-                  "--checkpoint", "--resume"]:
+                  "--checkpoint", "--resume", "--profile-dir"]:
             flag(f, default="")
         for f, d in [("--N", 0), ("--Mt", 0), ("--N-test", 0), ("--Mt-test", 0),
                      ("--iterations", 1), ("--num-mix-comp", 0), ("--CV", 0),
