@@ -105,6 +105,45 @@ class MultiPhen:
         backend, mesh, dtype = geno.backend, geno.mesh, geno.dtype
         scale = geno.inv_sqrt_n
 
+        if backend == "pallas" and geno.geno_complete:
+            # no-missing fast path (complete/imputed genotypes): the
+            # b-contractions collapse to per-column scalars exactly like the
+            # single-trait path (data.py fns) — the b indicator is the
+            # GENOTYPE-missing mask, shared across traits; per-trait
+            # phenotype-NA masking stays in na/input masking.  Halves the
+            # kernel work (a-only 327/611 GB/s vs 167/~400 general).
+            axm_a = matvec.axm_i8a_pallas
+            atxm_a = matvec.atxm_i8a_pallas
+            if mesh is not None:
+                axm_a_sh = jax.shard_map(
+                    lambda g, W: jax.lax.psum(axm_a(g, W), "m"),
+                    mesh=mesh, in_specs=(P(None, "m"), P("m", None)),
+                    out_specs=P(None, None, None), check_vma=False)
+                atxm_a_sh = jax.shard_map(
+                    atxm_a, mesh=mesh,
+                    in_specs=(P(None, "m"), P(None, None, None)),
+                    out_specs=P("m", None), check_vma=False)
+            else:
+                axm_a_sh, atxm_a_sh = axm_a, atxm_a
+
+            def axm_fn(op: MultiOp, X, cols):
+                ms = op.msig[:, cols]
+                W = ms * X.astype(dtype)
+                U = op.mave[:, cols] * W
+                # sum over the (possibly sharded) marker axis: XLA inserts
+                # the allreduce like the single-trait complete path
+                z = axm_a_sh(op.words, W) - jnp.sum(U, axis=0)[None, None, :]
+                return z.astype(dtype) * op.na[:, :, cols] * scale
+
+            def atxm_fn(op: MultiOp, V, cols):
+                v = V.astype(dtype) * op.na[:, :, cols]
+                av = atxm_a_sh(op.words, v)
+                sv = jnp.sum(v, axis=(0, 1))           # per-column scalars
+                return ((av.astype(dtype) - op.mave[:, cols] * sv[None, :])
+                        * op.msig[:, cols] * scale)
+
+            return axm_fn, atxm_fn
+
         if backend == "pallas":
             axm_raw = matvec.axm_i8_pallas
             atxm_raw = matvec.atxm_i8_pallas

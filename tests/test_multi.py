@@ -211,3 +211,40 @@ def test_multi_deflation_matches_plain():
     np.testing.assert_allclose(xp0, xpd, rtol=1e-2, atol=2e-3)
     for t in range(2):
         assert np.corrcoef(xp0[:, t], xpd[:, t])[0, 1] > 0.9999
+
+
+def test_multi_complete_fast_path_matches_general():
+    """Complete genotypes route the multi engine onto the a-only kernels;
+    results must match the general path exactly (b-contraction collapses
+    to per-column scalars)."""
+    rng = np.random.default_rng(31)
+    N, M, T = 500, 256, 2
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.0)  # complete
+    ys = []
+    for t in range(T):
+        vars_t, probs_t = sim.two_group_prior(M, 15, 0.7)
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        g = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                                standardize_phen=False, dtype=jnp.float64)
+        ys.append(sim.simulate_linear_phenotype(g, beta, 3.0, rng))
+    cfg = linear.VampConfig(max_iter=4, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0, stop_criteria_thr=0.0)
+    outs = {}
+    for name, force_general in (("fast", False), ("general", True)):
+        # pallas on CPU = interpret-mode kernels; forcing _complete=False
+        # routes the general (a+b) kernels at the same digit precision
+        geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                                   standardize_phen=False,
+                                   dtype=jnp.float64, backend="pallas")
+        assert geno.geno_complete
+        if force_general:
+            geno._complete = False
+        mp = multi.MultiPhen.build(geno, ys, standardize=False)
+        outs[name] = multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+    # identical routing algebra; only int8 digit rounding differs between
+    # the a-only and a+b kernels (~1e-7 of colmax)
+    np.testing.assert_allclose(outs["fast"][0], outs["general"][0],
+                               rtol=1e-4, atol=1e-8)
+    corr = np.corrcoef(outs["fast"][0].ravel(),
+                       outs["general"][0].ravel())[0, 1]
+    assert corr > 0.9999999
