@@ -456,7 +456,7 @@ def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
     for it in range(1, cfg.max_iter + 1):
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
-        m = {k: np.asarray(v) for k, v in metrics.items()}
+        m = jax.device_get(metrics)  # one batched transfer
         m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
         history.append(m)
         if verbose:
@@ -805,7 +805,7 @@ def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
     for it in range(1, cfg.max_iter + 1):
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
-        m = {k: np.asarray(v) for k, v in metrics.items()}
+        m = jax.device_get(metrics)  # one batched transfer
         m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
         history.append(m)
         if verbose:
@@ -989,7 +989,7 @@ def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
     for it in range(1, cfg.max_iter + 1):
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
-        m = {k: np.asarray(v) for k, v in metrics.items()}
+        m = jax.device_get(metrics)  # one batched transfer
         m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
         history.append(m)
         if verbose:

@@ -406,7 +406,10 @@ def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
-        fetched = {k: np.asarray(v) for k, v in metrics.items()}
+        # ONE batched transfer: per-key np.asarray costs a
+        # separate device round-trip each (~20 ms through the
+        # axon tunnel x ~15 keys dominated the iteration)
+        fetched = jax.device_get(metrics)
         span = np.float64((_time.perf_counter() - _t0) * 1e3)
         if chunk == 1:
             chunk_ms = [fetched]
