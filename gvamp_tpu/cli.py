@@ -426,29 +426,38 @@ def mode_test(opt: Options):
             geno.set_phen(np.where(isna, np.nan, y_raw),
                           standardize=(opt.model != "bin_class"))
             print(f"trait {tag or pf}:")
-        y = np.asarray(geno.deplanarize(geno.filter_pheno()))[: geno.N]
+        y_pl = geno.filter_pheno()
+        y = np.asarray(geno.deplanarize(y_pl))[: geno.N]
         best, best_it = -np.inf, -1
         sqn = np.sqrt(geno.N)
+        # scores are computed ON DEVICE and fetched as scalars: fetching the
+        # N-length prediction per stored iteration moves megabytes per sweep
+        # step through the (slow) device link at biobank scale
+        m_cov_pl = None
+        if opt.model == "bin_class":
+            m_cov = np.zeros(geno.N)
+            if opt.cov_estimate_file and opt.C:
+                eff = vecio.read_estimate(opt.cov_estimate_file, opt.C, 0)
+                m_cov = geno.covs_np @ eff
+            m_cov_pl = geno.planarize(m_cov)
+        sd = np.std(y, ddof=1)
         for it, est in _estimate_series(opt, geno.M, geno.S, tag=tag):
-            z = geno.deplanarize(geno.ax(geno.pad_m(est * sqn)))[: geno.N]
+            z = geno.ax(geno.pad_m(est * sqn))
             if opt.model == "bin_class":
                 from gvamp_tpu.ops.special import normal_cdf
-                m_cov = np.zeros(geno.N)
-                if opt.cov_estimate_file and opt.C:
-                    eff = vecio.read_estimate(opt.cov_estimate_file, opt.C, 0)
-                    m_cov = geno.covs_np @ eff
-                prob = np.asarray(normal_cdf(jnp.asarray(z + m_cov)))
-                pred = prob >= 0.5
-                truth = y >= 0.5
-                tp = np.sum(pred & truth); fp = np.sum(pred & ~truth)
-                fn = np.sum(~pred & truth); tn = np.sum(~pred & ~truth)
+                nm = geno.n_mask_planar > 0
+                pred = (normal_cdf(z + m_cov_pl) >= 0.5) & nm
+                truth = (y_pl >= 0.5) & nm
+                tp, fp, fn, tn = (int(v) for v in _jax().device_get(jnp.stack([
+                    jnp.sum(pred & truth), jnp.sum(pred & ~truth & nm),
+                    jnp.sum(~pred & truth & nm), jnp.sum(~pred & ~truth & nm),
+                ])))
                 tpr = tp / max(tp + fn, 1); fpr = fp / max(fp + tn, 1)
                 acc = (tp + tn) / geno.N
                 print(f"it {it}: TPR={tpr:.4f} FPR={fpr:.4f} acc={acc:.4f}")
                 score = acc
             else:
-                err2 = float(np.sum((y - z) ** 2))
-                sd = np.std(y, ddof=1)
+                err2 = float(jnp.sum(jnp.square(y_pl - z)))
                 score = 1.0 - err2 / (sd * sd * geno.N)
                 print(f"it {it}: R2 = {score:.6f}")
             if score > best:
