@@ -109,10 +109,16 @@ def run_config(N, M, k_iters, warm_steps=2):
     # throughput mode: K iterations per dispatch (linear.make_scan_step).
     # Fetch results with device_get (a raw transfer) — jnp indexing would
     # compile tiny gather programs through the remote-compile server.
-    t0 = time.perf_counter()
-    state, metrics = scan_step(state, aux)
-    metrics = {k: np.asarray(v)[-1] for k, v in jax.device_get(metrics).items()}
-    dt_iter = (time.perf_counter() - t0) / k_iters
+    # Best-of-3: the tiny config is dispatch-latency-bound and the tunnel's
+    # round-trip time varies run to run.
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = scan_step(state, aux)
+        metrics = {k: np.asarray(v)[-1]
+                   for k, v in jax.device_get(metrics).items()}
+        best = min(best, time.perf_counter() - t0)
+    dt_iter = best / k_iters
     cg_it = float(metrics["cg_iters"])
     probe_it = float(metrics["probe_iters"])
 
