@@ -478,7 +478,15 @@ def _fold_digits(z_i32: jax.Array, s0: jax.Array, B: int):
     return out
 
 
-def _axm_i8_kernel(g_ref, w8_ref, u8_ref, za_ref, zb_ref):
+def _fold_digits_zt(zt_i32, s0, B: int):
+    """int32[NDIG*B, 4, Nb] digit rows + scales [B] -> f32[4, Nb, B]."""
+    D = _NDIG * B
+    zf = zt_i32.astype(jnp.float32).reshape(_NDIG, B, *zt_i32.shape[1:])
+    scales = s0[None, :] * (127.0 ** -jnp.arange(_NDIG, dtype=jnp.float32)[:, None])
+    return jnp.einsum("dbkn,db->knb", zf, scales)
+
+
+def _axm_i8_kernel(g_ref, w8t_ref, u8t_ref, za_ref, zb_ref):
     im = pl.program_id(1)
 
     @pl.when(im == 0)
@@ -487,16 +495,19 @@ def _axm_i8_kernel(g_ref, w8_ref, u8_ref, za_ref, zb_ref):
         zb_ref[...] = jnp.zeros(zb_ref.shape, zb_ref.dtype)
 
     g = g_ref[...]
-    w8 = w8_ref[...]  # [TM, NDIG*B] int8
-    u8 = u8_ref[...]
+    w8t = w8t_ref[...]  # [NDIG*B, TM] int8 (digits of W^T)
+    u8t = u8t_ref[...]
     for k in range(4):
         a_sw, b_sw = _swar(g, k)
         a8 = pltpu.bitcast(a_sw, jnp.int8)
         b8 = pltpu.bitcast(b_sw, jnp.int8)
-        za_ref[k] += jax.lax.dot_general(
-            a8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        zb_ref[k] += jax.lax.dot_general(
-            b8, u8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        # transposed-output orientation: the decoded plane is the wide
+        # operand of the dot (contraction over its lane axis) — measured
+        # 510 vs 327 GB/s against the [4tnw, tm] @ [tm, D] form
+        za_ref[:, k] += jax.lax.dot_general(
+            w8t, a8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        zb_ref[:, k] += jax.lax.dot_general(
+            u8t, b8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tnw", "tm"))
@@ -505,38 +516,38 @@ def axm_i8_pallas(words, W, U, tnw=0, tm=0):
     Nw, M = words.shape
     B = W.shape[1]
     tnw = tnw or _pick_tnw(Nw, 256)
-    tm = tm or _pick_tm(M, 1024)
+    tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_AXM:
         return _chunk_cols(
             lambda lo, hi: axm_i8_pallas(words, W[:, lo:hi], U[:, lo:hi],
                                          tnw=tnw, tm=tm),
             B, _BMAX_AXM, 2)
-    w8, ws = _quant_digits(W, 1)
-    u8, us = _quant_digits(U, 1)
+    w8t, ws = _quant_digits(jnp.transpose(W.astype(jnp.float32)), 0)
+    u8t, us = _quant_digits(jnp.transpose(U.astype(jnp.float32)), 0)
     grid = (Nw // tnw, M // tm)
     D = _NDIG * B
     za, zb = pl.pallas_call(
         _axm_i8_kernel, grid=grid,
         in_specs=[
             pl.BlockSpec((tnw, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((4, 4 * tnw, D), lambda i, j: (0, i, 0),
+            pl.BlockSpec((D, 4, 4 * tnw), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * tnw, D), lambda i, j: (0, i, 0),
+            pl.BlockSpec((D, 4, 4 * tnw), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((4, 4 * Nw, D), jnp.int32),
-            jax.ShapeDtypeStruct((4, 4 * Nw, D), jnp.int32),
+            jax.ShapeDtypeStruct((D, 4, 4 * Nw), jnp.int32),
+            jax.ShapeDtypeStruct((D, 4, 4 * Nw), jnp.int32),
         ],
         interpret=_interpret(),
-    )(words, w8, u8)
-    return _fold_digits(za, ws[0][None, None, :], B) - _fold_digits(
-        zb, us[0][None, None, :], B)
+    )(words, w8t, u8t)
+    return (_fold_digits_zt(za, ws[:, 0], B)
+            - _fold_digits_zt(zb, us[:, 0], B))
 
 
 def _atxm_i8_kernel(g_ref, vt_ref, av_ref, bv_ref):
@@ -598,8 +609,11 @@ def atxm_i8_pallas(words, V, tnw=0, tm=0):
     B = V.shape[2]
     tnw = tnw or _pick_tnw(Nw, 256)
     # wide lane tiles feed the streaming-RHS orientation (tile sweep:
-    # tm=2048 610 GB/s vs 470 at 512); VMEM caps the width for big D
-    tm = tm or _pick_tm(M, 2048 if _NDIG * B <= 128 else 1024)
+    # tm=2048 610 GB/s vs 470 at 512); scoped VMEM caps the width as D
+    # grows (measured: D=64 with tm=2048 overflows the 16 MB budget in the
+    # two-output kernel; D=8 uses ~5 MB)
+    D_ = _NDIG * B
+    tm = tm or _pick_tm(M, 2048 if D_ <= 16 else (1024 if D_ <= 96 else 512))
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_ATXM:
         return _chunk_cols(
@@ -640,7 +654,10 @@ def atxm_i8_pallas(words, V, tnw=0, tm=0):
 # the work.  Containers detect completeness at load (data.py) and route here.
 
 
-def _axm_i8a_kernel(g_ref, w8_ref, za_ref):
+def _axm_i8a_wide_kernel(g_ref, w8_ref, za_ref):
+    # classic orientation for wide blocks: at D >= ~128 output digit rows
+    # the zT form's lhs spans many MXU weight tiles and loses (271 vs
+    # 326 GB/s measured at B=32); the [4tnw, tm] @ [tm, D] form wins there
     im = pl.program_id(1)
 
     @pl.when(im == 0)
@@ -656,6 +673,28 @@ def _axm_i8a_kernel(g_ref, w8_ref, za_ref):
             a8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
 
 
+# zT-orientation threshold: below this D the transposed-output form is
+# faster (B=2: 474 vs 327 GB/s), above it the classic form wins
+_D_ZT_MAX = 64
+
+
+def _axm_i8a_kernel(g_ref, w8t_ref, za_ref):
+    im = pl.program_id(1)
+
+    @pl.when(im == 0)
+    def _():
+        za_ref[...] = jnp.zeros(za_ref.shape, za_ref.dtype)
+
+    g = g_ref[...]
+    w8t = w8t_ref[...]  # [NDIG*B, TM] int8 (digits of W^T)
+    for k in range(4):
+        a_sw, _ = _swar(g, k)
+        a8 = pltpu.bitcast(a_sw, jnp.int8)
+        # transposed-output orientation (see _axm_i8_kernel): 510 vs 327 GB/s
+        za_ref[:, k] += jax.lax.dot_general(
+            w8t, a8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("tnw", "tm"))
 def axm_i8a_pallas(words, W, tnw=0, tm=0):
     """a-only int8 block matvec: A_a @ W -> [4, Nb, B] (caller subtracts the
@@ -663,27 +702,43 @@ def axm_i8a_pallas(words, W, tnw=0, tm=0):
     Nw, M = words.shape
     B = W.shape[1]
     tnw = tnw or _pick_tnw(Nw, 256)
-    tm = tm or _pick_tm(M, 1024)
+    tm = tm or _pick_tm(M)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_AXM_A:
         return _chunk_cols(
             lambda lo, hi: axm_i8a_pallas(words, W[:, lo:hi], tnw=tnw, tm=tm),
             B, _BMAX_AXM_A, 2)
-    w8, ws = _quant_digits(W, 1)
     grid = (Nw // tnw, M // tm)
     D = _NDIG * B
+    if D > _D_ZT_MAX:
+        w8, ws = _quant_digits(W, 1)
+        za = pl.pallas_call(
+            _axm_i8a_wide_kernel, grid=grid,
+            in_specs=[
+                pl.BlockSpec((tnw, tm), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, D), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((4, 4 * tnw, D), lambda i, j: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4, 4 * Nw, D), jnp.int32),
+            interpret=_interpret(),
+        )(words, w8)
+        return _fold_digits(za, ws[0][None, None, :], B)
+    w8t, ws = _quant_digits(jnp.transpose(W.astype(jnp.float32)), 0)
     za = pl.pallas_call(
         _axm_i8a_kernel, grid=grid,
         in_specs=[
             pl.BlockSpec((tnw, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, 4 * tnw, D), lambda i, j: (0, i, 0),
+        out_specs=pl.BlockSpec((D, 4, 4 * tnw), lambda i, j: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, 4 * Nw, D), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((D, 4, 4 * Nw), jnp.int32),
         interpret=_interpret(),
-    )(words, w8)
-    return _fold_digits(za, ws[0][None, None, :], B)
+    )(words, w8t)
+    return _fold_digits_zt(za, ws[:, 0], B)
 
 
 def _atx_a_kernel(g_ref, v_ref, av_ref):
@@ -750,8 +805,11 @@ def atxm_i8a_pallas(words, V, tnw=0, tm=0):
     B = V.shape[2]
     tnw = tnw or _pick_tnw(Nw, 256)
     # wide lane tiles feed the streaming-RHS orientation (tile sweep:
-    # tm=2048 610 GB/s vs 470 at 512); VMEM caps the width for big D
-    tm = tm or _pick_tm(M, 2048 if _NDIG * B <= 128 else 1024)
+    # tm=2048 610 GB/s vs 470 at 512); scoped VMEM caps the width as D
+    # grows (measured: D=64 with tm=2048 overflows the 16 MB budget in the
+    # two-output kernel; D=8 uses ~5 MB)
+    D_ = _NDIG * B
+    tm = tm or _pick_tm(M, 2048 if D_ <= 16 else (1024 if D_ <= 96 else 512))
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_ATXM:
         return _chunk_cols(
