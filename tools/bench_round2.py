@@ -121,10 +121,29 @@ def v7_i8decode(bytes8, W):
 
 @jax.jit
 def expand_words(words):
-    """uint32[Nw, M] -> int8[4Nw, M] on device (one-time relayout)."""
+    """uint32[Nw, M] -> int8[4Nw, M] on device (one-time relayout).
+    Only safe at small sizes — the XLA u8 transpose of a GB-scale array is
+    pathologically slow; for timing, generate random int8 directly."""
     Nw, Mm = words.shape
     b = jax.lax.bitcast_convert_type(words.T, jnp.uint8)  # [M, Nw, 4]
     return b.reshape(Mm, 4 * Nw).T.astype(jnp.int8)
+
+
+def synth_bytes(nw, m, chunk=4096):
+    """Random int8[4nw, m] generated on device (timing input for v7; the
+    byte DISTRIBUTION matches packed genotypes — uniform bytes)."""
+    @jax.jit
+    def gen():
+        def body(i, acc):
+            k = jax.random.fold_in(jax.random.key(9), i)
+            blk = jax.random.bits(k, (4 * nw, chunk), dtype=jnp.uint8)
+            return jax.lax.dynamic_update_slice(
+                acc, blk.astype(jnp.int8), (0, i * chunk))
+        out = jnp.zeros((4 * nw, m), jnp.int8)
+        return jax.lax.fori_loop(0, m // chunk, body, out)
+    b = gen()
+    float(jnp.sum(b[0, :8].astype(jnp.float32)))
+    return b
 
 
 def time_burst(make_burst, args, reps=3):
@@ -179,16 +198,20 @@ def main():
     rec("atxm_i8a B=2 (prod)", mk(matvec.atxm_i8a_pallas), (words, V2))
     rec("v8_atxm_vt B=2", mk(v8_atxm_vt), (words, V2))
 
-    bytes8 = expand_words(words)
-    refa = matvec.axm_i8a_pallas(words, W2)
+    # v7 correctness at small size (expand_words transpose is only safe
+    # there), then timing on directly-generated random bytes
     try:
-        v7o = v7_i8decode(bytes8, W2)
-        err7 = float(jnp.max(jnp.abs(v7o - refa)) / jnp.max(jnp.abs(refa)))
-        print(f"v7 relerr vs axm_i8a: {err7:.2e}", flush=True)
+        ws = words[:256, :2048]
+        Ws = W2[:2048]
+        v7s = v7_i8decode(expand_words(ws), Ws)
+        refs = matvec.axm_i8a_pallas(ws, Ws)
+        err7 = float(jnp.max(jnp.abs(v7s - refs)) / jnp.max(jnp.abs(refs)))
+        print(f"v7 relerr vs axm_i8a (small): {err7:.2e}", flush=True)
+        bytes8 = synth_bytes(NW, M)
         rec("axm_i8a B=2 (prod)", mk(matvec.axm_i8a_pallas), (words, W2))
         rec("v7_i8decode B=2", mk(v7_i8decode), (bytes8, W2))
     except Exception as e:
-        print("v7 failed:", str(e)[:200], flush=True)
+        print("v7 failed:", str(e)[:250], flush=True)
 
 
 if __name__ == "__main__":
