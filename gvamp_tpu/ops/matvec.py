@@ -21,19 +21,24 @@ interpret backends), which is exactly the byte-position axis of
 on u32 lanes — the arithmetic replacement for the reference's 1024-entry
 gather tables (dotp_lut.hpp) — so a full pass streams HBM once, gather-free.
 
-Two kernel families (measured on TPU v5e; packed HBM bandwidth is the metric
-because 2-bit data expands 16x into f32 lanes and the decode is the bound):
+Kernel families (measured on TPU v5e; packed HBM bandwidth is the metric
+because 2-bit data expands 16x into lanes; burst-marginal numbers — see
+docs/ROOFLINE.md for the measurement discipline):
 
-* **Single-vector** ``ax_pallas`` / ``atx_pallas``: the multiply-accumulate
-  runs on the VPU (a width-1 MXU matvec is weight-load-bound at ~1/128
-  utilization and measured 6x slower).  Exact f32.
-* **Wide-RHS (block)** ``axm_pallas`` / ``atxm_pallas``: B right-hand sides
-  per decode pass.  Decode dominates, so the MXU consumes extra columns
-  nearly free (measured: B=32 costs ~1.5x a width-1 pass — ~20x effective).
-  f32 operands are split into three exact bf16 parts (the decoded
-  matrix is integer, hence bf16-exact), giving ~1e-8 relative accuracy from
-  single-pass bf16 MXU dots.  Used by block-CG (LMMSE solve + Onsager probes
-  jointly) and multi-trait / LOCO batching.
+* **int8-MXU wide kernels** (the production path, all engines route here
+  even at B=1): the decoded planes stay int8 after the bitcast and the
+  f32 right-hand sides quantize into 4 radix-127 int8 digits recombined
+  outside (~1e-7 hardware-exact).  Both directions use the
+  **transposed-output orientation** — the small digit matrix is the dot's
+  lhs and the decoded plane streams through the MXU as the wide operand —
+  worth 2-4x over the naive orientation: ``ax`` 776 GB/s a-only / 364
+  missing-path, ``atx`` 611-727 / ~400 at tm=2048 lane tiles.  Wide
+  blocks (D > 64 digit rows) auto-dispatch to the classic orientation,
+  which wins there.  Extra RHS columns ride the same decode pass
+  (block-CG, multi-trait, LOCO batching).
+* **Single-vector VPU kernels** ``ax_pallas`` / ``atx_pallas`` and the
+  bf16 3-way-split block kernels ``axm_pallas`` / ``atxm_pallas``: exact
+  f32 reference implementations, kept for tests and fallback.
 
 Both backends compute, in planar layout:
 
