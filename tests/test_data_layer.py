@@ -284,3 +284,38 @@ def test_wide_kernel_column_chunking():
     a1, b1 = matvec.atxm_i8_pallas(words, V[:, :, -1:])
     np.testing.assert_allclose(np.asarray(av)[:, -1], np.asarray(a1)[:, 0],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_digit_transform_helpers_roundtrip():
+    """_quant_digits_t / _fold_digits_zt / _fold_digits_t: quantize-fold
+    round-trips reconstruct the original values to digit precision at edge
+    widths (B=1 and B=5, non-power-of-two)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gvamp_tpu.ops import matvec
+
+    rng = np.random.default_rng(3)
+    for B in (1, 5):
+        # atx-side: V [4, Nb, B]
+        V = jnp.asarray(rng.standard_normal((4, 64, B)).astype(np.float32))
+        v8, s0 = matvec._quant_digits_t(V)
+        assert v8.shape == (4, matvec._NDIG * B, 64)
+        rec = np.zeros((4, B, 64), np.float64)
+        v8n = np.asarray(v8, np.float64)
+        s = np.asarray(s0, np.float64)
+        for d in range(matvec._NDIG):
+            rec += v8n[:, d * B:(d + 1) * B, :] * (
+                s[None, :, None] / (127.0 ** d))
+        np.testing.assert_allclose(rec.transpose(0, 2, 1), np.asarray(V),
+                                   rtol=0, atol=float(np.abs(V).max()) * 1e-7)
+
+        # fold helpers agree with a numpy fold
+        zt = jnp.asarray(rng.integers(-1000, 1000,
+                                      (matvec._NDIG * B, 4, 32)), jnp.int32)
+        out = np.asarray(matvec._fold_digits_zt(zt, jnp.asarray(s0), B))
+        want = np.zeros((4, 32, B))
+        ztn = np.asarray(zt, np.float64)
+        for d in range(matvec._NDIG):
+            for j in range(B):
+                want[:, :, j] += ztn[d * B + j] * (s[j] / 127.0 ** d)
+        np.testing.assert_allclose(out, want, rtol=1e-6)
