@@ -67,3 +67,32 @@ def test_fuzz_engines_stay_finite(seed, N, M, miss, model, dtype, h2):
     # the estimate carries signal (loose: just above chance)
     corr = np.corrcoef(x, beta)[0, 1]
     assert np.isfinite(corr) and corr > 0.1, (model, dtype, corr)
+
+
+@pytest.mark.parametrize("seed,T", [(41, 3), (42, 2)])
+def test_fuzz_multi_trait_stays_finite(seed, T):
+    """Multi-trait engine fuzz: odd sizes, per-trait NA patterns, f32."""
+    from gvamp_tpu import multi
+
+    rng = np.random.default_rng(seed)
+    N, M = 311 + seed, 197 + 3 * seed
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.03)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float32)
+    vars_t, probs_t = sim.two_group_prior(M, 12, 0.6)
+    ys, betas = [], []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        y = sim.simulate_linear_phenotype(geno, beta, 2.5, rng)
+        y[rng.choice(N, max(N // 30, 1), replace=False)] = np.nan
+        ys.append(y)
+        betas.append(beta)
+    mp = multi.MultiPhen.build(geno, ys)
+    cfg = linear.VampConfig(max_iter=5, rho=0.25, gam1_init=1e-8,
+                            gamw_init=2.0)
+    x, state, hist = multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+    assert np.isfinite(x).all()
+    assert np.isfinite(np.asarray(hist[-1]["gam1"])).all()
+    for t in range(T):
+        corr = np.corrcoef(x[:, t], betas[t])[0, 1]
+        assert np.isfinite(corr) and corr > 0.1, (t, corr)
