@@ -27,6 +27,9 @@ class CGResult(NamedTuple):
     mu: jax.Array
     iters: jax.Array
     rel_err: jax.Array
+    r: jax.Array = None   # final residual V - Q mu (exact for ANY mu, so
+                          # downstream identities like A x2 = y - gam2 mu - r
+                          # hold regardless of convergence)
 
 
 def solve(
@@ -88,7 +91,7 @@ def solve(
             lambda n, ref: jnp.asarray(n, ref.dtype), out, s)
 
     out = jax.lax.while_loop(cond, body, s0)
-    return CGResult(mu=out.mu, iters=out.i, rel_err=out.rel_err)
+    return CGResult(mu=out.mu, iters=out.i, rel_err=out.rel_err, r=out.r)
 
 
 def solve_block(
@@ -169,7 +172,7 @@ def solve_block(
             lambda n, ref: jnp.asarray(n, ref.dtype), out, s)
 
     out = jax.lax.while_loop(cond, body, s0)
-    return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err)
+    return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err, r=out.r)
 
 
 def make_lmmse_mult_block(axm_fn, atxm_fn, op, tau, gam2):

@@ -25,6 +25,7 @@ Single-process host with the device mesh doing the sharding: divide_work
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 
 import numpy as np
@@ -123,7 +124,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
             ys.append(np.where(isna, np.nan, y))
-        cfg = linear.VampConfig(**_common_cfg(
+        cfg = linear.VampConfig(gamma_damp=opt.gamma_damp, **_common_cfg(
             opt, gam1, 1e-6, opt.gamw_default() if gamw is None else gamw))
         mp = multi.MultiPhen.build(geno, ys)
 
@@ -139,6 +140,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         x_est, state, hist = multi.infer(mp, cfg, probs, vars_user,
                                          verbose=opt.verbosity > 0,
+                                         sync_every=opt.sync_every,
                                          callbacks=[dump_cb])
         if hist and dist.is_main():
             _write_multi_scalar_history(opt.out_prefix, hist, mp.T)
@@ -152,9 +154,11 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             use_lmmse_damp=bool(opt.use_lmmse_damp),
             use_xxt=bool(opt.use_XXT_denoiser),
             gamma_damp=opt.gamma_damp,
+            red=bool(opt.red),
             use_cross_val=bool(opt.use_cross_val),
             **_common_cfg(opt, gam1, 1e-6,
                           opt.gamw_default() if gamw is None else gamw))
+        dump.meta = {"cfg": dataclasses.asdict(cfg)}
         freeze = None
         if opt.use_freeze:
             freeze = vecio.read_estimate(opt.freeze_index_file, geno.M, geno.S)
@@ -197,12 +201,14 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         return multi.infer_probit(mp, cfg, probs, vars_user,
                                   verbose=opt.verbosity > 0,
+                                  sync_every=opt.sync_every,
                                   callbacks=[dump_cb])
 
     if opt.model == "bin_class":
         from gvamp_tpu import probit
         cfg = probit.ProbitConfig(probit_var=opt.probit_var,
                                   **_common_cfg(opt, gam1, 1e-8))
+        dump.meta = {"cfg": dataclasses.asdict(cfg)}
         return probit.infer(geno, cfg, probs, vars_user,
                             phase_timers=bool(opt.phase_timers),
                             sync_every=opt.sync_every, **common)
@@ -231,11 +237,13 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
 
         return multi.infer_huber(mp, cfg, probs, vars_user,
                                  verbose=opt.verbosity > 0,
+                                 sync_every=opt.sync_every,
                                  callbacks=[dump_cb])
 
     if opt.model == "robust":
         from gvamp_tpu import robust
         cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
+        dump.meta = {"cfg": dataclasses.asdict(cfg)}
         return robust.infer(geno, cfg, probs, vars_user,
                             phase_timers=bool(opt.phase_timers),
                             sync_every=opt.sync_every, **common)
@@ -330,29 +338,64 @@ def mode_infere(opt: Options):
 
 def mode_restart(opt: Options):
     """gam1/gamw injected + r1 from estimate file (main_real.cpp:453-486)."""
-    geno = _load_geno(opt)
     if opt.resume:
-        # full-state resume (extension: complete scalar state comes back too)
-        from gvamp_tpu import linear
-        probs, vars_user = _prior(opt, geno)
-        cfg = linear.VampConfig(max_iter=opt.iterations, rho=opt.rho,
-                                cg_max_iter=opt.CG_max_iter, seed=opt.seed)
-        state, meta = load_state(opt.resume, linear.LinState)
-        aux = linear.make_aux(geno, cfg)
-        step = linear.make_step(geno, cfg)
-        dump = IterDumper(opt.out_prefix, model="linear",
-                          dump_every=opt.dump_every, checkpoint=opt.checkpoint)
-        hist = []
-        for it in range(int(state.it) + 1, int(state.it) + 1 + opt.iterations):
-            state, metrics = step(state, aux)
-            m = {k: np.asarray(v) for k, v in metrics.items()}
-            hist.append(m)
-            dump(it, state, m, geno)
-        if dist.is_main():
-            write_scalar_history(opt.out_prefix, hist)
-        return
+        return _resume_run(opt)
+    geno = _load_geno(opt)
     r1 = vecio.read_estimate(opt.estimate_file, geno.M, geno.S)
     run_inference(opt, geno, gam1=opt.gam1_init, gamw=opt.gamw_init, r1_init=r1)
+
+
+def _resume_run(opt: Options):
+    """Full-state resume from an .npz checkpoint (extension beyond the
+    reference's estimate-file restart): the engine kind and its COMPLETE
+    config come back from the checkpoint metadata, so the resumed run
+    continues with the exact original semantics (EM budget, damping, flags,
+    stopping criterion) for --iterations more iterations."""
+    import json
+
+    z = np.load(opt.resume, allow_pickle=False)
+    meta = json.loads(bytes(z["_meta"]).decode())
+    model = meta.get("model", "linear")
+    if model != opt.model:
+        raise SystemExit(
+            f"FATAL  : checkpoint {opt.resume} was written by --model {model};"
+            f" pass the same --model to resume (got {opt.model})")
+    geno = _load_geno(opt)
+    cfg_d = dict(meta.get("cfg", {}))
+    probs, vars_user = _prior(opt, geno)
+    start_it = int(meta.get("it", 0))
+    cfg_d["max_iter"] = start_it + opt.iterations
+
+    if model == "linear":
+        from gvamp_tpu import linear as eng
+        cfg = eng.VampConfig(**cfg_d) if cfg_d.keys() - {"max_iter"} else \
+            eng.VampConfig(max_iter=cfg_d["max_iter"], rho=opt.rho,
+                           cg_max_iter=opt.CG_max_iter, seed=opt.seed)
+        state_cls = eng.LinState
+    elif model == "bin_class":
+        from gvamp_tpu import probit as eng
+        cfg = eng.ProbitConfig(**cfg_d)
+        state_cls = eng.ProbitState
+    elif model == "robust":
+        from gvamp_tpu import robust as eng
+        cfg = eng.RobustConfig(**cfg_d)
+        state_cls = eng.RobustState
+    else:
+        raise SystemExit(f"cannot resume model {model!r}")
+    state, _ = load_state(opt.resume, state_cls)
+    dump = IterDumper(opt.out_prefix, model=model, dump_every=opt.dump_every,
+                      checkpoint=opt.checkpoint,
+                      meta={"cfg": dataclasses.asdict(cfg)})
+    x_est, state, hist = eng.infer(
+        geno, cfg, probs, vars_user, resume_state=state, callbacks=[dump],
+        verbose=opt.verbosity > 0, sync_every=opt.sync_every,
+        phase_timers=bool(opt.phase_timers))
+    if hist and dist.is_main():
+        if model == "linear":
+            write_scalar_history(opt.out_prefix, hist)
+        else:
+            write_scalar_history(opt.out_prefix, hist, keys=("gam1", "gam2"))
+    return x_est, state, hist
 
 
 def _series_paths(path, lo, hi):
@@ -444,16 +487,7 @@ def mode_test(opt: Options):
         for it, est in _estimate_series(opt, geno.M, geno.S, tag=tag):
             z = geno.ax(geno.pad_m(est * sqn))
             if opt.model == "bin_class":
-                from gvamp_tpu.ops.special import normal_cdf
-                nm = geno.n_mask_planar > 0
-                pred = (normal_cdf(z + m_cov_pl) >= 0.5) & nm
-                truth = (y_pl >= 0.5) & nm
-                tp, fp, fn, tn = (int(v) for v in _jax().device_get(jnp.stack([
-                    jnp.sum(pred & truth), jnp.sum(pred & ~truth & nm),
-                    jnp.sum(~pred & truth & nm), jnp.sum(~pred & ~truth & nm),
-                ])))
-                tpr = tp / max(tp + fn, 1); fpr = fp / max(fp + tn, 1)
-                acc = (tp + tn) / geno.N
+                tpr, fpr, acc = _score_bin_class(geno, z, m_cov_pl)
                 print(f"it {it}: TPR={tpr:.4f} FPR={fpr:.4f} acc={acc:.4f}")
                 score = acc
             else:
@@ -467,10 +501,32 @@ def mode_test(opt: Options):
     return results if len(traits) > 1 else results[0]
 
 
+def _score_bin_class(geno_t, z_planar, m_cov_planar):
+    """Confusion-matrix scoring of a probit prediction on a test container
+    (main_real_probit.cpp:131-157, 220-313): classify by
+    normal_cdf(z + Z cov_eff) >= 0.5 and report TPR/FPR/accuracy."""
+    import jax.numpy as jnp
+    from gvamp_tpu.ops.special import normal_cdf
+    nm = geno_t.n_mask_planar > 0
+    y_pl = geno_t.filter_pheno()
+    pred = (normal_cdf(z_planar + m_cov_planar) >= 0.5) & nm
+    truth = (y_pl >= 0.5) & nm
+    tp, fp, fn, tn = (int(v) for v in _jax().device_get(jnp.stack([
+        jnp.sum(pred & truth), jnp.sum(pred & ~truth & nm),
+        jnp.sum(~pred & truth & nm), jnp.sum(~pred & ~truth & nm),
+    ])))
+    tpr = tp / max(tp + fn, 1)
+    fpr = fp / max(fp + tn, 1)
+    acc = (tp + tn) / geno_t.N
+    return tpr, fpr, acc
+
+
 def mode_both(opt: Options):
-    """infere on train, then test-set R^2 with train intercept/scale
-    de-standardization (main_real.cpp:245-330).  Multi-trait runs score
-    each trait against its own test phenotype (extension)."""
+    """infere on train, then test-set scoring (main_real.cpp:245-330):
+    linear/robust report R^2 with train intercept/scale de-standardization;
+    bin_class reports the probit confusion matrix / TPR / FPR on the test
+    set (main_real_probit.cpp:220-313).  Multi-trait runs score each trait
+    against its own test phenotype (extension)."""
     geno = _load_geno(opt)
     x_est, state, hist = run_inference(opt, geno)
     x_est = np.asarray(x_est)
@@ -491,24 +547,41 @@ def mode_both(opt: Options):
         scales = [(geno.intercept, geno.scale)]
     geno_t = _load_geno(opt, test=True)
     sqn = np.sqrt(geno_t.N)
-    r2s = []
+    bin_class = opt.model == "bin_class"
+    m_cov_pl = None
+    if bin_class:
+        # fixed covariate effects learned at it 1 carry to the test set
+        # (main_real_probit.cpp:241-258); requires the test covariate rows
+        m_cov = np.zeros(geno_t.N)
+        if opt.C > 0 and getattr(state, "cov_eff", None) is not None:
+            eff = np.asarray(state.cov_eff)[: opt.C]
+            if geno_t.covs is not None and geno_t.covs_np.shape[0] == geno_t.N:
+                m_cov = geno_t.covs_np @ eff
+        m_cov_pl = geno_t.planarize(m_cov)
+    scores = []
     for t, (tag, pf) in enumerate(traits):
         if multi:
             y_raw, isna = plink.read_phen(pf)
             geno_t.set_phen(np.where(isna, np.nan, y_raw),
-                            standardize=(opt.model != "bin_class"))
+                            standardize=not bin_class)
         est_t = x_est[:, t] if multi else x_est
+        z_pl = geno_t.ax(geno_t.pad_m(est_t[: geno_t.M] * sqn))
+        if bin_class:
+            tpr, fpr, acc = _score_bin_class(geno_t, z_pl, m_cov_pl)
+            print(f"test{tag and f' ({tag})' or ''}: TPR={tpr:.4f} "
+                  f"FPR={fpr:.4f} acc={acc:.4f}")
+            scores.append(acc)
+            continue
         intercept, scale = scales[min(t, len(scales) - 1)]
-        z = geno_t.deplanarize(geno_t.ax(geno_t.pad_m(
-            est_t[: geno_t.M] * sqn)))[: geno_t.N]
+        z = geno_t.deplanarize(z_pl)[: geno_t.N]
         z = intercept + scale * z
         y = np.asarray(geno_t.deplanarize(geno_t.filter_pheno()))[: geno_t.N]
         err2 = float(np.sum((y - z) ** 2))
         sd = np.std(y, ddof=1)
         r2 = 1.0 - err2 / (sd * sd * geno_t.N)
         print(f"test R2{tag and f' ({tag})' or ''} = {r2:.6f}")
-        r2s.append(r2)
-    return r2s if multi else r2s[0]
+        scores.append(r2)
+    return scores if multi else scores[0]
 
 
 def mode_pvals_calc(opt: Options):

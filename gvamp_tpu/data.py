@@ -599,6 +599,90 @@ class GenoBed:
 
         return axm_fn, atxm_fn
 
+    def window_fns_multi(self, lbw: int):
+        """(axm_w, atxm_w) over a DYNAMIC word-row window [sbw, sbw+lbw).
+
+        The device-side reshape of the reference's (SB, LB) byte-window
+        matvec arguments (data.cpp:728-801, 852) used by the reduced-subset
+        CG path (--red, vamp.cpp:561-596, 1096-1110): each pass streams only
+        ``lbw / n_words`` of the packed matrix.  ``sbw`` is a traced scalar
+        (word-row offset, one word row = 4 planar bytes = 16 individuals),
+        so the window can move every iteration inside one jitted step.
+        Marker statistics stay those of the FULL data and the scale becomes
+        1/sqrt(16*lbw) (data.cpp:825-832).
+
+        Signatures: axm_w(op, X[Mpad, B], sbw) -> z[4, 4*lbw, B] and
+        atxm_w(op, V[4, 4*lbw, B], sbw) -> [Mpad, B].
+        """
+        backend, mesh, dtype = self.backend, self.mesh, self.dtype
+        lbw = int(lbw)
+        n_win = 16 * lbw
+        scale = 1.0 / float(np.sqrt(n_win))
+
+        def slice_words(words, sbw):
+            return jax.lax.dynamic_slice(
+                words, (sbw, 0), (lbw, words.shape[1]))
+
+        def slice_na(na, sbw):
+            return jax.lax.dynamic_slice(na, (0, 4 * sbw), (4, 4 * lbw))
+
+        complete = backend == "pallas" and self.geno_complete
+        if backend == "pallas" and complete:
+            raw_ax = lambda g, W, U: matvec.axm_i8a_pallas(g, W)
+            raw_atx = lambda g, V: (matvec.atxm_i8a_pallas(g, V),
+                                    jnp.sum(V, axis=(0, 1)))
+        elif backend == "pallas":
+            raw_ax = matvec.axm_i8_pallas
+            raw_atx = matvec.atxm_i8_pallas
+        else:
+            raw_ax = lambda g, W, U: matvec.axm_xla(g, W, U, dtype=dtype)
+            raw_atx = lambda g, V: matvec.atxm_xla(g, V, dtype=dtype)
+
+        def ax_local(words, na, W, U, sbw):
+            g = slice_words(words, sbw)
+            z = raw_ax(g, W, U)
+            if complete:
+                # b == 1 on the window: its contraction is the scalar
+                # column-sum of U (the window never changes it)
+                z = z - jnp.sum(U, axis=0)[None, None, :]
+            return z.astype(dtype) * slice_na(na, sbw)[:, :, None]
+
+        def atx_local(words, na, V, sbw):
+            g = slice_words(words, sbw)
+            v = V.astype(dtype) * slice_na(na, sbw)[:, :, None]
+            av, bv = raw_atx(g, v)
+            return av.astype(dtype), jnp.asarray(bv, dtype)
+
+        if mesh is not None:
+            ax_sh = jax.shard_map(
+                lambda w_, na, W, U, sbw: jax.lax.psum(
+                    ax_local(w_, na, W, U, sbw), "m"),
+                mesh=mesh,
+                in_specs=(P(None, "m"), P(None, None), P("m", None),
+                          P("m", None), P()),
+                out_specs=P(None, None, None), check_vma=False)
+            atx_sh = jax.shard_map(
+                atx_local, mesh=mesh,
+                in_specs=(P(None, "m"), P(None, None), P(None, None, None),
+                          P()),
+                out_specs=(P("m", None), P("m", None) if not complete
+                           else P(None)), check_vma=False)
+        else:
+            ax_sh, atx_sh = ax_local, atx_local
+
+        def axm_w(op: BedOp, X, sbw):
+            W = op.msig[:, None] * X.astype(op.msig.dtype)
+            U = op.mave[:, None] * W
+            return ax_sh(op.words, op.na_planar, W, U, sbw) * scale
+
+        def atxm_w(op: BedOp, V, sbw):
+            av, bv = atx_sh(op.words, op.na_planar, V, sbw)
+            return ((av - op.mave[:, None] * bv[None, :] if complete
+                     else av - op.mave[:, None] * bv)
+                    * op.msig[:, None] * scale)
+
+        return axm_w, atxm_w
+
     def ax(self, x: jax.Array) -> jax.Array:
         ax_fn, _ = self.fns()
         return ax_fn(self.op, x)

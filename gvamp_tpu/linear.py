@@ -83,6 +83,12 @@ class VampConfig:
                                  # pass) and solve exactly on that subspace;
                                  # cuts CG iterations on LD-structured data
     deflate_iters: int = 8       # block power-iteration steps
+    red: bool = False            # reduced-subset stochastic solves: each
+                                 # iteration draws a random 10% sample window
+                                 # and runs the LMMSE CG + Onsager probe +
+                                 # gamw trace over it (reference --red,
+                                 # vamp.cpp:561-596, 884, 907-916) — ~10x
+                                 # cheaper packed passes inside the CG
 
 
 class LinState(NamedTuple):
@@ -95,6 +101,7 @@ class LinState(NamedTuple):
     mu_cg: jax.Array         # warm start for the LMMSE CG (marker space)
     mu_cg_n: jax.Array       # warm start for the XXT CG (sample space)
     mu_probe: jax.Array      # warm starts for the Onsager probe CG [Mpad, P]
+    mu_probe_n: jax.Array    # XXT-mode N-space probe warm starts [4, Nb, P]
     gam1: jax.Array
     gam2: jax.Array
     gamw: jax.Array
@@ -135,6 +142,7 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         mu_cg=zeros_m,
         mu_cg_n=jnp.zeros_like(geno.y_planar),
         mu_probe=jnp.zeros((Mp, cfg.n_probes), dt),
+        mu_probe_n=jnp.zeros(geno.y_planar.shape + (cfg.n_probes,), dt),
         gam1=jnp.asarray(cfg.gam1_init if gam1 is None else gam1, dt),
         gam2=jnp.asarray(0.0, dt),
         gamw=jnp.asarray(cfg.gamw_init if gamw is None else gamw, dt),
@@ -257,6 +265,12 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
     hold_ax = geno_hold.fns()[0] if geno_hold is not None else None
+    if cfg.red:
+        # reduced-subset window length: 10% of sample-word rows, tile-aligned
+        # (reference LBglob = mbytes / 10, vamp.cpp:563)
+        nw_total = geno.layout.n_words
+        red_lbw = min(nw_total, max(32, (nw_total // 10) // 32 * 32))
+        axm_w, atxm_w = geno.window_fns_multi(red_lbw)
 
     def denoise(state: LinState, aux: Aux):
         m_mask, frz = aux.m_mask, aux.frz
@@ -420,31 +434,82 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         gam2_eff = gam2 * cfg.gamma_damp
         diag = cg.jacobi_diag(gamw, gam2_eff, N)
         P = cfg.n_probes
-        multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, gamw, gam2_eff)
+        mu_probe_n_new = state.mu_probe_n
         if cfg.use_xxt:
             # dual / N-space solve (lmmse_denoiserAAT, denoiserXXT.cpp:31-50):
-            # x2 = gamw A^T (gamw A A^T + gam2 I)^{-1} (y - A r2) + r2
-            def mult_aat(u):
-                return gamw * ax_fn(op, atx_fn(op, u)) + gam2 * u
-
+            # x2 = gamw A^T (gamw A A^T + gam2 I)^{-1} (y - A r2) + r2.
+            # The Onsager probes ride the SAME N-space block CG via Woodbury
+            # (no marker-space solve in dual mode — round-2 verdict C26):
+            #   alpha2_j = gam2 <u_j, Q_M^{-1} u_j>
+            #           = <u_j,u_j> - gamw <A u_j, Q_N^{-1} A u_j>
+            #           = 1 - gamw <z_u_j, s_j>
+            # with Q_N = gamw A A^T + gam2 I and z_u = A u precomputed in
+            # aux.z_bern.  (The reference's g2d_onsagerAAT /
+            # updateNoisePrecAAT, denoiserXXT.cpp:133-165, carry
+            # inconsistent signs around the same identities; we implement
+            # the exact Woodbury algebra, which matches the primal path to
+            # the probe's MC accuracy.)
+            nb4 = y.shape[0] * y.shape[1]
             v_n = y - ax_fn(op, r2)
-            diag_n = gamw * aux.xxt_diag_base + gam2
-            sol_n = cg.solve(mult_aat, v_n, state.mu_cg_n, diag_n, gam2,
-                             cfg.cg_max_iter, err_tol=cfg.cg_err_tol_xxt)
-            x2 = (gamw * atx_fn(op, sol_n.mu) + r2) * m_mask
-            # marker-space probe block (g2d_onsager with the primal operator)
-            probe = cg.solve_block(multb, bern, state.mu_probe, diag,
-                                   gam2_eff, cfg.cg_max_iter, modes=(1,) * P,
-                                   onsager_tol=cfg.onsager_tol)
-            invq = probe.mu
-            mu_cg_new, mu_cg_n_new = state.mu_cg, sol_n.mu
-            cg_iters, cg_rel_err = sol_n.iters, sol_n.rel_err
-            probe_iters = jnp.max(probe.iters)
+            z_bern_f = aux.z_bern.reshape(nb4, P)
+            V_n = jnp.concatenate([v_n.reshape(nb4, 1), z_bern_f], axis=1)
+            mu0_n = jnp.concatenate(
+                [state.mu_cg_n.reshape(nb4, 1),
+                 state.mu_probe_n.reshape(nb4, P)], axis=1)
+
+            def mult_aat_b(U):
+                Up = U.reshape((4, nb4 // 4, U.shape[1]))
+                out = gamw * axm_fn(op, atxm_fn(op, Up)) + gam2 * Up
+                return out.reshape(nb4, U.shape[1])
+
+            diag_n = (gamw * aux.xxt_diag_base + gam2).reshape(nb4)[:, None]
+            sol = cg.solve_block(mult_aat_b, V_n, mu0_n, diag_n, gam2,
+                                 cfg.cg_max_iter, modes=(0,) + (1,) * P,
+                                 err_tol=cfg.cg_err_tol_xxt,
+                                 onsager_tol=cfg.onsager_tol)
+            sol0 = sol.mu[:, 0]
+            x2 = (gamw * atx_fn(op, sol0.reshape(y.shape)) + r2) * m_mask
+            alpha2 = jnp.mean(1.0 - gamw * jnp.sum(z_bern_f * sol.mu[:, 1:],
+                                                   axis=0))
+            # A x2 = y - gam2 s0 - r_cg0 EXACTLY for the returned s0 (the
+            # identity folds the whole noise-EM matvec pass away, and the
+            # trace correction is free: Mt (1 - alpha2) / gamw)
+            ax2_exact = y - (gam2 * sol0 + sol.r[:, 0]).reshape(y.shape)
+            invq = state.mu_probe      # unused in dual mode (kept in state)
+            mu_cg_new, mu_cg_n_new = state.mu_cg, sol0.reshape(y.shape)
+            mu_probe_n_new = sol.mu[:, 1:].reshape(y.shape + (P,))
+            cg_iters, cg_rel_err = sol.iters[0], sol.rel_err[0]
+            probe_iters = jnp.max(sol.iters[1:])
+            w = dict(w)
+            w.update(ax2_exact=ax2_exact)
         else:
             # joint block solve: column 0 = LMMSE RHS (residual exit,
             # vamp.cpp:594-596), columns 1.. = Onsager probes (quadform
             # early-exit, vamp.cpp:871-889).  One wide pass per CG iteration.
-            v = gamw * aux.aty + gam2_eff * r2
+            if cfg.red:
+                # reduced-subset stochastic solves: draw this iteration's
+                # sample window (rank-0-broadcast uniform SB in the
+                # reference, vamp.cpp:561-578; deterministic fold_in here)
+                nw = op.words.shape[0]
+                lbw = red_lbw
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.key(cfg.seed + 3), geno.S),
+                    it)
+                sbw = jax.random.randint(key, (), 0, (nw - lbw) // 32 + 1) * 32
+                y_w = jax.lax.dynamic_slice(
+                    y, (0, 4 * sbw), (4, 4 * lbw))
+                v = gamw * atxm_w(op, y_w[:, :, None], sbw)[:, 0] \
+                    + gam2_eff * r2
+                multb = cg.make_lmmse_mult_block(
+                    lambda o, X: axm_w(o, X, sbw),
+                    lambda o, V_: atxm_w(o, V_, sbw), op, gamw, gam2_eff)
+                diag = cg.jacobi_diag(gamw, gam2_eff, 16.0 * lbw)
+                w = dict(w)
+                w.update(red_sbw=sbw)
+            else:
+                v = gamw * aux.aty + gam2_eff * r2
+                multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, gamw,
+                                                 gam2_eff)
             V = jnp.concatenate([v[:, None], bern], axis=1)
             mu0 = jnp.concatenate([state.mu_cg[:, None], state.mu_probe], axis=1)
             precond = None
@@ -461,9 +526,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             mu_cg_new, mu_cg_n_new = sol.mu[:, 0], state.mu_cg_n
             cg_iters, cg_rel_err = sol.iters[0], sol.rel_err[0]
             probe_iters = jnp.max(sol.iters[1:])
-
-        # Hutchinson trace: alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>
-        alpha2 = gam2_eff * jnp.mean(jnp.sum(bern * invq, axis=0))
+            # Hutchinson trace: alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>
+            alpha2 = gam2_eff * jnp.mean(jnp.sum(bern * invq, axis=0))
         eta2 = gam2 / alpha2
 
         # gam2 re-estimate (vamp.cpp:691-693)
@@ -478,22 +542,45 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         w = dict(w)
         w.update(x2=x2, invq=invq, alpha2=alpha2, eta2=eta2, gam2=gam2,
                  gam1_new=gam1_new, r1=r1, mu_cg=mu_cg_new,
-                 mu_cg_n=mu_cg_n_new, cg_iters=cg_iters,
-                 cg_rel_err=cg_rel_err, probe_iters=probe_iters)
+                 mu_cg_n=mu_cg_n_new, mu_probe_n=mu_probe_n_new,
+                 cg_iters=cg_iters, cg_rel_err=cg_rel_err,
+                 probe_iters=probe_iters)
         return w
 
     def phase_noise(w, state: LinState, aux: Aux):
         op, y = aux.op, aux.y
         x2, invq = w["x2"], w["invq"]
+        alpha2 = w["alpha2"]
+        gamw = state.gamw
 
-        # noise precision EM update (updateNoisePrec, vamp.cpp:892-927):
-        # one wide pass computes A x2 and A invq_j; the trace correction uses
-        # <u_j, A^T A q_j> = <A u_j, A q_j> with A u_j precomputed in aux.
-        Z2 = axm_fn(op, jnp.concatenate([x2[:, None], invq], axis=1))
-        ax2 = Z2[..., 0]
-        resid2 = jnp.sum(jnp.square(ax2 - y))
-        trace_corr = jnp.mean(
-            jnp.sum(aux.z_bern * Z2[..., 1:], axis=(0, 1))) * Mt
+        # noise precision EM update (updateNoisePrec, vamp.cpp:892-927)
+        if cfg.use_xxt:
+            # both pieces come free from the dual solve: A x2 is exact via
+            # the CG residual identity and the Hutchinson trace collapses to
+            # Mt <u, A^T A Q_M^{-1} u> = Mt (1 - alpha2) / gamw
+            ax2 = w["ax2_exact"]
+            resid2 = jnp.sum(jnp.square(ax2 - y))
+            trace_corr = Mt * (1.0 - alpha2) / gamw
+        elif cfg.red:
+            # full-data residual (reference updateNoisePrec keeps temp =
+            # Ax(x2) unwindowed, vamp.cpp:897) + WINDOWED trace passes
+            # (vamp.cpp:907-916): <u, Aw^T Aw q> = <Aw u, Aw q> in one
+            # windowed wide pass over [invq | bern]
+            sbw = w["red_sbw"]
+            ax2 = ax_fn(op, x2)
+            resid2 = jnp.sum(jnp.square(ax2 - y))
+            P = cfg.n_probes
+            Zw = axm_w(op, jnp.concatenate([invq, aux.bern], axis=1), sbw)
+            trace_corr = jnp.mean(
+                jnp.sum(Zw[..., :P] * Zw[..., P:], axis=(0, 1))) * Mt
+        else:
+            # one wide pass computes A x2 and A invq_j; the trace correction
+            # uses <u_j, A^T A q_j> = <A u_j, A q_j>, A u_j precomputed in aux
+            Z2 = axm_fn(op, jnp.concatenate([x2[:, None], invq], axis=1))
+            ax2 = Z2[..., 0]
+            resid2 = jnp.sum(jnp.square(ax2 - y))
+            trace_corr = jnp.mean(
+                jnp.sum(aux.z_bern * Z2[..., 1:], axis=(0, 1))) * Mt
         gamw_new = N / (resid2 + trace_corr)
 
         # train metrics after LMMSE (err_measures ind=2)
@@ -550,6 +637,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         new_state = LinState(
             it=it, x1=x1, x2=x2, r1=r1, r2=r2, z1=w["z1"],
             mu_cg=w["mu_cg"], mu_cg_n=w["mu_cg_n"], mu_probe=invq,
+            mu_probe_n=w["mu_probe_n"],
             gam1=w["gam1_new"], gam2=gam2, gamw=gamw_new, eta1=eta1,
             eta2=eta2, alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs,
             vars=vars_, cv_r2=cv_r2)
@@ -653,7 +741,7 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
           true_signal=None, freeze=None, callbacks=None,
           r1_init=None, x1_init=None, gam1=None, gamw=None,
           verbose: bool = True, sync_every: int = 1,
-          phase_timers: bool = False):
+          phase_timers: bool = False, resume_state: LinState = None):
     """Run the full linear VAMP loop; returns (x1_hat_stored, history).
 
     ``x1_hat_stored`` is the /sqrt(N)-scaled estimate like the reference's
@@ -676,8 +764,15 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
         sb_cross = int(0.98 * geno.layout.mbytes)
         geno_hold = geno.sample_window(sb_cross, geno.layout.mbytes - sb_cross)
         geno = geno.sample_window(0, sb_cross)
-    state = init_state(geno, cfg, probs, vars_user,
-                       r1_init=r1_init, x1_init=x1_init, gam1=gam1, gamw=gamw)
+    if resume_state is not None:
+        # full-state resume (--resume): cfg.max_iter is the TOTAL iteration
+        # budget; the loop continues from resume_state.it with the exact
+        # original step semantics (stopping criterion included)
+        state = resume_state
+    else:
+        state = init_state(geno, cfg, probs, vars_user,
+                           r1_init=r1_init, x1_init=x1_init,
+                           gam1=gam1, gamw=gamw)
     aux = make_aux(geno, cfg, freeze=freeze, true_signal=true_signal,
                    geno_hold=geno_hold)
     kw = dict(init_est=x1_init is not None,
@@ -690,7 +785,7 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
                 else make_scan_step(geno, cfg, chunk, **kw))
     history = []
     sqn = float(np.sqrt(geno.N))
-    it = 0
+    it = int(np.asarray(state.it))
     while it < cfg.max_iter:
         state, metrics = step(state, aux)
         fetched = jax.device_get(metrics)

@@ -265,7 +265,7 @@ def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:
                     m_mask=mp.geno.m_mask, defl=_make_defl(mp, cfg))
 
 
-def make_step(mp: MultiPhen, cfg: VampConfig):
+def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
     dt = mp.geno.dtype
     Mt = float(mp.geno.Mt)
     N = float(mp.geno.N)
@@ -357,9 +357,13 @@ def make_step(mp: MultiPhen, cfg: VampConfig):
         R2_1 = 1.0 - jnp.sum(jnp.square(y - z1), axis=(0, 1)) / l2y
 
         # ---- LMMSE: T solves + T*P probes in ONE block CG ----------------
+        # gamma_damp scales gam2 for the whole LMMSE block and is restored
+        # before the re-estimate, like the single-trait linear engine
+        # (reference --gamma-damp, vamp.cpp:553-554, 642-643)
         gamw = state.gamw
+        gam2_eff = gam2 * cfg.gamma_damp
         tau_cols = jnp.concatenate([gamw, gamw[cols_tp]])
-        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
+        gam2_cols = jnp.concatenate([gam2_eff, gam2_eff[cols_tp]])
         diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
 
         def multb(Pk):
@@ -367,7 +371,7 @@ def make_step(mp: MultiPhen, cfg: VampConfig):
                                                 cols_all)
                     + gam2_cols[None, :] * Pk)
 
-        v = gamw[None, :] * aux.aty + gam2[None, :] * r2
+        v = gamw[None, :] * aux.aty + gam2_eff[None, :] * r2
         bern_tp = jnp.tile(bern, (1, T))
         V = jnp.concatenate([v, bern_tp], axis=1)
         mu0 = jnp.concatenate([state.mu_cg, state.mu_probe], axis=1)
@@ -386,7 +390,7 @@ def make_step(mp: MultiPhen, cfg: VampConfig):
 
         # per-trait Hutchinson trace
         quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
-        alpha2 = gam2 * quad
+        alpha2 = gam2_eff * quad
         eta2 = gam2 / alpha2
         l2_x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
         gam2 = jnp.where((cfg.auto_var_max_iter >= 1) & (it > 2),
@@ -437,40 +441,83 @@ def make_step(mp: MultiPhen, cfg: VampConfig):
         }
         return new_state, metrics
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
-def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
-          verbose: bool = True, callbacks=None):
-    """Run the joint multi-trait loop; returns (x_stored [M, T], state, hist).
+def make_scan_step(make_step_fn, mp, cfg, k: int, **kw):
+    """k multi-trait iterations per device dispatch via lax.scan (throughput
+    mode, --sync-every): converged traits are frozen inside the step so the
+    extra scan iterations are no-ops for them; semantics match k single
+    steps exactly (equality-tested)."""
+    raw = make_step_fn(mp, cfg, jit=False, **kw)
 
-    Stops when every trait's rel-change criterion fires (converged traits
-    freeze in place while the rest continue).
-    """
-    state = init_state(mp, cfg, probs, vars_user)
-    aux = make_aux(mp, cfg)
-    step = make_step(mp, cfg)
+    def multi_it(state, aux):
+        def body(s, _):
+            return raw(s, aux)
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    return jax.jit(multi_it)
+
+
+def _run_multi_loop(step, state, aux, cfg, chunk, mp, verbose_print,
+                    callbacks):
+    """Shared chunked driver loop for the three multi-trait engines."""
     history = []
-    sqn = float(np.sqrt(mp.geno.N))
     import time as _time
-    for it in range(1, cfg.max_iter + 1):
+    it = 0
+    while it < cfg.max_iter:
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
-        m = jax.device_get(metrics)  # one batched transfer
-        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
-        history.append(m)
-        if verbose:
-            r2s = " ".join(f"{v:.4f}" for v in m["R2_train_1"])
-            print(f"[multi it {it}] R2=[{r2s}] "
-                  f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
-                  f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
+        fetched = jax.device_get(metrics)  # one batched transfer
+        span = np.float64((_time.perf_counter() - _t0) * 1e3)
+        if chunk == 1:
+            chunk_ms = [fetched]
+        else:
+            chunk_ms = [{k: v[i] for k, v in fetched.items()}
+                        for i in range(chunk)]
+        for m in chunk_ms:
+            it += 1
+            m["iter_ms"] = span / len(chunk_ms)
+            history.append(m)
+            if it >= cfg.max_iter or bool(np.asarray(m["stopped"]).all()):
+                break
+        m = history[-1]
+        if verbose_print:
+            verbose_print(it, m)
         if callbacks:
             for cb in callbacks:
                 cb(it, state, m, mp.geno)
-        if bool(m["stopped"].all()):
-            if verbose:
+        if bool(np.asarray(m["stopped"]).all()):
+            if verbose_print:
                 print("all traits met the stopping criterion")
             break
+    return state, history
+
+
+def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
+          verbose: bool = True, callbacks=None, sync_every: int = 1):
+    """Run the joint multi-trait loop; returns (x_stored [M, T], state, hist).
+
+    Stops when every trait's rel-change criterion fires (converged traits
+    freeze in place while the rest continue).  ``sync_every`` > 1 runs that
+    many iterations per device dispatch (lax.scan throughput mode).
+    """
+    state = init_state(mp, cfg, probs, vars_user)
+    aux = make_aux(mp, cfg)
+    chunk = max(1, int(sync_every))
+    step = (make_step(mp, cfg) if chunk == 1
+            else make_scan_step(make_step, mp, cfg, chunk))
+    sqn = float(np.sqrt(mp.geno.N))
+
+    def vprint(it, m):
+        r2s = " ".join(f"{v:.4f}" for v in m["R2_train_1"])
+        print(f"[multi it {it}] R2=[{r2s}] "
+              f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
+              f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
+
+    state, history = _run_multi_loop(step, state, aux, cfg, chunk, mp,
+                                     vprint if verbose else None, callbacks)
     from gvamp_tpu import dist
     x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
@@ -654,7 +701,7 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
     return lmmse
 
 
-def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
+def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
     from gvamp_tpu.probit import (g1_bin_class, g1d_bin_class, newton_cov)
 
     dt = mp.geno.dtype
@@ -765,7 +812,7 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0):
         }
         return _cast_like(new_state, state), metrics
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 class ProbitMultiAux(NamedTuple):
@@ -793,31 +840,25 @@ def make_probit_aux(mp: MultiPhen, cfg) -> ProbitMultiAux:
 
 
 def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
-                 callbacks=None):
+                 callbacks=None, sync_every: int = 1):
     """Joint multi-trait probit run; returns (x_stored [M, T], state, hist)."""
     n_cov = mp.geno.covs.shape[1] if mp.geno.covs is not None else 0
     state = init_probit_state(mp, cfg, probs, vars_user, n_cov=n_cov)
     aux = make_probit_aux(mp, cfg)
-    step = make_probit_step(mp, cfg, n_cov=n_cov)
-    history = []
+    chunk = max(1, int(sync_every))
+    step = (make_probit_step(mp, cfg, n_cov=n_cov) if chunk == 1
+            else make_scan_step(make_probit_step, mp, cfg, chunk,
+                                n_cov=n_cov))
     sqn = float(np.sqrt(mp.geno.N))
-    import time as _time
-    for it in range(1, cfg.max_iter + 1):
-        _t0 = _time.perf_counter()
-        state, metrics = step(state, aux)
-        m = jax.device_get(metrics)  # one batched transfer
-        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
-        history.append(m)
-        if verbose:
-            print(f"[multi-probit it {it}] "
-                  f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
-                  f"beta1=[{' '.join(f'{v:.3g}' for v in m['beta1'])}] "
-                  f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
-        if callbacks:
-            for cb in callbacks:
-                cb(it, state, m, mp.geno)
-        if bool(m["stopped"].all()):
-            break
+
+    def vprint(it, m):
+        print(f"[multi-probit it {it}] "
+              f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
+              f"beta1=[{' '.join(f'{v:.3g}' for v in m['beta1'])}] "
+              f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
+
+    state, history = _run_multi_loop(step, state, aux, cfg, chunk, mp,
+                                     vprint if verbose else None, callbacks)
     from gvamp_tpu import dist
     x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
@@ -873,7 +914,7 @@ def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
         stopped=jnp.zeros((T,), bool))
 
 
-def make_huber_step(mp: MultiPhen, cfg):
+def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
     from gvamp_tpu.robust import em_deltaH, g1_huber, g1d_huber_der
 
     dt = mp.geno.dtype
@@ -974,34 +1015,27 @@ def make_huber_step(mp: MultiPhen, cfg):
         }
         return _cast_like(new_state, state), metrics
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
-                callbacks=None):
+                callbacks=None, sync_every: int = 1):
     """Joint multi-trait Huber run; returns (x_stored [M, T], state, hist)."""
     state = init_huber_state(mp, cfg, probs, vars_user)
     aux = make_probit_aux(mp, cfg)  # same fields (op/y/n_mask/bern/Z/m_mask)
-    step = make_huber_step(mp, cfg)
-    history = []
+    chunk = max(1, int(sync_every))
+    step = (make_huber_step(mp, cfg) if chunk == 1
+            else make_scan_step(make_huber_step, mp, cfg, chunk))
     sqn = float(np.sqrt(mp.geno.N))
-    import time as _time
-    for it in range(1, cfg.max_iter + 1):
-        _t0 = _time.perf_counter()
-        state, metrics = step(state, aux)
-        m = jax.device_get(metrics)  # one batched transfer
-        m["iter_ms"] = np.float64((_time.perf_counter() - _t0) * 1e3)
-        history.append(m)
-        if verbose:
-            print(f"[multi-huber it {it}] "
-                  f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
-                  f"deltaH=[{' '.join(f'{v:.2g}' for v in m['deltaH'])}] "
-                  f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
-        if callbacks:
-            for cb in callbacks:
-                cb(it, state, m, mp.geno)
-        if bool(m["stopped"].all()):
-            break
+
+    def vprint(it, m):
+        print(f"[multi-huber it {it}] "
+              f"gam1=[{' '.join(f'{v:.3g}' for v in m['gam1'])}] "
+              f"deltaH=[{' '.join(f'{v:.2g}' for v in m['deltaH'])}] "
+              f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
+
+    state, history = _run_multi_loop(step, state, aux, cfg, chunk, mp,
+                                     vprint if verbose else None, callbacks)
     from gvamp_tpu import dist
     x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history

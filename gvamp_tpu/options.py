@@ -158,11 +158,78 @@ class Options:
         return opt
 
     def check(self) -> None:
-        """Minimal validation (reference check_options, options.cpp:444-458)."""
-        if self.run_mode != "sim" and not self.bed_file and not self.bed_file_test:
-            raise SystemExit("FATAL: no bed file provided! Use --bed-file.")
+        """Reference-grade validation (check_options, options.cpp:444-492).
+
+        Every inconsistency fails fast with a message instead of surfacing
+        as a downstream shape error or a silently ignored flag."""
+
+        def fatal(msg):
+            raise SystemExit("FATAL  : " + msg)
+
+        train_modes = {"infere", "both", "restart", "sim", "pvals-calc"}
+        test_modes = {"test", "both", "predict", "predict_single"}
+        if self.run_mode in train_modes:
+            if not self.bed_file:
+                fatal("you need to specify the location of the genotype data"
+                      " (--bed-file)")
+            if self.N <= 0:
+                fatal("specify number of individuals in the training set"
+                      " (--N)")
+            if self.Mt <= 0:
+                fatal("specify number of markers in the training set (--Mt)")
+            if self.run_mode != "sim" and not self.phen_files:
+                fatal("you need to specify the location of the phenotype data"
+                      " (--phen-files)")
+        if self.run_mode in test_modes:
+            if not self.bed_file_test:
+                fatal("you need to specify the location of the test genotype"
+                      " data (--bed-file-test)")
+            if self.N_test <= 0:
+                fatal("specify number of individuals in the test set"
+                      " (--N-test)")
+            if self.Mt_test <= 0:
+                fatal("specify number of markers in the test set (--Mt-test)")
+        if self.run_mode == "test" and not (self.phen_files_test
+                                            or self.phen_files):
+            fatal("you need to specify the test phenotype data"
+                  " (--phen-files-test)")
+        if self.run_mode in ("test", "pvals-calc", "predict",
+                             "predict_single") and not self.estimate_file:
+            fatal(f"run-mode {self.run_mode} needs --estimate-file")
+        if self.run_mode == "restart" and not (self.estimate_file
+                                               or self.resume):
+            fatal("run-mode restart needs --estimate-file or --resume")
         if self.vars and self.probs and len(self.vars) != len(self.probs):
-            raise SystemExit("FATAL: --vars and --probs lengths differ.")
+            fatal("--vars and --probs lengths differ")
+        if self.iterations < 1:
+            fatal("--iterations must be >= 1")
+        if self.CG_max_iter < 1:
+            fatal("--CG-max-iter must be >= 1")
+        if self.EM_max_iter < 0:
+            fatal("--EM-max-iter must be >= 0")
+        if not (0.0 < self.rho <= 1.0):
+            fatal("--rho must be in (0, 1]")
+        if self.h2 != -1.0 and not (0.0 < self.h2 < 1.0):
+            fatal("--h2 must be in (0, 1)")
+        lo, hi = self.test_iter_range
+        if (lo, hi) != (-1, -1) and not (0 <= lo <= hi):
+            fatal("--test-iter-range needs 0 <= first <= last")
+        if self.store_pvals not in (0, 1, 2):
+            fatal("--store-pvals must be 0 (both), 1 (LOO) or 2 (LOCO)")
+        if self.red not in (0, 1):
+            fatal("--red must be 0 or 1")
+        # flags with a linear-model-only implementation (matching the
+        # reference, where they live in infere_linear / vamp.cpp): reject
+        # rather than silently ignore on other model families
+        if self.model != "linear":
+            for nm, bad in [("--gamma-damp", self.gamma_damp != 1.0),
+                            ("--red", self.red != 0),
+                            ("--use-XXT-denoiser", self.use_XXT_denoiser),
+                            ("--use-lmmse-damp", self.use_lmmse_damp),
+                            ("--use-cross-val", self.use_cross_val),
+                            ("--use-freeze", self.use_freeze)]:
+                if bad:
+                    fatal(f"{nm} is only supported for --model linear")
         if self.out_dir and not os.path.isdir(self.out_dir):
             os.makedirs(self.out_dir, exist_ok=True)
 

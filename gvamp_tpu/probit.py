@@ -512,7 +512,7 @@ def make_scan_step(geno, cfg, k: int, **kw):
 
 def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
           verbose: bool = True, callbacks=None, phase_timers: bool = False,
-          sync_every: int = 1):
+          sync_every: int = 1, resume_state: ProbitState = None):
     """Full probit VAMP run; returns (x1_hat_stored /sqrt(N), state, history).
 
     ``phase_timers`` dispatches each phase separately and records
@@ -520,7 +520,8 @@ def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
     ``sync_every`` > 1 runs that many iterations per device dispatch
     (make_scan_step throughput mode, overridden by phase_timers)."""
     n_cov = geno.covs.shape[1] if geno.covs is not None else 0
-    state = init_state(geno, cfg, probs, vars_user)
+    state = (resume_state if resume_state is not None
+             else init_state(geno, cfg, probs, vars_user))
     aux = make_aux(geno, cfg, true_signal=true_signal)
     kw = dict(n_cov=n_cov, with_truth=true_signal is not None)
     chunk = 1 if phase_timers else max(1, int(sync_every))
@@ -533,7 +534,7 @@ def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
         step = make_step(geno, cfg, **kw)
     history = []
     import time as _time
-    it = 0
+    it = int(np.asarray(state.it))
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)

@@ -388,8 +388,9 @@ def make_scan_step(geno, cfg, k: int, **kw):
 
 def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
           verbose: bool = True, callbacks=None, phase_timers: bool = False,
-          sync_every: int = 1):
-    state = init_state(geno, cfg, probs, vars_user)
+          sync_every: int = 1, resume_state: RobustState = None):
+    state = (resume_state if resume_state is not None
+             else init_state(geno, cfg, probs, vars_user))
     aux = make_aux(geno, cfg, true_signal=true_signal)
     kw = dict(with_truth=true_signal is not None)
     chunk = 1 if phase_timers else max(1, int(sync_every))
@@ -402,7 +403,7 @@ def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
         step = make_step(geno, cfg, **kw)
     history = []
     import time as _time
-    it = 0
+    it = int(np.asarray(state.it))
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
