@@ -10,6 +10,9 @@ import pytest
 from gvamp_tpu import cli, sim
 from gvamp_tpu.io import plink, vecio
 
+# engine-scale tests: excluded from the <5-min core tier (README: test tiers)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

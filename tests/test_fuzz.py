@@ -14,6 +14,9 @@ from gvamp_tpu.data import GenoBed
 from gvamp_tpu import linear, probit, robust, sim
 from test_data_layer import make_bed
 
+# engine-scale tests: excluded from the <5-min core tier (README: test tiers)
+pytestmark = pytest.mark.slow
+
 CASES = [
     # (seed, N, M, miss, model, dtype, h2)
     (1, 257, 130, 0.0, "linear", jnp.float32, 0.3),

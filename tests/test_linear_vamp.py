@@ -10,6 +10,9 @@ from gvamp_tpu.data import GenoBed
 from gvamp_tpu import linear, sim
 from test_data_layer import make_bed
 
+# engine-scale tests: excluded from the <5-min core tier (README: test tiers)
+pytestmark = pytest.mark.slow
+
 
 def build_sim(seed=11, N=900, M=600, CV=30, h2=0.7, mesh=None):
     rng = np.random.default_rng(seed)

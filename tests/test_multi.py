@@ -6,6 +6,10 @@ import jax.numpy as jnp
 from gvamp_tpu import linear, multi, sim
 from gvamp_tpu.data import GenoBed
 from test_data_layer import make_bed
+import pytest
+
+# engine-scale tests: excluded from the <5-min core tier (README: test tiers)
+pytestmark = pytest.mark.slow
 
 
 def _build(seed=23, N=500, M=256, T=3, h2s=(0.8, 0.5, 0.3)):

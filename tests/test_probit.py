@@ -9,6 +9,10 @@ import scipy.stats as st
 from gvamp_tpu import probit, sim
 from gvamp_tpu.data import GenoBed
 from test_data_layer import make_bed
+import pytest
+
+# engine-scale tests: excluded from the <5-min core tier (README: test tiers)
+pytestmark = pytest.mark.slow
 
 
 def test_g1_bin_class_matches_conditional_mean():

@@ -6,6 +6,10 @@ import jax.numpy as jnp
 from gvamp_tpu import robust, sim
 from gvamp_tpu.data import GenoBed
 from test_data_layer import make_bed
+import pytest
+
+# engine-scale tests: excluded from the <5-min core tier (README: test tiers)
+pytestmark = pytest.mark.slow
 
 
 def test_huber_proximal_identity():

@@ -1,0 +1,296 @@
+"""Round-3 feature tests: reference-grade option validation, a sweep
+guaranteeing no flag is silently ignored, full-fidelity resume (linear and
+probit), probit both-mode confusion matrix at the CLI, --red reduced-subset
+solves, multi-trait scan-mode equality, and probit/Huber shard invariance
+(the reference's collectives are model-agnostic, vamp_probit.cpp /
+vamp_Huber.cpp reuse the same Ax/ATx)."""
+
+import dataclasses
+import pathlib
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gvamp_tpu import cli, linear, probit, robust, sim
+from gvamp_tpu.data import GenoBed
+from gvamp_tpu.options import Options
+from gvamp_tpu.io import plink, vecio
+from test_data_layer import make_bed
+from test_linear_vamp import build_sim
+
+
+# ---------------------------------------------------------------- options
+
+BASE_ARGS = ["--run-mode", "infere", "--bed-file", "x.bed",
+             "--phen-files", "x.phen", "--N", "100", "--Mt", "50"]
+
+
+@pytest.mark.parametrize("args", [
+    ["--run-mode", "infere", "--phen-files", "x.phen", "--N", "9", "--Mt", "9"],
+    ["--run-mode", "infere", "--bed-file", "x.bed", "--phen-files", "p",
+     "--Mt", "50"],                                     # missing --N
+    ["--run-mode", "infere", "--bed-file", "x.bed", "--phen-files", "p",
+     "--N", "100"],                                     # missing --Mt
+    ["--run-mode", "infere", "--bed-file", "x.bed", "--N", "9", "--Mt", "9"],
+    ["--run-mode", "test", "--N-test", "10", "--Mt-test", "10",
+     "--estimate-file", "e.bin"],                       # missing test bed
+    ["--run-mode", "test", "--bed-file-test", "x.bed", "--Mt-test", "10",
+     "--estimate-file", "e.bin", "--phen-files-test", "p"],  # missing N-test
+    BASE_ARGS + ["--rho", "0.0"],
+    BASE_ARGS + ["--rho", "1.5"],
+    BASE_ARGS + ["--iterations", "0"],
+    BASE_ARGS + ["--CG-max-iter", "0"],
+    BASE_ARGS + ["--h2", "1.5"],
+    BASE_ARGS + ["--store-pvals", "7"],
+    BASE_ARGS + ["--test-iter-range", "5,2"],
+    BASE_ARGS + ["--probs", "0.5,0.5", "--vars", "0.0,0.1,0.2"],
+    BASE_ARGS + ["--model", "bin_class", "--gamma-damp", "0.5"],
+    BASE_ARGS + ["--model", "robust", "--red", "1"],
+    BASE_ARGS + ["--model", "bin_class", "--use-XXT-denoiser", "1"],
+])
+def test_option_check_rejects(args):
+    """Inconsistent flag sets fail fast with a message (check_options,
+    options.cpp:444-492), never as a downstream shape error."""
+    with pytest.raises(SystemExit):
+        Options.from_args(args).check()
+
+
+def test_option_check_accepts_valid():
+    opt = Options.from_args(BASE_ARGS + ["--rho", "0.5"])
+    opt.check()  # must not raise
+
+
+def test_every_option_field_is_consumed():
+    """Every Options field must be read somewhere outside options.py —
+    the guard that would have caught the round-2 `--red` silent no-op
+    (a flag that parses but changes nothing loses user intent)."""
+    pkg = pathlib.Path(cli.__file__).parent
+    src = "\n".join(
+        p.read_text() for p in pkg.rglob("*.py") if p.name != "options.py")
+    missing = []
+    consumed_inside = {"out_dir", "out_name"}  # via the out_prefix property
+    for f in dataclasses.fields(Options):
+        if f.name in consumed_inside:
+            continue
+        # consumed as `opt.<name>` / `o.<name>` / keyword `<name>=`
+        pat = rf"\.{re.escape(f.name)}\b"
+        if not re.search(pat, src):
+            missing.append(f.name)
+    assert not missing, f"Options fields never read outside options.py: {missing}"
+
+
+# ---------------------------------------------------------------- resume
+
+def test_resume_matches_uninterrupted_linear():
+    """3 iterations + resume(3 more) == 6 uninterrupted iterations: the
+    engine config and complete state round-trip through resume_state."""
+    geno, beta, vars_t, probs_t = build_sim(N=400, M=200)
+    cfg6 = linear.VampConfig(max_iter=6, rho=0.3, seed=5)
+    xa, sa, ha = linear.infer(geno, cfg6, probs_t, vars_t, verbose=False)
+
+    cfg3 = dataclasses.replace(cfg6, max_iter=3)
+    xb3, sb3, _ = linear.infer(geno, cfg3, probs_t, vars_t, verbose=False)
+    xb, sb, hb = linear.infer(geno, cfg6, probs_t, vars_t, verbose=False,
+                              resume_state=sb3)
+    np.testing.assert_allclose(xb, xa, rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(float(sb.gam1), float(sa.gam1), rtol=1e-10)
+    assert len(hb) == 3  # only the resumed tail is re-run
+
+
+def test_resume_matches_uninterrupted_probit():
+    rng = np.random.default_rng(3)
+    N, M = 600, 150
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.9)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_probit_phenotype(geno, beta, 1.0, rng)
+    geno.set_phen(y)
+
+    cfg6 = probit.ProbitConfig(max_iter=6, rho=0.3, seed=2)
+    xa, sa, _ = probit.infer(geno, cfg6, probs_t, vars_t, verbose=False)
+    cfg3 = dataclasses.replace(cfg6, max_iter=3)
+    _, sb3, _ = probit.infer(geno, cfg3, probs_t, vars_t, verbose=False)
+    xb, sb, hb = probit.infer(geno, cfg6, probs_t, vars_t, verbose=False,
+                              resume_state=sb3)
+    np.testing.assert_allclose(xb, xa, rtol=1e-10, atol=1e-13)
+    assert len(hb) == 3
+
+
+# ---------------------------------------------------------------- shard inv
+
+def _probit_sim(mesh=None, N=500, M=256):
+    rng = np.random.default_rng(9)
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64,
+                               mesh=mesh)
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.9)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_probit_phenotype(geno, beta, 1.0, rng)
+    geno.set_phen(y)
+    return geno, vars_t, probs_t, y
+
+
+def _mesh8():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    return jax.sharding.Mesh(np.array(devs[:8]), ("m",))
+
+
+def test_probit_shard_invariance():
+    """Probit results identical on 1 device and an 8-device marker mesh —
+    the reference's collectives are model-agnostic (vamp_probit.cpp reuses
+    the same Ax/ATx Allreduce as vamp.cpp)."""
+    g1, vars_t, probs_t, _ = _probit_sim()
+    g8, _, _, _ = _probit_sim(mesh=_mesh8())
+    cfg = probit.ProbitConfig(max_iter=4, rho=0.3, seed=1)
+    x1, s1, h1 = probit.infer(g1, cfg, probs_t, vars_t, verbose=False)
+    x8, s8, h8 = probit.infer(g8, cfg, probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(x1, x8, rtol=1e-8, atol=1e-12)
+    for k in ("gam1", "tau1", "beta1"):
+        np.testing.assert_allclose(float(h1[-1][k]), float(h8[-1][k]),
+                                   rtol=1e-8)
+
+
+def test_huber_shard_invariance():
+    g1, vars_t, probs_t, y = _probit_sim()
+    g8, _, _, _ = _probit_sim(mesh=_mesh8())
+    # reuse the genotypes with a continuous outlier-contaminated phenotype
+    rng = np.random.default_rng(11)
+    yc = rng.normal(size=g1.N) + np.where(rng.random(g1.N) < 0.05,
+                                          rng.normal(scale=8, size=g1.N), 0.0)
+    g1.set_phen(yc)
+    g8.set_phen(yc)
+    cfg = robust.RobustConfig(max_iter=4, rho=0.3, seed=1)
+    x1, s1, h1 = robust.infer(g1, cfg, probs_t, vars_t, verbose=False)
+    x8, s8, h8 = robust.infer(g8, cfg, probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(x1, x8, rtol=1e-8, atol=1e-12)
+    for k in ("gam1", "deltaH"):
+        np.testing.assert_allclose(float(h1[-1][k]), float(h8[-1][k]),
+                                   rtol=1e-8)
+
+
+# ---------------------------------------------------------------- red
+
+@pytest.mark.slow
+def test_red_reduced_subset_converges():
+    """--red draws a moving 10% sample window for the CG/probe/trace solves
+    (vamp.cpp:561-596): noisier per-iteration, still recovers the signal."""
+    rng = np.random.default_rng(17)
+    N, M = 8192, 100   # big enough that the window (min 32 word-rows) < N
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.0)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 10, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    y = sim.simulate_linear_phenotype(geno, beta, 5.0, rng)
+    geno.set_phen(y)
+    cfg = linear.VampConfig(max_iter=5, rho=0.3, seed=3, red=True)
+    x_hat, state, hist = linear.infer(geno, cfg, probs_t, vars_t,
+                                      verbose=False)
+    assert np.isfinite(x_hat).all()
+    corr = np.corrcoef(x_hat, beta)[0, 1]
+    assert corr > 0.8, corr
+    # the window actually moved off zero at least once across iterations
+    lbw = geno.layout.n_words // 10 // 32 * 32
+    assert 32 <= lbw < geno.layout.n_words
+
+
+# ---------------------------------------------------------------- multi scan
+
+@pytest.mark.slow
+def test_multi_scan_equality():
+    """sync-every=2 (lax.scan throughput mode) must equal per-iteration
+    dispatch for the multi-trait linear engine."""
+    from gvamp_tpu import multi
+    rng = np.random.default_rng(5)
+    N, M, T = 500, 128, 3
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.02)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 10, 0.8)
+    ys = []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        ys.append(sim.simulate_linear_phenotype(geno, beta, 5.0, rng))
+    mp = multi.MultiPhen.build(geno, ys)
+    cfg = linear.VampConfig(max_iter=4, rho=0.3, seed=2)
+    xa, sa, ha = multi.infer(mp, cfg, probs_t, vars_t, verbose=False,
+                             sync_every=1)
+    xb, sb, hb = multi.infer(mp, cfg, probs_t, vars_t, verbose=False,
+                             sync_every=2)
+    np.testing.assert_allclose(xa, xb, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sa.gam1), np.asarray(sb.gam1),
+                               rtol=1e-9)
+
+
+# ---------------------------------------------------------------- CLI probit
+
+@pytest.mark.slow
+def test_probit_both_mode_cm_and_resume(tmp_path, capsys):
+    """CLI: probit both-mode prints the test-set confusion matrix
+    (main_real_probit.cpp:220-313), and probit --resume continues to the
+    same iteration-6 estimate as an uninterrupted run."""
+    rng = np.random.default_rng(23)
+    N, M, Ntest = 500, 120, 250
+    codes = sim.random_genotypes(rng, M, N + Ntest, miss_rate=0.01)
+    bed, bed_t = str(tmp_path / "b.bed"), str(tmp_path / "bt.bed")
+    plink.write_bed(bed, codes[:, :N])
+    plink.write_bed(bed_t, codes[:, N:])
+    gtr = GenoBed.from_arrays(make_bed(codes[:, :N]), np.zeros(N), N=N,
+                              standardize_phen=False, dtype=jnp.float64)
+    gte = GenoBed.from_arrays(make_bed(codes[:, N:]), np.zeros(Ntest),
+                              N=Ntest, standardize_phen=False,
+                              dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 10, 0.9)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    ytr = sim.simulate_probit_phenotype(gtr, beta, 0.5, rng)
+    yte = sim.simulate_probit_phenotype(gte, beta, 0.5, rng)
+    plink.write_phen(str(tmp_path / "b.phen"), ytr)
+    plink.write_phen(str(tmp_path / "bt.phen"), yte)
+
+    args = ["--run-mode", "both", "--model", "bin_class",
+            "--bed-file", bed, "--phen-files", str(tmp_path / "b.phen"),
+            "--N", str(N), "--Mt", str(M),
+            "--bed-file-test", bed_t,
+            "--phen-files-test", str(tmp_path / "bt.phen"),
+            "--N-test", str(Ntest), "--Mt-test", str(M),
+            "--iterations", "6", "--rho", "0.5", "--dtype", "float64",
+            "--probs", ",".join(map(str, probs_t)),
+            "--vars", ",".join(map(str, vars_t)),
+            "--out-dir", str(tmp_path), "--out-name", "p6",
+            "--checkpoint", str(tmp_path / "p6.npz"), "--verbosity", "0"]
+    acc = cli.main(args)
+    out = capsys.readouterr().out
+    assert "TPR=" in out and "FPR=" in out
+    assert acc > 0.55
+
+    # interrupted twin: 3 iterations, then --resume for 3 more
+    args3 = list(args)
+    args3[args3.index("6")] = "3"
+    args3[args3.index("p6")] = "p3"
+    args3[args3.index(str(tmp_path / "p6.npz"))] = str(tmp_path / "p3.npz")
+    cli.main(args3)
+    argsr = ["--run-mode", "restart", "--model", "bin_class",
+             "--bed-file", bed, "--phen-files", str(tmp_path / "b.phen"),
+             "--N", str(N), "--Mt", str(M),
+             "--iterations", "3", "--dtype", "float64",
+             "--probs", ",".join(map(str, probs_t)),
+             "--vars", ",".join(map(str, vars_t)),
+             "--out-dir", str(tmp_path), "--out-name", "pr",
+             "--resume", str(tmp_path / "p3.npz"), "--verbosity", "0"]
+    cli.main(argsr)
+    e6 = vecio.read_bin_shard(str(tmp_path / "p6_probit_it_6.bin"), M, 0)
+    er = vecio.read_bin_shard(str(tmp_path / "pr_probit_it_6.bin"), M, 0)
+    np.testing.assert_allclose(er, e6, rtol=1e-8, atol=1e-12)
+
+    # resuming with the wrong --model fails fast
+    bad = list(argsr)
+    bad[bad.index("bin_class")] = "linear"
+    with pytest.raises(SystemExit):
+        cli.main(bad)

@@ -10,6 +10,10 @@ import numpy as np
 
 from gvamp_tpu import linear
 from test_linear_vamp import build_sim
+import pytest
+
+# engine-scale tests: excluded from the <5-min core tier (README: test tiers)
+pytestmark = pytest.mark.slow
 
 
 def test_dual_equals_primal_identity():
