@@ -175,8 +175,17 @@ def solve_block(
     return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err, r=out.r)
 
 
-def make_lmmse_mult_block(axm_fn, atxm_fn, op, tau, gam2):
-    """P[M, B] -> tau * A^T(A P) + gam2 * P, one wide pass per call."""
+def make_lmmse_mult_block(axm_fn, atxm_fn, op, tau, gam2, gram_fn=None):
+    """P[M, B] -> tau * A^T(A P) + gam2 * P, one wide pass per call.
+
+    With ``gram_fn`` (geno.fn_gram(), fused single-stream Gram kernel) the
+    packed matrix is read ONCE per CG iteration instead of twice —
+    reference lmmse_mult (vamp.cpp:1074-1118) is the two-pass analog."""
+
+    if gram_fn is not None:
+        def mult(P):
+            return tau * gram_fn(op, P) + gam2 * P
+        return mult
 
     def mult(P):
         return tau * atxm_fn(op, axm_fn(op, P)) + gam2 * P

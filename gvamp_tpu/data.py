@@ -599,6 +599,41 @@ class GenoBed:
 
         return axm_fn, atxm_fn
 
+    def fn_gram(self):
+        """Fused Gram pass ``gram_fn(op, X) -> A^T(A X)`` — one HBM stream
+        over the packed words per call — or None when unavailable.
+
+        ``atxm_fn(axm_fn(X))`` streams the packed matrix TWICE per CG
+        iteration (the reference's lmmse_mult, vamp.cpp:1074-1118, pays the
+        same two passes).  The Gram operator is additive over sample bands,
+        so the fused kernel (matvec.gram_i8a_pallas) keeps one packed band
+        VMEM-resident and runs both contractions per band — available on
+        the single-shard pallas complete-genotype path (under marker
+        sharding the forward product needs a global psum between the
+        contractions, so meshed runs keep the two-pass form).
+
+        Matches the two-pass composition to f32 rounding (the composition
+        quantizes z per GLOBAL column, the fused kernel per band — a
+        strictly tighter dynamic range).
+        """
+        if (self.backend != "pallas" or not self.geno_complete
+                or self.mesh is not None):
+            return None
+        if (matvec.gram_band_bytes(int(self.words.shape[0]), self.Mpad)
+                > matvec._GRAM_BAND_MAX_BYTES):
+            return None
+        dtype = self.dtype
+        scale2 = self.inv_sqrt_n * self.inv_sqrt_n
+
+        def gram_fn(op: BedOp, X):
+            W = op.msig[:, None] * X.astype(op.msig.dtype)
+            cu = jnp.sum(op.mave[:, None] * W, axis=0)
+            av, sv = matvec.gram_i8a_pallas(op.words, W, op.na_planar, cu)
+            return ((av.astype(dtype) - op.mave[:, None] * sv.astype(dtype)[None, :])
+                    * op.msig[:, None] * scale2)
+
+        return gram_fn
+
     def window_fns_multi(self, lbw: int):
         """(axm_w, atxm_w) over a DYNAMIC word-row window [sbw, sbw+lbw).
 
@@ -966,6 +1001,12 @@ class GenoDense:
     def atxm(self, V):
         _, atxm_fn = self.fns_multi()
         return atxm_fn(self.op, V)
+
+    def fn_gram(self):
+        """No fused Gram for dense data — XLA already fuses the two
+        bf16/f32 matmuls' elementwise glue, and dense HBM traffic is the
+        matrices themselves, not a packed stream worth caching."""
+        return None
 
     def filter_pheno(self):
         return self.y_planar * self.na_planar

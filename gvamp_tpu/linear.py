@@ -228,7 +228,11 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
     if cfg.deflate_k > 0:
         axm_fn, atxm_fn = geno.fns_multi()
         op = geno.op
-        mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
+        gram_fn0 = geno.fn_gram()
+        if gram_fn0 is not None:
+            mult_ata = jax.jit(lambda Pk: gram_fn0(op, Pk))
+        else:
+            mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
         defl = cg.top_eigs(mult_ata, geno.Mpad, cfg.deflate_k,
                            jax.random.fold_in(jax.random.key(cfg.seed), 7),
                            n_iter=cfg.deflate_iters, dtype=geno.dtype)
@@ -264,6 +268,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
     N = float(geno.N)
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
+    gram_fn = geno.fn_gram()
     hold_ax = geno_hold.fns()[0] if geno_hold is not None else None
     if cfg.red:
         # reduced-subset window length: 10% of sample-word rows, tile-aligned
@@ -509,7 +514,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             else:
                 v = gamw * aux.aty + gam2_eff * r2
                 multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, gamw,
-                                                 gam2_eff)
+                                                 gam2_eff, gram_fn=gram_fn)
             V = jnp.concatenate([v[:, None], bern], axis=1)
             mu0 = jnp.concatenate([state.mu_cg[:, None], state.mu_probe], axis=1)
             precond = None

@@ -750,6 +750,192 @@ def axm_i8a_pallas(words, W, tnw=0, tm=0):
     return _fold_digits_zt(za, ws[:, 0], B)
 
 
+# --------------------------------------------------------------------------
+# Fused Gram pass: A^T (na ∘ (A W)) in ONE stream over the packed words
+# --------------------------------------------------------------------------
+#
+# The LMMSE/Onsager block-CG spends its packed-matrix traffic on the Gram
+# product A^T(A P) (reference lmmse_mult, vamp.cpp:1074-1118 = Ax + ATx
+# back-to-back).  Because the Gram operator is additive over sample bands,
+#
+#     A^T diag(na) A = sum_i  A_i^T diag(na_i) A_i        (A_i = band rows)
+#
+# the two contractions can share one HBM read per packed block if the band
+# stays resident: per band row i, the forward dots accumulate z_i tile by
+# tile while the packed blocks are COPIED into a VMEM band cache; at the
+# next band row, z_{i-1} is folded/masked/re-quantized and the transpose
+# dots consume the CACHED previous band — every packed word is fetched
+# from HBM exactly once per Gram call, versus twice for atxm(axm(·)).
+# The band cache costs tnw*M*4 bytes of VMEM, so this path is for a
+# single shard's marker range (fine: the marker-sharded multi-chip path
+# needs a global-z psum between the contractions anyway and keeps the
+# two-pass form; each chip's local M makes the cache small).
+#
+# z is re-quantized per BAND (4*tnw rows), a strictly tighter dynamic
+# range than the global per-column quantization of the two-pass path —
+# the fused product is as accurate or better (~1e-7 hardware-exact).
+
+
+def _gram_i8a_kernel(nI, B, tm, g_ref, w8t_ref, ws_ref, cu_ref, na_ref,
+                     av_ref, sv_ref, bandg, z32, ztf, z8, zs):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        sv_ref[...] = jnp.zeros(sv_ref.shape, sv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
+
+    # ---- band boundary: fold band i-1, mask, colsum, re-quantize ----
+    @pl.when((j == 0) & (i > 0))
+    def _():
+        ws = ws_ref[0]                      # [B] digit base scales of W^T
+        cu = cu_ref[0]                      # [B] colsum(U) correction
+        na = na_ref[...]                    # [4, 4*tnw] phenotype NA mask
+        for k in range(4):
+            zf = z32[k].astype(jnp.float32)              # [Dw, 4*tnw]
+            acc = zf[:B] * ws[:, None]
+            s = ws
+            for d in range(1, _NDIG):
+                s = s / 127.0
+                acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
+            acc = (acc - cu[:, None]) * na[k][None, :]
+            ztf[k] = acc
+            sv_ref[...] += jnp.sum(acc, axis=1)[None, :]
+        zt = ztf[...]                                    # [4, B, 4*tnw]
+        m = jnp.max(jnp.abs(zt), axis=(0, 2))            # [B]
+        s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
+        zs[...] = s0[None, :]
+        r = zt
+        s = s0
+        for d in range(_NDIG):
+            dig = jnp.round(r / s[None, :, None])
+            z8[:, d * B:(d + 1) * B, :] = dig.astype(jnp.int8)
+            r = r - dig * s[None, :, None]
+            s = s / 127.0
+
+    @pl.when(j == 0)
+    def _():
+        z32[...] = jnp.zeros(z32.shape, z32.dtype)
+
+    # ---- transpose side for band i-1: cached words, zero HBM traffic ----
+    @pl.when(i > 0)
+    def _():
+        gb = bandg[:, pl.dslice(j * tm, tm)]
+        s0 = zs[0]                                       # [B]
+        out32 = None
+        for k in range(4):
+            a_sw, _ = _swar(gb, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            d = jax.lax.dot_general(
+                z8[k], a8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out32 = d if out32 is None else out32 + d
+        zf = out32.astype(jnp.float32)                   # [Dz, tm]
+        acc = zf[:B] * s0[:, None]
+        s = s0
+        for d in range(1, _NDIG):
+            s = s / 127.0
+            acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
+        av_ref[...] += acc
+
+    # ---- forward side for band i: dots + copy into the band cache ----
+    @pl.when(i < nI)
+    def _():
+        g = g_ref[...]
+        bandg[:, pl.dslice(j * tm, tm)] = g
+        w8t = w8t_ref[...]
+        for k in range(4):
+            a_sw, _ = _swar(g, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            z32[k] += jax.lax.dot_general(
+                w8t, a8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+
+# band-cache VMEM ceiling for the fused Gram pass; beyond it callers use
+# the two-pass composition (v5e has 128 MB VMEM; leave room for blocks,
+# double-buffering and the scoped default)
+_GRAM_BAND_MAX_BYTES = 80 * 1024 * 1024
+
+
+def gram_band_bytes(Nw: int, M: int) -> int:
+    """VMEM band-cache cost of the fused Gram pass for this shape."""
+    tnw = _pick_tnw(Nw, 64)
+    return 4 * tnw * M
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def gram_i8a_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
+    """Fused a-only Gram: (av[M, B], sv[B]) with
+
+        z  = na ∘ (A_a W - colsum_u)      (per-band, never materialized)
+        av = A_a^T z,   sv = Σ_n z
+
+    in one HBM stream over ``words``.  Callers apply the mave/msig/scale
+    corrections exactly as for atxm_i8a_pallas ∘ axm_i8a_pallas."""
+    Nw, M = words.shape
+    B = W.shape[1]
+    tnw = tnw or _pick_tnw(Nw, 64)
+    tm = tm or _pick_tm(M, 2048)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_AXM_A:
+        def call(lo, hi):
+            av, sv = gram_i8a_pallas(words, W[:, lo:hi], na_planar,
+                                     colsum_u[lo:hi], tnw=tnw, tm=tm)
+            return av, sv
+        return _chunk_cols(call, B, _BMAX_AXM_A, -1)
+    w8t, ws = _quant_digits(jnp.transpose(W.astype(jnp.float32)), 0)
+    nI = Nw // tnw
+    D = _NDIG * B
+    grid = (nI + 1, M // tm)
+    av, sv = pl.pallas_call(
+        functools.partial(_gram_i8a_kernel, nI, B, tm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda i, j: (jnp.minimum(i, nI - 1), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4 * tnw),
+                         lambda i, j: (0, jnp.maximum(i - 1, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tnw, M), jnp.uint32),        # band cache
+            pltpu.VMEM((4, D, 4 * tnw), jnp.int32),  # z digit products
+            pltpu.VMEM((4, B, 4 * tnw), jnp.float32),  # folded z planes
+            pltpu.VMEM((4, D, 4 * tnw), jnp.int8),   # z digits (vt layout)
+            pltpu.VMEM((1, B), jnp.float32),         # z digit base scales
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(4 * tnw * M * 1.15) + 24 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=_interpret(),
+    )(words, w8t,
+      jnp.transpose(ws.astype(jnp.float32)),
+      colsum_u.astype(jnp.float32)[None, :],
+      na_planar.astype(jnp.float32))
+    return jnp.transpose(av), sv[0]
+
+
 def _atx_a_kernel(g_ref, v_ref, av_ref):
     jn = pl.program_id(1)
 

@@ -298,6 +298,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
     N = float(geno.N)
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
+    gram_fn = geno.fn_gram()
     pv = cfg.probit_var
 
     def phase_denoise_x(state: ProbitState, aux: ProbitAux):
@@ -403,7 +404,8 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         p2_planar = p2f.reshape(4, nb)
         v = tau2 * atx_fn(op, p2_planar) + gam2 * r2
         # joint block solve: LMMSE RHS + Onsager probe in one wide-RHS CG
-        multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, tau2, gam2)
+        multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, tau2, gam2,
+                                         gram_fn=gram_fn)
         diag = cg.jacobi_diag(tau2, gam2, N)
         V = jnp.concatenate([v[:, None], aux.bern], axis=1)
         precond = None

@@ -319,3 +319,52 @@ def test_digit_transform_helpers_roundtrip():
             for j in range(B):
                 want[:, :, j] += ztn[d * B + j] * (s[j] / 127.0 ** d)
         np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("Nw,M,B,miss", [(16, 256, 2, 0.1), (8, 1024, 5, 0.0),
+                                         (16, 256, 70, 0.2)])
+def test_fused_gram_matches_composition(Nw, M, B, miss):
+    """gram_i8a_pallas == atxm_i8a(mask*(axm_i8a - colsum)) in one pass —
+    the fused analog of the reference's lmmse_mult (vamp.cpp:1074-1118)."""
+    from gvamp_tpu.ops import matvec
+
+    rng = np.random.default_rng(17)
+    words = jnp.asarray(rng.integers(0, 2**32, size=(Nw, M),
+                                     dtype=np.uint64).astype(np.uint32))
+    W = jnp.asarray(rng.standard_normal((M, B)).astype(np.float32))
+    na = jnp.asarray((rng.random((4, 4 * Nw)) > miss).astype(np.float32))
+    cu = jnp.asarray(rng.standard_normal(B).astype(np.float32))
+
+    za = matvec.axm_i8a_pallas(words, W)
+    z = (za - cu[None, None, :]) * na[:, :, None]
+    av_ref = np.asarray(matvec.atxm_i8a_pallas(words, z))
+    sv_ref = np.asarray(jnp.sum(z, axis=(0, 1)))
+
+    av, sv = matvec.gram_i8a_pallas(words, W, na, cu)
+    sc = np.abs(av_ref).max() + 1e-30
+    np.testing.assert_allclose(np.asarray(av), av_ref, rtol=0, atol=5e-6 * sc)
+    np.testing.assert_allclose(np.asarray(sv), sv_ref, rtol=0,
+                               atol=5e-6 * (np.abs(sv_ref).max() + 1e-30))
+
+
+def test_fn_gram_matches_two_pass_operator():
+    """GenoBed.fn_gram (fused Gram wrapper with the mave/msig/scale
+    corrections) equals atxm(axm(.)) on complete genotypes, and is None
+    when genotypes are missing or the backend is xla."""
+    rng = np.random.default_rng(23)
+    N, M = 256, 192
+    codes, y = random_dataset(rng, N, M, miss_geno=0.0)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, backend="pallas")
+    gram_fn = geno.fn_gram()
+    assert gram_fn is not None
+    X = jnp.asarray(rng.standard_normal((geno.Mpad, 3)).astype(np.float32))
+    want = np.asarray(geno.atxm(geno.axm(X)))
+    got = np.asarray(gram_fn(geno.op, X))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=2e-5 * (np.abs(want).max() + 1e-30))
+
+    codes_m, y_m = random_dataset(rng, N, M, miss_geno=0.05)
+    geno_m = GenoBed.from_arrays(make_bed(codes_m), y_m, N=N, backend="pallas")
+    assert geno_m.fn_gram() is None
+    geno_x = GenoBed.from_arrays(make_bed(codes), y, N=N, backend="xla")
+    assert geno_x.fn_gram() is None

@@ -197,3 +197,39 @@ def test_phase_timers_match_fused():
     for nm in ("denoise", "z1_project", "lmmse_cg", "noise_em", "finish"):
         assert f"phase_ms_{nm}" in h_p[-1]
         assert float(h_p[-1][f"phase_ms_{nm}"]) > 0.0
+
+
+def test_fused_gram_cg_matches_two_pass(monkeypatch):
+    """On complete genotypes the fused-Gram CG (one packed pass/iteration)
+    reproduces the two-pass trajectory — gram is a pure traffic optimization
+    of reference lmmse_mult (vamp.cpp:1074-1118), not a semantic change."""
+    rng = np.random.default_rng(31)
+    N, M, CV, h2 = 500, 320, 20, 0.6
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.0)
+    vars_t, probs_t = sim.two_group_prior(M, CV, h2)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+
+    def build():
+        g = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                                standardize_phen=False, backend="pallas")
+        return g
+
+    g0 = build()
+    y = sim.simulate_linear_phenotype(g0, beta, 1 / (1 - h2), rng)
+    g0.set_phen(y)
+    assert g0.fn_gram() is not None
+
+    cfg = linear.VampConfig(max_iter=4, rho=0.3, gam1_init=1e-8,
+                            gamw_init=2.0, seed=5)
+    x_g, _, h_g = linear.infer(g0, cfg, probs_t, vars_t, verbose=False)
+
+    monkeypatch.setattr(GenoBed, "fn_gram", lambda self: None)
+    g1 = build()
+    g1.set_phen(y)
+    x_t, _, h_t = linear.infer(g1, cfg, probs_t, vars_t, verbose=False)
+
+    np.testing.assert_allclose(x_g, x_t, rtol=0,
+                               atol=5e-5 * (np.abs(x_t).max() + 1e-30))
+    for k in ("gam1", "gam2", "gamw", "alpha2"):
+        np.testing.assert_allclose(float(h_g[-1][k]), float(h_t[-1][k]),
+                                   rtol=2e-4)
