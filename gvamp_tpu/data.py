@@ -616,8 +616,7 @@ class GenoBed:
         quantizes z per GLOBAL column, the fused kernel per band — a
         strictly tighter dynamic range).
         """
-        if (self.backend != "pallas" or not self.geno_complete
-                or self.mesh is not None):
+        if self.backend != "pallas" or self.mesh is not None:
             return None
         if (matvec.gram_band_bytes(int(self.words.shape[0]), self.Mpad)
                 > matvec._GRAM_BAND_MAX_BYTES):
@@ -625,12 +624,21 @@ class GenoBed:
         dtype = self.dtype
         scale2 = self.inv_sqrt_n * self.inv_sqrt_n
 
-        def gram_fn(op: BedOp, X):
-            W = op.msig[:, None] * X.astype(op.msig.dtype)
-            cu = jnp.sum(op.mave[:, None] * W, axis=0)
-            av, sv = matvec.gram_i8a_pallas(op.words, W, op.na_planar, cu)
-            return ((av.astype(dtype) - op.mave[:, None] * sv.astype(dtype)[None, :])
-                    * op.msig[:, None] * scale2)
+        if self.geno_complete:
+            def gram_fn(op: BedOp, X):
+                W = op.msig[:, None] * X.astype(op.msig.dtype)
+                cu = jnp.sum(op.mave[:, None] * W, axis=0)
+                av, sv = matvec.gram_i8a_pallas(op.words, W, op.na_planar, cu)
+                return ((av.astype(dtype)
+                         - op.mave[:, None] * sv.astype(dtype)[None, :])
+                        * op.msig[:, None] * scale2)
+        else:
+            def gram_fn(op: BedOp, X):
+                W = op.msig[:, None] * X.astype(op.msig.dtype)
+                U = op.mave[:, None] * W
+                av, bv = matvec.gram_i8_pallas(op.words, W, U, op.na_planar)
+                return ((av.astype(dtype) - op.mave[:, None] * bv.astype(dtype))
+                        * op.msig[:, None] * scale2)
 
         return gram_fn
 

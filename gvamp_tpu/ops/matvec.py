@@ -557,6 +557,77 @@ def axm_i8_pallas(words, W, U, tnw=0, tm=0):
             - _fold_digits_zt(zb, us[:, 0], B))
 
 
+def _axm_i8s_kernel(g_ref, w8t_ref, mu8t_ref, za_ref):
+    im = pl.program_id(1)
+
+    @pl.when(im == 0)
+    def _():
+        za_ref[...] = jnp.zeros(za_ref.shape, za_ref.dtype)
+
+    g = g_ref[...]
+    w8t = w8t_ref[...]    # [NDIG*B, TM] int8: digits of W^T
+    mu8t = mu8t_ref[...]  # digits of -U^T at the SAME per-column scales
+    for k in range(4):
+        a_sw, b_sw = _swar(g, k)
+        a8 = pltpu.bitcast(a_sw, jnp.int8)
+        b8 = pltpu.bitcast(b_sw, jnp.int8)
+        # (W, -U) share one quantization scale (|U| <= 2|W| costs <= 1 of
+        # the 28 digit bits), so both dots accumulate into ONE int32 block
+        # and fold once: the b-side rides the a-side's accumulator instead
+        # of doubling the output-block traffic of _axm_i8_kernel.
+        za_ref[:, k] += jax.lax.dot_general(
+            w8t, a8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        za_ref[:, k] += jax.lax.dot_general(
+            mu8t, b8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+def _quant_digits_pair(W, U):
+    """Digits of W^T and -U^T under ONE shared per-column scale."""
+    S = jnp.stack([W.astype(jnp.float32), -U.astype(jnp.float32)], axis=1)
+    # [M, 2, B] -> transpose to [B, M, 2] won't keep digit layout; quantize
+    # the flattened [B, 2M] view so _quant_digits' per-column max spans
+    # both W and U entries, then split the column halves back out.
+    M, _, B = S.shape
+    s8, ss = _quant_digits(jnp.transpose(S.reshape(2 * M, B)), 0)
+    D = s8.shape[0]
+    s2 = s8.reshape(D, M, 2)
+    return s2[:, :, 0], s2[:, :, 1], ss
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def axm_i8s_pallas(words, W, U, tnw=0, tm=0):
+    """Shared-accumulator variant of axm_i8_pallas: z = A_a W - A_b U with
+    (W, -U) digit-quantized at one scale so the two MXU dots share one
+    int32 output block and one fold (reference fused value*indicator pass,
+    data.cpp:728-801)."""
+    Nw, M = words.shape
+    B = W.shape[1]
+    tnw = tnw or _pick_tnw(Nw, 256)
+    tm = tm or _pick_tm(M, 2048)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_AXM:
+        return _chunk_cols(
+            lambda lo, hi: axm_i8s_pallas(words, W[:, lo:hi], U[:, lo:hi],
+                                          tnw=tnw, tm=tm),
+            B, _BMAX_AXM, 2)
+    w8t, mu8t, ws = _quant_digits_pair(W, U)
+    grid = (Nw // tnw, M // tm)
+    D = _NDIG * B
+    za = pl.pallas_call(
+        _axm_i8s_kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((D, 4, 4 * tnw), lambda i, j: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, 4, 4 * Nw), jnp.int32),
+        interpret=_interpret(),
+    )(words, w8t, mu8t)
+    return _fold_digits_zt(za, ws[:, 0], B)
+
+
 def _atxm_i8_kernel(g_ref, vt_ref, av_ref, bv_ref):
     jn = pl.program_id(1)
 
@@ -934,6 +1005,165 @@ def gram_i8a_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
       colsum_u.astype(jnp.float32)[None, :],
       na_planar.astype(jnp.float32))
     return jnp.transpose(av), sv[0]
+
+
+def _gram_i8_kernel(nI, B, tm, g_ref, w8t_ref, mu8t_ref, ws_ref, na_ref,
+                    av_ref, bv_ref, bandg, z32, ztf, z8, zs):
+    # general-genotype fused Gram: forward z = A_a W - A_b U (shared-scale
+    # digit pair, see _axm_i8s_kernel), transpose av = A_a^T z, bv = A_b^T z
+    # — same band-cache structure as _gram_i8a_kernel.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
+        bv_ref[...] = jnp.zeros(bv_ref.shape, bv_ref.dtype)
+
+    # ---- band boundary: fold band i-1, mask, re-quantize ----
+    @pl.when((j == 0) & (i > 0))
+    def _():
+        ws = ws_ref[0]                      # [B] shared digit base scales
+        na = na_ref[...]                    # [4, 4*tnw] phenotype NA mask
+        for k in range(4):
+            zf = z32[k].astype(jnp.float32)              # [D, 4*tnw]
+            acc = zf[:B] * ws[:, None]
+            s = ws
+            for d in range(1, _NDIG):
+                s = s / 127.0
+                acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
+            ztf[k] = acc * na[k][None, :]
+        zt = ztf[...]                                    # [4, B, 4*tnw]
+        m = jnp.max(jnp.abs(zt), axis=(0, 2))            # [B]
+        s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
+        zs[...] = s0[None, :]
+        r = zt
+        s = s0
+        for d in range(_NDIG):
+            dig = jnp.round(r / s[None, :, None])
+            z8[:, d * B:(d + 1) * B, :] = dig.astype(jnp.int8)
+            r = r - dig * s[None, :, None]
+            s = s / 127.0
+
+    @pl.when(j == 0)
+    def _():
+        z32[...] = jnp.zeros(z32.shape, z32.dtype)
+
+    # ---- transpose side for band i-1: cached words, zero HBM traffic ----
+    @pl.when(i > 0)
+    def _():
+        gb = bandg[:, pl.dslice(j * tm, tm)]
+        s0 = zs[0]                                       # [B]
+        a32 = None
+        b32 = None
+        for k in range(4):
+            a_sw, b_sw = _swar(gb, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            b8 = pltpu.bitcast(b_sw, jnp.int8)
+            da = jax.lax.dot_general(
+                z8[k], a8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            db = jax.lax.dot_general(
+                z8[k], b8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a32 = da if a32 is None else a32 + da
+            b32 = db if b32 is None else b32 + db
+
+        def fold(x32):
+            xf = x32.astype(jnp.float32)                 # [D, tm]
+            acc = xf[:B] * s0[:, None]
+            s = s0
+            for d in range(1, _NDIG):
+                s = s / 127.0
+                acc = acc + xf[d * B:(d + 1) * B] * s[:, None]
+            return acc
+
+        av_ref[...] += fold(a32)
+        bv_ref[...] += fold(b32)
+
+    # ---- forward side for band i: dots + copy into the band cache ----
+    @pl.when(i < nI)
+    def _():
+        g = g_ref[...]
+        bandg[:, pl.dslice(j * tm, tm)] = g
+        w8t = w8t_ref[...]
+        mu8t = mu8t_ref[...]
+        for k in range(4):
+            a_sw, b_sw = _swar(g, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            b8 = pltpu.bitcast(b_sw, jnp.int8)
+            z32[k] += jax.lax.dot_general(
+                w8t, a8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            z32[k] += jax.lax.dot_general(
+                mu8t, b8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def gram_i8_pallas(words, W, U, na_planar, tnw=0, tm=0):
+    """General fused Gram: (av[M, B], bv[M, B]) with
+
+        z  = na ∘ (A_a W - A_b U)         (per-band, never materialized)
+        av = A_a^T z,   bv = A_b^T z
+
+    in one HBM stream over ``words``.  Callers apply the mave/msig/scale
+    corrections exactly as for atxm_i8_pallas ∘ axm_i8_pallas."""
+    Nw, M = words.shape
+    B = W.shape[1]
+    tnw = tnw or _pick_tnw(Nw, 64)
+    tm = tm or _pick_tm(M, 2048)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_AXM:
+        def call(lo, hi):
+            return gram_i8_pallas(words, W[:, lo:hi], U[:, lo:hi],
+                                  na_planar, tnw=tnw, tm=tm)
+        return _chunk_cols(call, B, _BMAX_AXM, -1)
+    w8t, mu8t, ws = _quant_digits_pair(W, U)
+    nI = Nw // tnw
+    D = _NDIG * B
+    grid = (nI + 1, M // tm)
+    av, bv = pl.pallas_call(
+        functools.partial(_gram_i8_kernel, nI, B, tm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda i, j: (jnp.minimum(i, nI - 1), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4 * tnw),
+                         lambda i, j: (0, jnp.maximum(i - 1, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, M), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tnw, M), jnp.uint32),        # band cache
+            pltpu.VMEM((4, D, 4 * tnw), jnp.int32),  # z digit products
+            pltpu.VMEM((4, B, 4 * tnw), jnp.float32),  # folded z planes
+            pltpu.VMEM((4, D, 4 * tnw), jnp.int8),   # z digits (vt layout)
+            pltpu.VMEM((1, B), jnp.float32),         # z digit base scales
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(4 * tnw * M * 1.15) + 24 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=_interpret(),
+    )(words, w8t, mu8t,
+      jnp.transpose(ws.astype(jnp.float32)),
+      na_planar.astype(jnp.float32))
+    return jnp.transpose(av), jnp.transpose(bv)
 
 
 def _atx_a_kernel(g_ref, v_ref, av_ref):

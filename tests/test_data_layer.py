@@ -347,14 +347,16 @@ def test_fused_gram_matches_composition(Nw, M, B, miss):
                                atol=5e-6 * (np.abs(sv_ref).max() + 1e-30))
 
 
-def test_fn_gram_matches_two_pass_operator():
+@pytest.mark.parametrize("miss_geno", [0.0, 0.05])
+def test_fn_gram_matches_two_pass_operator(miss_geno):
     """GenoBed.fn_gram (fused Gram wrapper with the mave/msig/scale
-    corrections) equals atxm(axm(.)) on complete genotypes, and is None
-    when genotypes are missing or the backend is xla."""
+    corrections) equals atxm(axm(.)) on both the complete-genotype and
+    missing-genotype paths, and is None on the xla backend."""
     rng = np.random.default_rng(23)
     N, M = 256, 192
-    codes, y = random_dataset(rng, N, M, miss_geno=0.0)
+    codes, y = random_dataset(rng, N, M, miss_geno=miss_geno)
     geno = GenoBed.from_arrays(make_bed(codes), y, N=N, backend="pallas")
+    assert geno.geno_complete == (miss_geno == 0.0)
     gram_fn = geno.fn_gram()
     assert gram_fn is not None
     X = jnp.asarray(rng.standard_normal((geno.Mpad, 3)).astype(np.float32))
@@ -363,8 +365,35 @@ def test_fn_gram_matches_two_pass_operator():
     np.testing.assert_allclose(got, want, rtol=0,
                                atol=2e-5 * (np.abs(want).max() + 1e-30))
 
-    codes_m, y_m = random_dataset(rng, N, M, miss_geno=0.05)
-    geno_m = GenoBed.from_arrays(make_bed(codes_m), y_m, N=N, backend="pallas")
-    assert geno_m.fn_gram() is None
     geno_x = GenoBed.from_arrays(make_bed(codes), y, N=N, backend="xla")
     assert geno_x.fn_gram() is None
+
+
+def test_general_fused_gram_and_shared_scale_ax():
+    """gram_i8_pallas == atxm_i8(na*(axm_i8)) and axm_i8s == axm_i8 —
+    the missing-genotype fused kernels (shared (W,-U) digit scale)."""
+    from gvamp_tpu.ops import matvec
+
+    rng = np.random.default_rng(29)
+    Nw, M, B = 16, 512, 3
+    words = jnp.asarray(rng.integers(0, 2**32, size=(Nw, M),
+                                     dtype=np.uint64).astype(np.uint32))
+    W = jnp.asarray(rng.standard_normal((M, B)).astype(np.float32))
+    mave = jnp.asarray(rng.uniform(0, 2, M).astype(np.float32))
+    U = mave[:, None] * W
+    na = jnp.asarray((rng.random((4, 4 * Nw)) > 0.1).astype(np.float32))
+
+    z0 = np.asarray(matvec.axm_i8_pallas(words, W, U))
+    z1 = np.asarray(matvec.axm_i8s_pallas(words, W, U))
+    np.testing.assert_allclose(z1, z0, rtol=0,
+                               atol=2e-6 * (np.abs(z0).max() + 1e-30))
+
+    z = jnp.asarray(z0) * na[:, :, None]
+    av_ref, bv_ref = matvec.atxm_i8_pallas(words, z)
+    av, bv = matvec.gram_i8_pallas(words, W, U, na)
+    np.testing.assert_allclose(
+        np.asarray(av), np.asarray(av_ref), rtol=0,
+        atol=5e-6 * (float(jnp.max(jnp.abs(av_ref))) + 1e-30))
+    np.testing.assert_allclose(
+        np.asarray(bv), np.asarray(bv_ref), rtol=0,
+        atol=5e-6 * (float(jnp.max(jnp.abs(bv_ref))) + 1e-30))

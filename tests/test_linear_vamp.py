@@ -199,13 +199,15 @@ def test_phase_timers_match_fused():
         assert float(h_p[-1][f"phase_ms_{nm}"]) > 0.0
 
 
-def test_fused_gram_cg_matches_two_pass(monkeypatch):
-    """On complete genotypes the fused-Gram CG (one packed pass/iteration)
-    reproduces the two-pass trajectory — gram is a pure traffic optimization
-    of reference lmmse_mult (vamp.cpp:1074-1118), not a semantic change."""
+@pytest.mark.parametrize("miss_rate", [0.0, 0.02])
+def test_fused_gram_cg_matches_two_pass(monkeypatch, miss_rate):
+    """The fused-Gram CG (one packed pass/iteration) reproduces the
+    two-pass trajectory on both the complete- and missing-genotype paths —
+    gram is a pure traffic optimization of reference lmmse_mult
+    (vamp.cpp:1074-1118), not a semantic change."""
     rng = np.random.default_rng(31)
     N, M, CV, h2 = 500, 320, 20, 0.6
-    codes = sim.random_genotypes(rng, M, N, miss_rate=0.0)
+    codes = sim.random_genotypes(rng, M, N, miss_rate=miss_rate)
     vars_t, probs_t = sim.two_group_prior(M, CV, h2)
     beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
 
