@@ -642,6 +642,35 @@ class GenoBed:
 
         return gram_fn
 
+    def fn_gram_aat(self):
+        """Fused DUAL Gram ``gram_aat_fn(op, Up) -> A A^T Up`` (with the
+        standardization corrections) in one HBM stream, or None.
+
+        The N-space/XXT solve's operator is A (A^T u) — the reference's
+        denoiserXXT path (denoiserXXT.cpp:31-165) pays two passes per CG
+        iteration just like lmmse_mult.  gram_aat_i8_pallas caches one
+        marker column-stripe in VMEM (the dual analog of fn_gram's sample
+        band), so dual iterations read the packed words once.  Available
+        on the single-shard pallas path whenever the stripe fits VMEM
+        (the tile width auto-narrows; only N in the millions overflows)."""
+        if self.backend != "pallas" or self.mesh is not None:
+            return None
+        Nw = int(self.words.shape[0])
+        tm = matvec._pick_aat_tm(Nw, self.Mpad)
+        if matvec.gram_aat_stripe_bytes(Nw, self.Mpad, tm) \
+                > matvec._GRAM_BAND_MAX_BYTES:
+            return None
+        dtype = self.dtype
+        scale2 = self.inv_sqrt_n * self.inv_sqrt_n
+
+        def gram_aat_fn(op: BedOp, Up):
+            v = Up.astype(op.msig.dtype) * op.na_planar[:, :, None]
+            z = matvec.gram_aat_i8_pallas(op.words, v, op.mave,
+                                          jnp.square(op.msig))
+            return z.astype(dtype) * op.na_planar[:, :, None] * scale2
+
+        return gram_aat_fn
+
     def window_fns_multi(self, lbw: int):
         """(axm_w, atxm_w) over a DYNAMIC word-row window [sbw, sbw+lbw).
 
@@ -1014,6 +1043,9 @@ class GenoDense:
         """No fused Gram for dense data — XLA already fuses the two
         bf16/f32 matmuls' elementwise glue, and dense HBM traffic is the
         matrices themselves, not a packed stream worth caching."""
+        return None
+
+    def fn_gram_aat(self):
         return None
 
     def filter_pheno(self):

@@ -269,6 +269,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
     gram_fn = geno.fn_gram()
+    gram_aat_fn = geno.fn_gram_aat() if cfg.use_xxt else None
     hold_ax = geno_hold.fns()[0] if geno_hold is not None else None
     if cfg.red:
         # reduced-subset window length: 10% of sample-word rows, tile-aligned
@@ -464,7 +465,11 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
 
             def mult_aat_b(U):
                 Up = U.reshape((4, nb4 // 4, U.shape[1]))
-                out = gamw * axm_fn(op, atxm_fn(op, Up)) + gam2 * Up
+                if gram_aat_fn is not None:
+                    # fused dual Gram: one packed pass per CG iteration
+                    out = gamw * gram_aat_fn(op, Up) + gam2 * Up
+                else:
+                    out = gamw * axm_fn(op, atxm_fn(op, Up)) + gam2 * Up
                 return out.reshape(nb4, U.shape[1])
 
             diag_n = (gamw * aux.xxt_diag_base + gam2).reshape(nb4)[:, None]

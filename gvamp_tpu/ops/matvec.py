@@ -1166,6 +1166,174 @@ def gram_i8_pallas(words, W, U, na_planar, tnw=0, tm=0):
     return jnp.transpose(av), jnp.transpose(bv)
 
 
+def _gram_aat_i8_kernel(nJ, B, tnw, g_ref, vt_ref, vs_ref, mave_ref,
+                        msig2_ref, z_ref, stripec, t32a, t32b, w8, mu8, wsc):
+    # fused dual Gram A (A^T v): the marker column-stripe analog of
+    # _gram_i8_kernel.  Grid (nJ+1, nI), i fastest: stripe j's transpose
+    # dots accumulate t32 over bands while the stripe blocks are cached;
+    # at the next stripe the folded/corrected/requantized t_{j-1} drives
+    # the forward dots against the CACHED stripe — every packed word is
+    # read from HBM once per A A^T v product.  The z output keeps a
+    # constant index map (VMEM-resident, written back once).
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    nI = pl.num_programs(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+
+    # ---- stripe boundary: fold t_{j-1}, apply corrections, requantize ----
+    @pl.when((i == 0) & (j > 0))
+    def _():
+        vs = vs_ref[0]                          # [B] v digit base scales
+        mave = mave_ref[0]                      # [tm] tile j-1 marker means
+        msig2 = msig2_ref[0]                    # [tm] tile j-1 msig^2
+
+        def fold(x32):
+            xf = x32.astype(jnp.float32)        # [D, tm]
+            acc = xf[:B] * vs[:, None]
+            s = vs
+            for d in range(1, _NDIG):
+                s = s / 127.0
+                acc = acc + xf[d * B:(d + 1) * B] * s[:, None]
+            return acc
+
+        av = fold(t32a[...])
+        bv = fold(t32b[...])
+        W = msig2[None, :] * (av - mave[None, :] * bv)      # [B, tm]
+        mU = -mave[None, :] * W
+        S = jnp.concatenate([W[:, None, :], mU[:, None, :]], axis=1)
+        m = jnp.max(jnp.abs(S), axis=(1, 2))                 # [B]
+        s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
+        wsc[...] = s0[None, :]
+        r = S                                                # [B, 2, tm]
+        s = s0
+        for d in range(_NDIG):
+            dig = jnp.round(r / s[:, None, None])
+            w8[d * B:(d + 1) * B, :] = dig[:, 0, :].astype(jnp.int8)
+            mu8[d * B:(d + 1) * B, :] = dig[:, 1, :].astype(jnp.int8)
+            r = r - dig * s[:, None, None]
+            s = s / 127.0
+
+    @pl.when(i == 0)
+    def _():
+        t32a[...] = jnp.zeros(t32a.shape, t32a.dtype)
+        t32b[...] = jnp.zeros(t32b.shape, t32b.dtype)
+
+    # ---- forward side for stripe j-1: cached words, zero HBM traffic ----
+    @pl.when(j > 0)
+    def _():
+        gb = stripec[pl.dslice(i * tnw, tnw), :]
+        s0 = wsc[0]                                          # [B]
+        for k in range(4):
+            a_sw, b_sw = _swar(gb, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            b8 = pltpu.bitcast(b_sw, jnp.int8)
+            d32 = jax.lax.dot_general(
+                w8[...], a8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            d32 = d32 + jax.lax.dot_general(
+                mu8[...], b8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            zf = d32.astype(jnp.float32)                     # [D, 4tnw]
+            acc = zf[:B] * s0[:, None]
+            s = s0
+            for d in range(1, _NDIG):
+                s = s / 127.0
+                acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
+            z_ref[k, :, pl.dslice(i * 4 * tnw, 4 * tnw)] += acc
+
+    # ---- transpose side for stripe j: dots + copy into the stripe cache --
+    @pl.when(j < nJ)
+    def _():
+        g = g_ref[...]
+        stripec[pl.dslice(i * tnw, tnw), :] = g
+        for k in range(4):
+            a_sw, b_sw = _swar(g, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            b8 = pltpu.bitcast(b_sw, jnp.int8)
+            vt = vt_ref[k]                                   # [D, 4tnw]
+            t32a[...] += jax.lax.dot_general(
+                vt, a8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            t32b[...] += jax.lax.dot_general(
+                vt, b8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+
+def gram_aat_stripe_bytes(Nw: int, M: int, tm: int = 0) -> int:
+    """VMEM stripe-cache cost of the fused dual Gram for this shape."""
+    tm = tm or _pick_tm(M, 2048)
+    return 4 * Nw * tm
+
+
+def _pick_aat_tm(Nw: int, M: int) -> int:
+    """Widest marker tile whose stripe cache fits the VMEM budget."""
+    for prefer in (2048, 1024, 512, 256, 128):
+        tm = _pick_tm(M, prefer)
+        if 4 * Nw * tm <= _GRAM_BAND_MAX_BYTES:
+            return tm
+    return _pick_tm(M, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def gram_aat_i8_pallas(words, V, mave, msig2, tnw=0, tm=0):
+    """Fused dual Gram: z[4, Nb, B] = A (msig2 * (A_a^T V - mave * A_b^T V))
+    expanded to the general-genotype forward (A_a W - A_b (mave*W)) in ONE
+    HBM stream over ``words``.  ``V`` must already be NA-masked; callers
+    apply na * scale^2 to the output (see GenoBed.fn_gram_aat)."""
+    Nw, M = words.shape
+    B = V.shape[2]
+    tnw = tnw or _pick_tnw(Nw, 64)
+    tm = tm or _pick_aat_tm(Nw, M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_AXM:
+        def call(lo, hi):
+            return gram_aat_i8_pallas(words, V[:, :, lo:hi], mave, msig2,
+                                      tnw=tnw, tm=tm)
+        return _chunk_cols(call, B, _BMAX_AXM, 2)
+    v8, vs = _quant_digits_t(V)
+    nJ = M // tm
+    D = _NDIG * B
+    grid = (nJ + 1, Nw // tnw)
+    z = pl.pallas_call(
+        functools.partial(_gram_aat_i8_kernel, nJ, B, tnw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda j, i: (i, jnp.minimum(j, nJ - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, D, 4 * tnw), lambda j, i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, jnp.maximum(j - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, jnp.maximum(j - 1, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, B, 4 * Nw), lambda j, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, B, 4 * Nw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Nw, tm), jnp.uint32),        # stripe cache
+            pltpu.VMEM((D, tm), jnp.int32),          # t digit products (a)
+            pltpu.VMEM((D, tm), jnp.int32),          # t digit products (b)
+            pltpu.VMEM((D, tm), jnp.int8),           # W digits
+            pltpu.VMEM((D, tm), jnp.int8),           # -mave*W digits
+            pltpu.VMEM((1, B), jnp.float32),         # W digit base scales
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(4 * Nw * tm * 1.15) + 24 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=_interpret(),
+    )(words, v8,
+      vs.astype(jnp.float32)[None, :],
+      mave.astype(jnp.float32)[None, :],
+      msig2.astype(jnp.float32)[None, :])
+    return jnp.transpose(z, (0, 2, 1))
+
+
 def _atx_a_kernel(g_ref, v_ref, av_ref):
     jn = pl.program_id(1)
 
