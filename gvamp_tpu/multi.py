@@ -178,6 +178,38 @@ class MultiPhen:
 
         return axm_fn, atxm_fn
 
+    def fn_gram(self):
+        """Fused per-column Gram ``gram_fn(op, X, cols) -> A^T(A X)`` (one
+        packed pass, per-trait NA masks and standardization) or None — the
+        multi-trait analog of GenoBed.fn_gram."""
+        geno = self.geno
+        if geno.backend != "pallas" or geno.mesh is not None:
+            return None
+        if (matvec.gram_band_bytes(int(geno.words.shape[0]), geno.Mpad)
+                > matvec._GRAM_BAND_MAX_BYTES):
+            return None
+        dtype = geno.dtype
+        scale2 = geno.inv_sqrt_n * geno.inv_sqrt_n
+
+        if geno.geno_complete:
+            def gram_fn(op: MultiOp, X, cols):
+                W = op.msig[:, cols] * X.astype(dtype)
+                cu = jnp.sum(op.mave[:, cols] * W, axis=0)
+                av, sv = matvec.gram_i8a_pallas(
+                    op.words, W, op.na[:, :, cols], cu)
+                return ((av.astype(dtype) - op.mave[:, cols] * sv.astype(dtype))
+                        * op.msig[:, cols] * scale2)
+        else:
+            def gram_fn(op: MultiOp, X, cols):
+                W = op.msig[:, cols] * X.astype(dtype)
+                U = op.mave[:, cols] * W
+                av, bv = matvec.gram_i8_pallas(
+                    op.words, W, U, op.na[:, :, cols])
+                return ((av.astype(dtype) - op.mave[:, cols] * bv.astype(dtype))
+                        * op.msig[:, cols] * scale2)
+
+        return gram_fn
+
 
 class MultiState(NamedTuple):
     it: jax.Array
@@ -242,7 +274,11 @@ def _make_defl(mp: MultiPhen, cfg):
     axm_fn, atxm_fn = mp.fns()
     op = mp.op
     cols0 = np.zeros(cfg.deflate_k, dtype=int)
-    mult = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk, cols0), cols0))
+    gram0 = mp.fn_gram()
+    if gram0 is not None:
+        mult = jax.jit(lambda Pk: gram0(op, Pk, cols0))
+    else:
+        mult = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk, cols0), cols0))
     return _cg.top_eigs(mult, mp.geno.Mpad, cfg.deflate_k,
                         jax.random.fold_in(jax.random.key(cfg.seed), 7),
                         n_iter=cfg.deflate_iters, dtype=mp.geno.dtype)
@@ -272,6 +308,7 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
     T = mp.T
     P_ = cfg.n_probes
     axm_fn, atxm_fn = mp.fns()
+    gram_fn = mp.fn_gram()
     cols_t = np.arange(T)
     cols_tp = np.repeat(np.arange(T), P_)
     cols_all = np.concatenate([cols_t, cols_tp])
@@ -367,6 +404,10 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
         diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
 
         def multb(Pk):
+            if gram_fn is not None:
+                # fused per-column Gram: one packed pass per CG iteration
+                return (tau_cols[None, :] * gram_fn(op, Pk, cols_all)
+                        + gam2_cols[None, :] * Pk)
             return (tau_cols[None, :] * atxm_fn(op, axm_fn(op, Pk, cols_all),
                                                 cols_all)
                     + gam2_cols[None, :] * Pk)
@@ -648,6 +689,7 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
     N = float(mp.geno.N)
     T = mp.T
     P_ = cfg.n_probes
+    gram_fn = mp.fn_gram()
     cols_t = np.arange(T)
     cols_tp = np.repeat(np.arange(T), P_)
     cols_all = np.concatenate([cols_t, cols_tp])
@@ -662,6 +704,10 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
         diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
 
         def multb(Pk):
+            if gram_fn is not None:
+                # fused per-column Gram: one packed pass per CG iteration
+                return (tau_cols[None, :] * gram_fn(op, Pk, cols_all)
+                        + gam2_cols[None, :] * Pk)
             return (tau_cols[None, :]
                     * atxm_fn(op, axm_fn(op, Pk, cols_all), cols_all)
                     + gam2_cols[None, :] * Pk)

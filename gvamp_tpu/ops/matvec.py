@@ -865,7 +865,7 @@ def _gram_i8a_kernel(nI, B, tm, g_ref, w8t_ref, ws_ref, cu_ref, na_ref,
     def _():
         ws = ws_ref[0]                      # [B] digit base scales of W^T
         cu = cu_ref[0]                      # [B] colsum(U) correction
-        na = na_ref[...]                    # [4, 4*tnw] phenotype NA mask
+        na = na_ref[...]                    # [4, B, 4*tnw] per-col NA mask
         for k in range(4):
             zf = z32[k].astype(jnp.float32)              # [Dw, 4*tnw]
             acc = zf[:B] * ws[:, None]
@@ -873,7 +873,7 @@ def _gram_i8a_kernel(nI, B, tm, g_ref, w8t_ref, ws_ref, cu_ref, na_ref,
             for d in range(1, _NDIG):
                 s = s / 127.0
                 acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
-            acc = (acc - cu[:, None]) * na[k][None, :]
+            acc = (acc - cu[:, None]) * na[k]
             ztf[k] = acc
             sv_ref[...] += jnp.sum(acc, axis=1)[None, :]
         zt = ztf[...]                                    # [4, B, 4*tnw]
@@ -947,7 +947,10 @@ def gram_i8a_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
         av = A_a^T z,   sv = Σ_n z
 
     in one HBM stream over ``words``.  Callers apply the mave/msig/scale
-    corrections exactly as for atxm_i8a_pallas ∘ axm_i8a_pallas."""
+    corrections exactly as for atxm_i8a_pallas ∘ axm_i8a_pallas.
+
+    ``na_planar`` is [4, Nb] (one mask for all columns) or [4, Nb, B]
+    (per-column masks — the multi-trait case)."""
     Nw, M = words.shape
     B = W.shape[1]
     tnw = tnw or _pick_tnw(Nw, 64)
@@ -955,10 +958,16 @@ def gram_i8a_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_AXM_A:
         def call(lo, hi):
-            av, sv = gram_i8a_pallas(words, W[:, lo:hi], na_planar,
+            na_c = na_planar if na_planar.ndim == 2 else na_planar[:, :, lo:hi]
+            av, sv = gram_i8a_pallas(words, W[:, lo:hi], na_c,
                                      colsum_u[lo:hi], tnw=tnw, tm=tm)
             return av, sv
         return _chunk_cols(call, B, _BMAX_AXM_A, -1)
+    if na_planar.ndim == 2:
+        na_cols = jnp.broadcast_to(
+            na_planar.astype(jnp.float32)[:, None, :], (4, B, 4 * Nw))
+    else:
+        na_cols = jnp.transpose(na_planar.astype(jnp.float32), (0, 2, 1))
     w8t, ws = _quant_digits(jnp.transpose(W.astype(jnp.float32)), 0)
     nI = Nw // tnw
     D = _NDIG * B
@@ -975,8 +984,8 @@ def gram_i8a_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * tnw),
-                         lambda i, j: (0, jnp.maximum(i - 1, 0)),
+            pl.BlockSpec((4, B, 4 * tnw),
+                         lambda i, j: (0, 0, jnp.maximum(i - 1, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1003,7 +1012,7 @@ def gram_i8a_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
     )(words, w8t,
       jnp.transpose(ws.astype(jnp.float32)),
       colsum_u.astype(jnp.float32)[None, :],
-      na_planar.astype(jnp.float32))
+      na_cols)
     return jnp.transpose(av), sv[0]
 
 
@@ -1024,7 +1033,7 @@ def _gram_i8_kernel(nI, B, tm, g_ref, w8t_ref, mu8t_ref, ws_ref, na_ref,
     @pl.when((j == 0) & (i > 0))
     def _():
         ws = ws_ref[0]                      # [B] shared digit base scales
-        na = na_ref[...]                    # [4, 4*tnw] phenotype NA mask
+        na = na_ref[...]                    # [4, B, 4*tnw] per-col NA mask
         for k in range(4):
             zf = z32[k].astype(jnp.float32)              # [D, 4*tnw]
             acc = zf[:B] * ws[:, None]
@@ -1032,7 +1041,7 @@ def _gram_i8_kernel(nI, B, tm, g_ref, w8t_ref, mu8t_ref, ws_ref, na_ref,
             for d in range(1, _NDIG):
                 s = s / 127.0
                 acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
-            ztf[k] = acc * na[k][None, :]
+            ztf[k] = acc * na[k]
         zt = ztf[...]                                    # [4, B, 4*tnw]
         m = jnp.max(jnp.abs(zt), axis=(0, 2))            # [B]
         s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
@@ -1108,7 +1117,10 @@ def gram_i8_pallas(words, W, U, na_planar, tnw=0, tm=0):
         av = A_a^T z,   bv = A_b^T z
 
     in one HBM stream over ``words``.  Callers apply the mave/msig/scale
-    corrections exactly as for atxm_i8_pallas ∘ axm_i8_pallas."""
+    corrections exactly as for atxm_i8_pallas ∘ axm_i8_pallas.
+
+    ``na_planar`` is [4, Nb] (one mask for all columns) or [4, Nb, B]
+    (per-column masks — the multi-trait case)."""
     Nw, M = words.shape
     B = W.shape[1]
     tnw = tnw or _pick_tnw(Nw, 64)
@@ -1116,9 +1128,15 @@ def gram_i8_pallas(words, W, U, na_planar, tnw=0, tm=0):
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_AXM:
         def call(lo, hi):
+            na_c = na_planar if na_planar.ndim == 2 else na_planar[:, :, lo:hi]
             return gram_i8_pallas(words, W[:, lo:hi], U[:, lo:hi],
-                                  na_planar, tnw=tnw, tm=tm)
+                                  na_c, tnw=tnw, tm=tm)
         return _chunk_cols(call, B, _BMAX_AXM, -1)
+    if na_planar.ndim == 2:
+        na_cols = jnp.broadcast_to(
+            na_planar.astype(jnp.float32)[:, None, :], (4, B, 4 * Nw))
+    else:
+        na_cols = jnp.transpose(na_planar.astype(jnp.float32), (0, 2, 1))
     w8t, mu8t, ws = _quant_digits_pair(W, U)
     nI = Nw // tnw
     D = _NDIG * B
@@ -1135,8 +1153,8 @@ def gram_i8_pallas(words, W, U, na_planar, tnw=0, tm=0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * tnw),
-                         lambda i, j: (0, jnp.maximum(i - 1, 0)),
+            pl.BlockSpec((4, B, 4 * tnw),
+                         lambda i, j: (0, 0, jnp.maximum(i - 1, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1162,7 +1180,7 @@ def gram_i8_pallas(words, W, U, na_planar, tnw=0, tm=0):
         interpret=_interpret(),
     )(words, w8t, mu8t,
       jnp.transpose(ws.astype(jnp.float32)),
-      na_planar.astype(jnp.float32))
+      na_cols)
     return jnp.transpose(av), jnp.transpose(bv)
 
 

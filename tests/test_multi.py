@@ -252,3 +252,43 @@ def test_multi_complete_fast_path_matches_general():
     corr = np.corrcoef(outs["fast"][0].ravel(),
                        outs["general"][0].ravel())[0, 1]
     assert corr > 0.9999999
+
+
+def test_multi_fused_gram_matches_two_pass(monkeypatch):
+    """Multi-trait block-CG with the fused per-column Gram kernel (one
+    packed pass, per-trait NA masks) reproduces the two-pass trajectory."""
+    rng = np.random.default_rng(41)
+    N, M, T = 400, 256, 3
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    h2s = (0.7, 0.5, 0.4)
+    ys = []
+    geno0 = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                                standardize_phen=False, backend="pallas")
+    vars_t, probs_t = sim.two_group_prior(M, 15, 0.6)
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        y = sim.simulate_linear_phenotype(geno0, beta, 1 / (1 - h2s[t]), rng)
+        if t == 1:
+            y[rng.choice(N, 25, replace=False)] = np.nan
+        ys.append(y)
+
+    cfg = linear.VampConfig(max_iter=3, rho=0.3, seed=3,
+                            stop_criteria_thr=0.0)
+
+    def run():
+        g = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                                standardize_phen=False, backend="pallas")
+        mp = multi.MultiPhen.build(g, ys, standardize=False)
+        return multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+
+    assert multi.MultiPhen.build(geno0, ys, standardize=False).fn_gram() \
+        is not None
+    x_f, _, h_f = run()
+    monkeypatch.setattr(multi.MultiPhen, "fn_gram", lambda self: None)
+    x_t, _, h_t = run()
+
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_t), rtol=0,
+                               atol=5e-5 * (np.abs(np.asarray(x_t)).max() + 1e-30))
+    for t in range(T):
+        np.testing.assert_allclose(float(h_f[-1]["gam1"][t]),
+                                   float(h_t[-1]["gam1"][t]), rtol=2e-4)
