@@ -42,12 +42,15 @@ BW_M = int(os.environ.get("BENCH_BW_M", 131072))
 BW_ITERS = int(os.environ.get("BENCH_BW_ITERS", 2))
 
 
-def synth_geno(N, M, chunk_cols=4096):
-    """Complete-genotype packed matrix synthesized ON DEVICE (the measured
-    reference baseline ran sim.cpp, whose genotypes have no missing calls):
-    every 2-bit "01" missing code is remapped to "11", so the complete-data
-    fast path engages, like imputed data.  Generated in column chunks — a
-    single jax.random.bits of a >3 GB array OOMs from temporaries."""
+def synth_geno(N, M, chunk_cols=4096, miss=False):
+    """Packed genotype matrix synthesized ON DEVICE.  Default: every 2-bit
+    "01" missing code is remapped to "11" so the complete-data fast path
+    engages, like imputed data (the measured reference baseline ran
+    sim.cpp, whose genotypes have no missing calls).  With ``miss=True``
+    ~1.6% of calls KEEP the missing code (AND of 4 random bit-streams
+    gates which 01s survive) — the real-cohort kernel path.  Generated in
+    column chunks — a single jax.random.bits of a >3 GB array OOMs from
+    temporaries."""
     import jax
     import jax.numpy as jnp
     from gvamp_tpu.data import GenoBed
@@ -67,6 +70,12 @@ def synth_geno(N, M, chunk_cols=4096):
             lo = raw & np.uint32(0x55555555)
             hi = (raw >> np.uint32(1)) & np.uint32(0x55555555)
             is01 = lo & ~hi
+            if miss:
+                keep = jnp.full_like(raw, np.uint32(0x55555555))
+                for s in range(4):
+                    ks = jax.random.fold_in(jax.random.key(7 + s), i)
+                    keep &= jax.random.bits(ks, raw.shape, dtype=jnp.uint32)
+                is01 = is01 & ~keep
             w = raw | (is01 << np.uint32(1))
             return jax.lax.dynamic_update_slice(acc, w, (0, i * chunk_cols))
         out = jnp.zeros((lay.n_words, mpad), jnp.uint32)
@@ -77,20 +86,20 @@ def synth_geno(N, M, chunk_cols=4096):
                                      standardize_phen=False), lay, mpad
 
 
-def run_config(N, M, k_iters, warm_steps=2):
+def run_config(N, M, k_iters, warm_steps=2, miss=False, use_xxt=False):
     """Build the sim problem, run the scan-mode engine, return timings."""
     import jax
     from gvamp_tpu import linear, sim
 
     rng = np.random.default_rng(0)
-    geno, lay, mpad = synth_geno(N, M)
+    geno, lay, mpad = synth_geno(N, M, miss=miss)
     vars_t, probs_t = sim.two_group_prior(M, 1000, 0.5)
     beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
     y = sim.simulate_linear_phenotype(geno, beta[:M], 2.0, rng)
     geno.set_phen(y)
 
     cfg = linear.VampConfig(max_iter=k_iters + warm_steps, rho=0.15,
-                            gam1_init=1e-8, gamw_init=2.0)
+                            gam1_init=1e-8, gamw_init=2.0, use_xxt=use_xxt)
     state = linear.init_state(geno, cfg, probs_t, vars_t)
     aux = linear.make_aux(geno, cfg)
     step = linear.make_step(geno, cfg)
@@ -123,9 +132,13 @@ def run_config(N, M, k_iters, warm_steps=2):
     probe_it = float(metrics["probe_iters"])
 
     # single-pass-equivalents per iteration after the block-CG redesign:
-    # joint block CG (width 2, ax+atx per it incl init) + z1 + the final
+    # joint block CG (width 2, incl the init mult) + z1 + the final
     # width-2 axm for [x2, invq]; ATy and A@bern are precomputed in aux.
-    passes = 2 * (max(cg_it, probe_it) + 1) + 1 + 1
+    # With the fused Gram kernel each CG mult is ONE HBM pass (round-3,
+    # gram_i8[a]_pallas / gram_aat_i8_pallas) instead of ax+atx.
+    fused = (geno.fn_gram_aat() if use_xxt else geno.fn_gram()) is not None
+    mult_passes = 1 if fused else 2
+    passes = mult_passes * (max(cg_it, probe_it) + 1) + 1 + 1
     packed_bytes = lay.n_words * 4 * mpad
     return dict(dt_iter=dt_iter, passes=passes, packed_bytes=packed_bytes,
                 gbs=passes * packed_bytes / dt_iter / 1e9,
@@ -168,6 +181,40 @@ def main():
                   file=sys.stderr)
         except Exception as e:  # never lose the headline metric
             print(f"# B failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+
+        # ---- config Bm: config-B scale WITH missing genotypes (~1.6%) —
+        # the general-kernel path real (non-imputed) cohorts pay
+        try:
+            bm = run_config(BW_N, BW_M, BW_ITERS, warm_steps=1, miss=True)
+            out.update(
+                bw_miss_iter_s=round(bm["dt_iter"], 3),
+                bw_miss_gbs=round(bm["gbs"], 1),
+            )
+            print(f"# Bm (miss): iter={bm['dt_iter']:.3f}s "
+                  f"passes={bm['passes']:.0f} bandwidth={bm['gbs']:.0f}GB/s "
+                  f"cg_it={bm['cg_it']:.0f}", file=sys.stderr)
+        except Exception as e:
+            print(f"# Bm failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+
+        # ---- config X: the dual/XXT regime N<<M (N=5k, M=524k) — dual
+        # N-space CG (one fused A A^T pass) vs the primal M-space solve
+        try:
+            xn = int(os.environ.get("BENCH_XXT_N", 5120))
+            xm = int(os.environ.get("BENCH_XXT_M", 524288))
+            xd = run_config(xn, xm, 4, warm_steps=1, use_xxt=True)
+            xp = run_config(xn, xm, 4, warm_steps=1, use_xxt=False)
+            out.update(
+                xxt_config=f"N{xn}_M{xm}",
+                xxt_iter_s=round(xd["dt_iter"], 4),
+                xxt_primal_iter_s=round(xp["dt_iter"], 4),
+            )
+            print(f"# X (N<<M): dual={xd['dt_iter']:.4f}s/it "
+                  f"(cg={xd['cg_it']:.0f}) primal={xp['dt_iter']:.4f}s/it "
+                  f"(cg={xp['cg_it']:.0f})", file=sys.stderr)
+        except Exception as e:
+            print(f"# X failed: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
 
     print(json.dumps(out))
