@@ -663,10 +663,12 @@ class GenoBed:
         dtype = self.dtype
         scale2 = self.inv_sqrt_n * self.inv_sqrt_n
 
+        aat = (matvec.gram_aat_i8a_pallas if self.geno_complete
+               else matvec.gram_aat_i8_pallas)
+
         def gram_aat_fn(op: BedOp, Up):
             v = Up.astype(op.msig.dtype) * op.na_planar[:, :, None]
-            z = matvec.gram_aat_i8_pallas(op.words, v, op.mave,
-                                          jnp.square(op.msig))
+            z = aat(op.words, v, op.mave, jnp.square(op.msig))
             return z.astype(dtype) * op.na_planar[:, :, None] * scale2
 
         return gram_aat_fn

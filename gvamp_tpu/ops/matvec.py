@@ -1280,6 +1280,82 @@ def _gram_aat_i8_kernel(nJ, B, tnw, g_ref, vt_ref, vs_ref, mave_ref,
                 preferred_element_type=jnp.int32)
 
 
+def _gram_aat_i8a_kernel(nJ, B, tnw, g_ref, vt_ref, vs_ref, sv_ref, mave_ref,
+                         msig2_ref, z_ref, us_ref, stripec, t32a, w8, wsc):
+    # a-only variant of _gram_aat_i8_kernel (complete genotypes): the b
+    # contractions collapse to scalars — A_b^T v = sv per column (wrapper
+    # input) and A_b (mave*W) = usum per column (tiny second output) — so
+    # each block pays ONE decode+bitcast and one dot per side.
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+        us_ref[...] = jnp.zeros(us_ref.shape, us_ref.dtype)
+
+    # ---- stripe boundary: fold t_{j-1}, apply corrections, requantize ----
+    @pl.when((i == 0) & (j > 0))
+    def _():
+        vs = vs_ref[0]                          # [B] v digit base scales
+        sv = sv_ref[0]                          # [B] colsum(v) (b-side)
+        mave = mave_ref[0]                      # [tm] tile j-1 marker means
+        msig2 = msig2_ref[0]                    # [tm] tile j-1 msig^2
+        xf = t32a[...].astype(jnp.float32)      # [D, tm]
+        av = xf[:B] * vs[:, None]
+        s = vs
+        for d in range(1, _NDIG):
+            s = s / 127.0
+            av = av + xf[d * B:(d + 1) * B] * s[:, None]
+        W = msig2[None, :] * (av - sv[:, None] * mave[None, :])   # [B, tm]
+        us_ref[...] += jnp.sum(mave[None, :] * W, axis=1)[None, :]
+        m = jnp.max(jnp.abs(W), axis=1)                           # [B]
+        s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
+        wsc[...] = s0[None, :]
+        r = W
+        s = s0
+        for d in range(_NDIG):
+            dig = jnp.round(r / s[:, None])
+            w8[d * B:(d + 1) * B, :] = dig.astype(jnp.int8)
+            r = r - dig * s[:, None]
+            s = s / 127.0
+
+    @pl.when(i == 0)
+    def _():
+        t32a[...] = jnp.zeros(t32a.shape, t32a.dtype)
+
+    # ---- forward side for stripe j-1: cached words, zero HBM traffic ----
+    @pl.when(j > 0)
+    def _():
+        gb = stripec[pl.dslice(i * tnw, tnw), :]
+        s0 = wsc[0]                                          # [B]
+        for k in range(4):
+            a_sw, _ = _swar(gb, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            d32 = jax.lax.dot_general(
+                w8[...], a8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            zf = d32.astype(jnp.float32)                     # [D, 4tnw]
+            acc = zf[:B] * s0[:, None]
+            s = s0
+            for d in range(1, _NDIG):
+                s = s / 127.0
+                acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
+            z_ref[k, :, pl.dslice(i * 4 * tnw, 4 * tnw)] += acc
+
+    # ---- transpose side for stripe j: dots + copy into the stripe cache --
+    @pl.when(j < nJ)
+    def _():
+        g = g_ref[...]
+        stripec[pl.dslice(i * tnw, tnw), :] = g
+        for k in range(4):
+            a_sw, _ = _swar(g, k)
+            a8 = pltpu.bitcast(a_sw, jnp.int8)
+            t32a[...] += jax.lax.dot_general(
+                vt_ref[k], a8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+
 def gram_aat_stripe_bytes(Nw: int, M: int, tm: int = 0) -> int:
     """VMEM stripe-cache cost of the fused dual Gram for this shape."""
     tm = tm or _pick_tm(M, 2048)
@@ -1293,6 +1369,73 @@ def _pick_aat_tm(Nw: int, M: int) -> int:
         if 4 * Nw * tm <= _GRAM_BAND_MAX_BYTES:
             return tm
     return _pick_tm(M, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
+def gram_aat_i8a_pallas(words, V, mave, msig2, tnw=0, tm=0):
+    """A-only fused dual Gram (complete genotypes):
+    z[4, Nb, B] = A_a W - usum,  W = msig2 * (A_a^T V - sv * mave),
+    sv = colsum(V), usum = colsum(mave * W) — one HBM stream, one decoded
+    plane per side.  ``V`` must already be NA-masked."""
+    Nw, M = words.shape
+    B = V.shape[2]
+    tnw = tnw or _pick_tnw(Nw, 64)
+    tm = tm or _pick_aat_tm(Nw, M)
+    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
+    if B > _BMAX_AXM:
+        def call(lo, hi):
+            return gram_aat_i8a_pallas(words, V[:, :, lo:hi], mave, msig2,
+                                       tnw=tnw, tm=tm)
+        return _chunk_cols(call, B, _BMAX_AXM, 2)
+    v8, vs = _quant_digits_t(V)
+    sv = jnp.sum(V.astype(jnp.float32), axis=(0, 1))
+    nJ = M // tm
+    D = _NDIG * B
+    grid = (nJ + 1, Nw // tnw)
+    z, us = pl.pallas_call(
+        functools.partial(_gram_aat_i8a_kernel, nJ, B, tnw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tnw, tm), lambda j, i: (i, jnp.minimum(j, nJ - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, D, 4 * tnw), lambda j, i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, jnp.maximum(j - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda j, i: (0, jnp.maximum(j - 1, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, B, 4 * Nw), lambda j, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, B, 4 * Nw), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nw, tm), jnp.uint32),        # stripe cache
+            pltpu.VMEM((D, tm), jnp.int32),          # t digit products
+            pltpu.VMEM((D, tm), jnp.int8),           # W digits
+            pltpu.VMEM((1, B), jnp.float32),         # W digit base scales
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(4 * Nw * tm * 1.15) + 24 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=_interpret(),
+    )(words, v8,
+      vs.astype(jnp.float32)[None, :],
+      sv[None, :],
+      mave.astype(jnp.float32)[None, :],
+      msig2.astype(jnp.float32)[None, :])
+    return (jnp.transpose(z, (0, 2, 1))
+            - us[0][None, None, :])
 
 
 @functools.partial(jax.jit, static_argnames=("tnw", "tm"))

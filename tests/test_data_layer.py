@@ -397,3 +397,35 @@ def test_general_fused_gram_and_shared_scale_ax():
     np.testing.assert_allclose(
         np.asarray(bv), np.asarray(bv_ref), rtol=0,
         atol=5e-6 * (float(jnp.max(jnp.abs(bv_ref))) + 1e-30))
+
+
+def test_aat_gram_kernels_match_composition():
+    """gram_aat_i8[a]_pallas == axm(msig2*(atxm_a - mave*atxm_b)) — the
+    fused dual (XXT) Gram kernels, general and a-only variants."""
+    from gvamp_tpu.ops import matvec
+
+    rng = np.random.default_rng(43)
+    Nw, M, B = 16, 512, 3
+    words_m = np.asarray(rng.integers(0, 2**32, size=(Nw, M),
+                                      dtype=np.uint64).astype(np.uint32))
+    V = jnp.asarray(rng.standard_normal((4, 4 * Nw, B)).astype(np.float32))
+    mave = jnp.asarray(rng.uniform(0, 2, M).astype(np.float32))
+    msig2 = jnp.asarray(rng.uniform(0.5, 2, M).astype(np.float32))
+
+    # general kernel vs two-pass composition (missing codes present)
+    wm = jnp.asarray(words_m)
+    av, bv = matvec.atxm_i8_pallas(wm, V)
+    t = msig2[:, None] * (av - mave[:, None] * bv)
+    z_ref = np.asarray(matvec.axm_i8_pallas(wm, t, mave[:, None] * t))
+    z = np.asarray(matvec.gram_aat_i8_pallas(wm, V, mave, msig2))
+    np.testing.assert_allclose(z, z_ref, rtol=0,
+                               atol=5e-6 * (np.abs(z_ref).max() + 1e-30))
+
+    # a-only kernel vs the general kernel on complete genotypes
+    lo = words_m & 0x55555555
+    hi = (words_m >> 1) & 0x55555555
+    wc = jnp.asarray((words_m | ((lo & ~hi) << 1)).astype(np.uint32))
+    z_g = np.asarray(matvec.gram_aat_i8_pallas(wc, V, mave, msig2))
+    z_a = np.asarray(matvec.gram_aat_i8a_pallas(wc, V, mave, msig2))
+    np.testing.assert_allclose(z_a, z_g, rtol=0,
+                               atol=2e-5 * (np.abs(z_g).max() + 1e-30))

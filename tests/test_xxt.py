@@ -58,9 +58,11 @@ def test_xxt_mode_with_missing_phenotypes():
     assert np.isfinite(x_hat).all()
 
 
-def test_fused_aat_gram_matches_two_pass(monkeypatch):
-    """XXT mode with the fused dual-Gram kernel (one packed pass per CG
-    iteration) reproduces the two-pass dual trajectory."""
+@pytest.mark.parametrize("miss_rate", [0.0, 0.01])
+def test_fused_aat_gram_matches_two_pass(monkeypatch, miss_rate):
+    """XXT mode with the fused dual-Gram kernels (one packed pass per CG
+    iteration; a-only variant on complete genotypes) reproduces the
+    two-pass dual trajectory."""
     import jax.numpy as jnp
     from gvamp_tpu.data import GenoBed
     from gvamp_tpu import sim
@@ -68,7 +70,7 @@ def test_fused_aat_gram_matches_two_pass(monkeypatch):
 
     rng = np.random.default_rng(37)
     N, M, h2 = 300, 512, 0.6
-    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    codes = sim.random_genotypes(rng, M, N, miss_rate=miss_rate)
     vars_t, probs_t = sim.two_group_prior(M, 20, h2)
     beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
 
