@@ -389,7 +389,10 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         gam1, alpha1, eta1 = w["gam1"], w["alpha1"], w["eta1"]
         probs, vars_ = w["probs"], w["vars"]
 
-        z1 = ax_fn(op, x1)
+        # z1 = A x1 rides a later wide pass (phase_lmmse in dual mode,
+        # phase_noise_em otherwise) — its only consumers are the R2_1
+        # metric and the state dump, so deferring it saves one full HBM
+        # pass per iteration.
 
         gam_before = state.gam2
         gam2 = _clamp_gamma(eta1 - gam1)
@@ -419,13 +422,11 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             (cfg.auto_var_max_iter == 0) | (it <= 1), upd,
             lambda _: (probs, vars_), None)
 
-        # train metrics after denoising (err_measures ind=1, vamp.cpp:1232)
         l2y = jnp.sum(jnp.square(y))
-        R2_1 = 1.0 - jnp.sum(jnp.square(y - z1)) / l2y
 
         w = dict(w)
-        w.update(z1=z1, gam2=gam2, r2=r2, rho=rho, probs=probs, vars=vars_,
-                 l2y=l2y, R2_1=R2_1)
+        w.update(gam2=gam2, r2=r2, rho=rho, probs=probs, vars=vars_,
+                 l2y=l2y)
         return w
 
     def phase_lmmse(w, state: LinState, aux: Aux):
@@ -456,7 +457,11 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             # the exact Woodbury algebra, which matches the primal path to
             # the probe's MC accuracy.)
             nb4 = y.shape[0] * y.shape[1]
-            v_n = y - ax_fn(op, r2)
+            # one wide pass: A r2 (the dual RHS) and A x1 (deferred z1)
+            Vr = axm_fn(op, jnp.concatenate(
+                [r2[:, None], w["x1"][:, None]], axis=1))
+            v_n = y - Vr[..., 0]
+            z1 = Vr[..., 1]
             z_bern_f = aux.z_bern.reshape(nb4, P)
             V_n = jnp.concatenate([v_n.reshape(nb4, 1), z_bern_f], axis=1)
             mu0_n = jnp.concatenate(
@@ -491,7 +496,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             cg_iters, cg_rel_err = sol.iters[0], sol.rel_err[0]
             probe_iters = jnp.max(sol.iters[1:])
             w = dict(w)
-            w.update(ax2_exact=ax2_exact)
+            w.update(ax2_exact=ax2_exact, z1=z1)
         else:
             # joint block solve: column 0 = LMMSE RHS (residual exit,
             # vamp.cpp:594-596), columns 1.. = Onsager probes (quadform
@@ -569,35 +574,44 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             # the CG residual identity and the Hutchinson trace collapses to
             # Mt <u, A^T A Q_M^{-1} u> = Mt (1 - alpha2) / gamw
             ax2 = w["ax2_exact"]
+            z1 = w["z1"]            # rode the dual-RHS pass (phase_lmmse)
             resid2 = jnp.sum(jnp.square(ax2 - y))
             trace_corr = Mt * (1.0 - alpha2) / gamw
         elif cfg.red:
             # full-data residual (reference updateNoisePrec keeps temp =
             # Ax(x2) unwindowed, vamp.cpp:897) + WINDOWED trace passes
             # (vamp.cpp:907-916): <u, Aw^T Aw q> = <Aw u, Aw q> in one
-            # windowed wide pass over [invq | bern]
+            # windowed wide pass over [invq | bern]; the deferred z1 = A x1
+            # rides the full-data pass
             sbw = w["red_sbw"]
-            ax2 = ax_fn(op, x2)
+            Zf = axm_fn(op, jnp.concatenate(
+                [x2[:, None], w["x1"][:, None]], axis=1))
+            ax2 = Zf[..., 0]
+            z1 = Zf[..., 1]
             resid2 = jnp.sum(jnp.square(ax2 - y))
             P = cfg.n_probes
             Zw = axm_w(op, jnp.concatenate([invq, aux.bern], axis=1), sbw)
             trace_corr = jnp.mean(
                 jnp.sum(Zw[..., :P] * Zw[..., P:], axis=(0, 1))) * Mt
         else:
-            # one wide pass computes A x2 and A invq_j; the trace correction
-            # uses <u_j, A^T A q_j> = <A u_j, A q_j>, A u_j precomputed in aux
-            Z2 = axm_fn(op, jnp.concatenate([x2[:, None], invq], axis=1))
+            # one wide pass computes A x2, A invq_j AND the deferred
+            # z1 = A x1; the trace correction uses
+            # <u_j, A^T A q_j> = <A u_j, A q_j>, A u_j precomputed in aux
+            Z2 = axm_fn(op, jnp.concatenate(
+                [x2[:, None], invq, w["x1"][:, None]], axis=1))
             ax2 = Z2[..., 0]
+            z1 = Z2[..., -1]
             resid2 = jnp.sum(jnp.square(ax2 - y))
             trace_corr = jnp.mean(
-                jnp.sum(aux.z_bern * Z2[..., 1:], axis=(0, 1))) * Mt
+                jnp.sum(aux.z_bern * Z2[..., 1:-1], axis=(0, 1))) * Mt
         gamw_new = N / (resid2 + trace_corr)
 
-        # train metrics after LMMSE (err_measures ind=2)
+        # train metrics (err_measures ind=1 after denoise, ind=2 after LMMSE)
+        R2_1 = 1.0 - jnp.sum(jnp.square(y - z1)) / w["l2y"]
         R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2)) / w["l2y"]
 
         w = dict(w)
-        w.update(gamw_new=gamw_new, R2_2=R2_2)
+        w.update(gamw_new=gamw_new, R2_1=R2_1, R2_2=R2_2, z1=z1)
         return w
 
     def phase_finish(w, state: LinState, aux: Aux):

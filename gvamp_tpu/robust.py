@@ -170,7 +170,11 @@ def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
         from gvamp_tpu import cg as _cg
         axm_fn, atxm_fn = geno.fns_multi()
         op = geno.op
-        mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
+        gram0 = geno.fn_gram()
+        if gram0 is not None:
+            mult_ata = jax.jit(lambda Pk: gram0(op, Pk))
+        else:
+            mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
         defl = _cg.top_eigs(mult_ata, geno.Mpad, cfg.deflate_k,
                             jax.random.fold_in(jax.random.key(cfg.seed), 7),
                             n_iter=cfg.deflate_iters, dtype=geno.dtype)
