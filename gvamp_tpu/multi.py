@@ -384,14 +384,14 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
         alpha1 = jnp.where(live, alpha1, state.alpha1)
         eta1 = jnp.where(live, eta1, state.eta1)
 
-        z1 = axm_fn(op, x1, cols_t)
+        # z1 = A x1 rides the noise-EM wide pass below (one fewer HBM
+        # pass/iteration, like the single-trait engine)
         gam2 = _clamp_gamma(eta1 - gam1)
         r2 = ((eta1[None, :] * x1 - gam1[None, :] * state.r1)
               / gam2[None, :]) * m_mask[:, None]
         r2 = jnp.where(live[None, :], r2, state.r2)
 
         l2y = jnp.sum(jnp.square(y), axis=(0, 1))
-        R2_1 = 1.0 - jnp.sum(jnp.square(y - z1), axis=(0, 1)) / l2y
 
         # ---- LMMSE: T solves + T*P probes in ONE block CG ----------------
         # gamma_damp scales gam2 for the whole LMMSE block and is restored
@@ -440,13 +440,17 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
         r1 = ((eta2[None, :] * x2 - gam2[None, :] * r2)
               / gam1_new[None, :]) * m_mask[:, None]
 
-        # noise precision per trait (updateNoisePrec, vamp.cpp:892-927)
-        Z2 = axm_fn(op, jnp.concatenate([x2, invq], axis=1), cols_all)
+        # noise precision per trait (updateNoisePrec, vamp.cpp:892-927);
+        # the deferred z1 = A x1 rides the same wide pass
+        Z2 = axm_fn(op, jnp.concatenate([x2, invq, x1], axis=1),
+                    np.concatenate([cols_all, cols_t]))
         ax2 = Z2[..., :T]
+        z1 = Z2[..., T + T * P_:]
         resid2 = jnp.sum(jnp.square(ax2 - y), axis=(0, 1))
-        tc = jnp.sum(aux.z_bern * Z2[..., T:], axis=(0, 1))
+        tc = jnp.sum(aux.z_bern * Z2[..., T:T + T * P_], axis=(0, 1))
         trace_corr = tc.reshape(T, P_).mean(axis=1) * Mt
         gamw_new = N / (resid2 + trace_corr)
+        R2_1 = 1.0 - jnp.sum(jnp.square(y - z1), axis=(0, 1)) / l2y
         R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2), axis=(0, 1)) / l2y
 
         rel_change = jnp.sqrt(
