@@ -105,6 +105,7 @@ def solve_block(
     err_tol: float = 1e-5,
     onsager_tol: float = 1e-8,
     precond=None,             # optional R[M, B] -> Z[M, B] (replaces Jacobi)
+    start_zero: bool = False,  # mu_start is literally 0: skip the init mult
 ) -> CGResult:
     """Batched CG: each column runs its own CG recursion, but every iteration
     costs ONE wide-RHS pass over the packed matrix (axm+atxm) instead of one
@@ -122,7 +123,9 @@ def solve_block(
     gam2_b = jnp.asarray(gam2, dt) * jnp.ones((B,), dt)  # per-column quadform
     apply_m = precond if precond is not None else (lambda r: r / diag_c)
 
-    r0 = V - mult_block(mu_start)
+    # zero-start solves (probit/Huber LMMSE, vamp_probit.cpp:507) skip the
+    # initialization mult: r0 = V exactly, saving one packed pass per call
+    r0 = V if start_zero else V - mult_block(mu_start)
     z0 = apply_m(r0)
     # all-zero RHS columns: solution is 0 exactly; guard the norm so the
     # relative residual stays finite and the done flag can fire

@@ -296,7 +296,8 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
                              cfg.cg_max_iter, modes=(0,) + (1,) * aux.bern.shape[1],
                              err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol, precond=precond)
+                             onsager_tol=cfg.onsager_tol, precond=precond,
+                             start_zero=True)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
         # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
