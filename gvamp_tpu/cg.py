@@ -106,6 +106,9 @@ def solve_block(
     onsager_tol: float = 1e-8,
     precond=None,             # optional R[M, B] -> Z[M, B] (replaces Jacobi)
     start_zero: bool = False,  # mu_start is literally 0: skip the init mult
+    r0=None,                  # precomputed V - mult(mu_start): skip the init
+                              # mult (callers track the warm start's Gram
+                              # product across calls — see linear.py)
 ) -> CGResult:
     """Batched CG: each column runs its own CG recursion, but every iteration
     costs ONE wide-RHS pass over the packed matrix (axm+atxm) instead of one
@@ -125,7 +128,8 @@ def solve_block(
 
     # zero-start solves (probit/Huber LMMSE, vamp_probit.cpp:507) skip the
     # initialization mult: r0 = V exactly, saving one packed pass per call
-    r0 = V if start_zero else V - mult_block(mu_start)
+    if r0 is None:
+        r0 = V if start_zero else V - mult_block(mu_start)
     z0 = apply_m(r0)
     # all-zero RHS columns: solution is 0 exactly; guard the norm so the
     # relative residual stays finite and the done flag can fire

@@ -85,8 +85,19 @@ def load_state(path: str, state_cls):
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["_meta"]).decode())
     import jax.numpy as jnp
-    vals = [jnp.asarray(z[f"f_{name}"]) for name in meta["fields"]]
-    return state_cls(*vals), meta
+    vals = {name: jnp.asarray(z[f"f_{name}"]) for name in meta["fields"]}
+    missing = [f for f in state_cls._fields if f not in vals]
+    if missing:
+        # state fields added after the checkpoint was written (e.g. the
+        # tracked CG Gram product `gmu`): restart with a safe default —
+        # zeros match a cold warm-start, and the first gram_refresh tick
+        # recomputes the true init mult anyway
+        if missing != ["gmu"]:
+            raise KeyError(f"checkpoint {path} lacks state fields {missing}")
+        mu = vals["mu_cg"]
+        p = vals["mu_probe"]
+        vals["gmu"] = jnp.zeros((mu.shape[0], 1 + p.shape[1]), mu.dtype)
+    return state_cls(*[vals[f] for f in state_cls._fields]), meta
 
 
 def write_scalar_history(prefix: str, history, keys=("gam1", "gam2")) -> None:

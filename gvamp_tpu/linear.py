@@ -83,6 +83,16 @@ class VampConfig:
                                  # pass) and solve exactly on that subspace;
                                  # cuts CG iterations on LD-structured data
     deflate_iters: int = 8       # block power-iteration steps
+    gram_refresh: int = 8        # the CG init residual is computed from the
+                                 # warm start's TRACKED Gram product (exact
+                                 # identity mult(mu)=V-r at the previous
+                                 # exit, zero extra passes); every this-many
+                                 # iterations the true init mult runs to
+                                 # reset CG-recursion fp drift.  1 = always
+                                 # compute the true init mult (the reference
+                                 # behavior); only the standard primal path
+                                 # tracks (red re-draws its operator, dual
+                                 # mode has its own state)
     red: bool = False            # reduced-subset stochastic solves: each
                                  # iteration draws a random 10% sample window
                                  # and runs the LMMSE CG + Onsager probe +
@@ -113,6 +123,11 @@ class LinState(NamedTuple):
     probs: jax.Array
     vars: jax.Array
     cv_r2: jax.Array         # cross-val: last accepted held-out R2
+    gmu: jax.Array           # A^T A [mu_cg | mu_probe] — the warm start's
+                             # Gram product, carried across iterations so
+                             # the CG init residual costs no packed pass
+                             # (exact identity mult(mu) = V - r at exit;
+                             # refreshed every cfg.gram_refresh iterations)
 
 
 def init_state(geno, cfg: VampConfig, probs, vars_user,
@@ -152,6 +167,7 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         probs=jnp.asarray(probs, dt),
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
         cv_r2=jnp.asarray(-1.0, dt),
+        gmu=jnp.zeros((Mp, 1 + cfg.n_probes), dt),
     )
 
 
@@ -531,16 +547,39 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             if cfg.deflate_k > 0:
                 precond = cg.make_deflated_precond(
                     aux.defl[0], aux.defl[1], gamw, gam2_eff, diag)
+            r0 = None
+            if not cfg.red and cfg.gram_refresh > 1:
+                # init residual from the TRACKED warm-start Gram product
+                # (state.gmu = A^T A mu0, exact at the previous CG exit up
+                # to recursion fp); the true init mult runs every
+                # gram_refresh iterations to reset drift
+                r0_tracked = V - (gamw * state.gmu + gam2_eff * mu0)
+                # force the true mult on refresh ticks AND whenever gmu is
+                # cold (all-zero) while the warm start isn't — e.g. a resume
+                # from a checkpoint written before gmu existed
+                cold = jnp.all(state.gmu == 0) & jnp.any(mu0 != 0)
+                r0 = jax.lax.cond(
+                    (it % cfg.gram_refresh == 0) | cold,
+                    lambda: V - multb(mu0),
+                    lambda: r0_tracked)
             sol = cg.solve_block(multb, V, mu0, diag, gam2_eff, cfg.cg_max_iter,
                                  modes=(0,) + (1,) * P,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
-                                 precond=precond)
+                                 precond=precond, r0=r0)
             x2 = sol.mu[:, 0] * m_mask
             invq = sol.mu[:, 1:]
             mu_cg_new, mu_cg_n_new = sol.mu[:, 0], state.mu_cg_n
             cg_iters, cg_rel_err = sol.iters[0], sol.rel_err[0]
             probe_iters = jnp.max(sol.iters[1:])
+            if not cfg.red:
+                # carry A^T A mu for the NEXT iteration's init residual:
+                # mult(mu) = V - r at exit (CG invariant), so
+                # A^T A mu = (V - r - gam2*mu) / gamw with THIS call's
+                # operator scalars — no extra pass
+                gmu_new = (V - sol.r - gam2_eff * sol.mu) / gamw
+                w = dict(w)
+                w.update(gmu=gmu_new)
             # Hutchinson trace: alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>
             alpha2 = gam2_eff * jnp.mean(jnp.sum(bern * invq, axis=0))
         eta2 = gam2 / alpha2
@@ -664,7 +703,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             mu_probe_n=w["mu_probe_n"],
             gam1=w["gam1_new"], gam2=gam2, gamw=gamw_new, eta1=eta1,
             eta2=eta2, alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs,
-            vars=vars_, cv_r2=cv_r2)
+            vars=vars_, cv_r2=cv_r2, gmu=w.get("gmu", state.gmu))
         return _cast_like(new_state, state), metrics
 
     phases = (("denoise", phase_denoise), ("z1_project", phase_project),

@@ -235,3 +235,20 @@ def test_fused_gram_cg_matches_two_pass(monkeypatch, miss_rate):
     for k in ("gam1", "gam2", "gamw", "alpha2"):
         np.testing.assert_allclose(float(h_g[-1][k]), float(h_t[-1][k]),
                                    rtol=2e-4)
+
+
+def test_gram_tracking_matches_true_init_mult():
+    """The tracked-warm-start CG init (gram_refresh > 1: r0 from the carried
+    A^T A mu, no packed pass) matches always-computing the true init mult
+    (gram_refresh=1, the reference behavior) through a 10-iteration run."""
+    geno, beta, vars_t, probs_t = build_sim(N=500, M=320)
+    base = dict(max_iter=10, rho=0.3, gam1_init=1e-8, gamw_init=2.0, seed=5)
+    x_t, _, h_t = linear.infer(geno, linear.VampConfig(gram_refresh=1, **base),
+                               probs_t, vars_t, verbose=False)
+    x_k, _, h_k = linear.infer(geno, linear.VampConfig(gram_refresh=8, **base),
+                               probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(x_k, x_t, rtol=0,
+                               atol=1e-4 * (np.abs(x_t).max() + 1e-30))
+    for k in ("gam1", "gam2", "gamw", "alpha2"):
+        np.testing.assert_allclose(float(h_k[-1][k]), float(h_t[-1][k]),
+                                   rtol=5e-4)
