@@ -131,14 +131,21 @@ def run_config(N, M, k_iters, warm_steps=2, miss=False, use_xxt=False):
     cg_it = float(metrics["cg_iters"])
     probe_it = float(metrics["probe_iters"])
 
-    # single-pass-equivalents per iteration after the block-CG redesign:
-    # joint block CG (width 2, incl the init mult) + z1 + the final
-    # width-2 axm for [x2, invq]; ATy and A@bern are precomputed in aux.
-    # With the fused Gram kernel each CG mult is ONE HBM pass (round-3,
-    # gram_i8[a]_pallas / gram_aat_i8_pallas) instead of ax+atx.
+    # single-pass-equivalents per iteration after the round-3 redesign:
+    # joint block CG (the init mult is tracked — only the amortized
+    # 1/gram_refresh refresh tick pays a pass) + ONE wide axm for
+    # [x2, invq, x1] (z1 rides it); ATy and A@bern are precomputed in aux.
+    # With the fused Gram kernels each CG mult is ONE HBM pass
+    # (gram_i8[a]_pallas / gram_aat_i8[a]_pallas) instead of ax+atx.
     fused = (geno.fn_gram_aat() if use_xxt else geno.fn_gram()) is not None
     mult_passes = 1 if fused else 2
-    passes = mult_passes * (max(cg_it, probe_it) + 1) + 1 + 1
+    if use_xxt:
+        # dual mode: init mult per iteration (untracked) + the wide
+        # [r2, x1] forward pass + the x2-extraction atx
+        passes = mult_passes * (max(cg_it, probe_it) + 1) + 1 + 1
+    else:
+        passes = (mult_passes * (max(cg_it, probe_it)
+                                 + 1.0 / max(cfg.gram_refresh, 1)) + 1)
     packed_bytes = lay.n_words * 4 * mpad
     return dict(dt_iter=dt_iter, passes=passes, packed_bytes=packed_bytes,
                 gbs=passes * packed_bytes / dt_iter / 1e9,
