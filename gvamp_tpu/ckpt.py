@@ -92,11 +92,15 @@ def load_state(path: str, state_cls):
         # tracked CG Gram product `gmu`): restart with a safe default —
         # zeros match a cold warm-start, and the first gram_refresh tick
         # recomputes the true init mult anyway
-        if missing != ["gmu"]:
+        if set(missing) - {"gmu", "gmu_n"}:
             raise KeyError(f"checkpoint {path} lacks state fields {missing}")
         mu = vals["mu_cg"]
         p = vals["mu_probe"]
-        vals["gmu"] = jnp.zeros((mu.shape[0], 1 + p.shape[1]), mu.dtype)
+        if "gmu" in missing:
+            vals["gmu"] = jnp.zeros((mu.shape[0], 1 + p.shape[1]), mu.dtype)
+        if "gmu_n" in missing:
+            mun = vals["mu_cg_n"]
+            vals["gmu_n"] = jnp.zeros(mun.shape + (1 + p.shape[1],), mun.dtype)
     return state_cls(*[vals[f] for f in state_cls._fields]), meta
 
 

@@ -128,6 +128,7 @@ class LinState(NamedTuple):
                              # the CG init residual costs no packed pass
                              # (exact identity mult(mu) = V - r at exit;
                              # refreshed every cfg.gram_refresh iterations)
+    gmu_n: jax.Array         # dual-mode analog: A A^T [mu_cg_n | mu_probe_n]
 
 
 def init_state(geno, cfg: VampConfig, probs, vars_user,
@@ -168,6 +169,7 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
         cv_r2=jnp.asarray(-1.0, dt),
         gmu=jnp.zeros((Mp, 1 + cfg.n_probes), dt),
+        gmu_n=jnp.zeros(geno.y_planar.shape + (1 + cfg.n_probes,), dt),
     )
 
 
@@ -494,10 +496,24 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 return out.reshape(nb4, U.shape[1])
 
             diag_n = (gamw * aux.xxt_diag_base + gam2).reshape(nb4)[:, None]
+            r0_n = None
+            if cfg.gram_refresh > 1:
+                # dual analog of the primal gmu tracking: state.gmu_n
+                # carries A A^T mu0_n (exact at the previous exit)
+                gmu_n = state.gmu_n.reshape(nb4, 1 + P)
+                cold = jnp.all(gmu_n == 0) & jnp.any(mu0_n != 0)
+                r0_n = jax.lax.cond(
+                    (it % cfg.gram_refresh == 0) | cold,
+                    lambda: V_n - mult_aat_b(mu0_n),
+                    lambda: V_n - (gamw * gmu_n + gam2 * mu0_n))
             sol = cg.solve_block(mult_aat_b, V_n, mu0_n, diag_n, gam2,
                                  cfg.cg_max_iter, modes=(0,) + (1,) * P,
                                  err_tol=cfg.cg_err_tol_xxt,
-                                 onsager_tol=cfg.onsager_tol)
+                                 onsager_tol=cfg.onsager_tol, r0=r0_n)
+            if cfg.gram_refresh > 1:
+                w = dict(w)
+                w.update(gmu_n=((V_n - sol.r - gam2 * sol.mu) / gamw)
+                         .reshape(y.shape + (1 + P,)))
             sol0 = sol.mu[:, 0]
             x2 = (gamw * atx_fn(op, sol0.reshape(y.shape)) + r2) * m_mask
             alpha2 = jnp.mean(1.0 - gamw * jnp.sum(z_bern_f * sol.mu[:, 1:],
@@ -703,7 +719,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             mu_probe_n=w["mu_probe_n"],
             gam1=w["gam1_new"], gam2=gam2, gamw=gamw_new, eta1=eta1,
             eta2=eta2, alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs,
-            vars=vars_, cv_r2=cv_r2, gmu=w.get("gmu", state.gmu))
+            vars=vars_, cv_r2=cv_r2, gmu=w.get("gmu", state.gmu),
+            gmu_n=w.get("gmu_n", state.gmu_n))
         return _cast_like(new_state, state), metrics
 
     phases = (("denoise", phase_denoise), ("z1_project", phase_project),

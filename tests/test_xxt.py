@@ -97,3 +97,20 @@ def test_fused_aat_gram_matches_two_pass(monkeypatch, miss_rate):
     for k in ("gam1", "gam2", "gamw", "alpha2"):
         np.testing.assert_allclose(float(h_f[-1][k]), float(h_t[-1][k]),
                                    rtol=2e-4)
+
+
+def test_dual_gram_tracking_matches_true_init_mult():
+    """XXT mode: tracked dual init residual (gmu_n) == true init mult."""
+    geno, beta, vars_t, probs_t = build_sim(N=300, M=500, CV=25, h2=0.7)
+    base = dict(max_iter=8, rho=0.3, use_xxt=True, seed=3)
+    x_t, _, h_t = linear.infer(
+        geno, linear.VampConfig(gram_refresh=1, **base), probs_t, vars_t,
+        verbose=False)
+    x_k, _, h_k = linear.infer(
+        geno, linear.VampConfig(gram_refresh=8, **base), probs_t, vars_t,
+        verbose=False)
+    np.testing.assert_allclose(x_k, x_t, rtol=0,
+                               atol=1e-4 * (np.abs(x_t).max() + 1e-30))
+    for k in ("gam1", "gam2", "gamw", "alpha2"):
+        np.testing.assert_allclose(float(h_k[-1][k]), float(h_t[-1][k]),
+                                   rtol=5e-4)
