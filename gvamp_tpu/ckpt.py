@@ -92,15 +92,19 @@ def load_state(path: str, state_cls):
         # tracked CG Gram product `gmu`): restart with a safe default —
         # zeros match a cold warm-start, and the first gram_refresh tick
         # recomputes the true init mult anyway
-        if set(missing) - {"gmu", "gmu_n"}:
+        if set(missing) - {"gmu", "gmu_n", "gmu_p"}:
             raise KeyError(f"checkpoint {path} lacks state fields {missing}")
-        mu = vals["mu_cg"]
         p = vals["mu_probe"]
         if "gmu" in missing:
-            vals["gmu"] = jnp.zeros((mu.shape[0], 1 + p.shape[1]), mu.dtype)
+            mu = vals["mu_cg"]
+            ncols = (mu.shape[1] if mu.ndim == 2 else 1) + p.shape[1]
+            vals["gmu"] = jnp.zeros((mu.shape[0], ncols), p.dtype)
         if "gmu_n" in missing:
             mun = vals["mu_cg_n"]
-            vals["gmu_n"] = jnp.zeros(mun.shape + (1 + p.shape[1],), mun.dtype)
+            vals["gmu_n"] = jnp.zeros(mun.shape + (1 + p.shape[1],),
+                                      mun.dtype)
+        if "gmu_p" in missing:
+            vals["gmu_p"] = jnp.zeros_like(p)
     return state_cls(*[vals[f] for f in state_cls._fields]), meta
 
 

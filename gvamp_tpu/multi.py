@@ -231,6 +231,8 @@ class MultiState(NamedTuple):
     probs: jax.Array     # [T, L]
     vars: jax.Array      # [T, L]
     stopped: jax.Array   # bool[T] — converged traits freeze
+    gmu: jax.Array       # [Mpad, T+T*P] A^T A [mu_cg | mu_probe] (tracked
+                         # warm-start Gram product, see linear.LinState.gmu)
 
 
 def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
@@ -249,7 +251,8 @@ def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
         eta1=jnp.zeros((T,), dt), eta2=jnp.zeros((T,), dt),
         alpha1=jnp.zeros((T,), dt), alpha2=jnp.zeros((T,), dt),
         rho=jnp.full((T,), cfg.rho, dt),
-        probs=probs_t, vars=vars_t, stopped=jnp.zeros((T,), bool))
+        probs=probs_t, vars=vars_t, stopped=jnp.zeros((T,), bool),
+        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt))
 
 
 class MultiAux(NamedTuple):
@@ -420,11 +423,22 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
         if cfg.deflate_k > 0:
             precond = cg.make_deflated_precond(
                 aux.defl[0], aux.defl[1], tau_cols, gam2_cols, diag_cols)
+        r0 = None
+        if cfg.gram_refresh > 1:
+            # tracked warm-start Gram product (see linear.py): the init
+            # residual is elementwise algebra except on refresh ticks
+            cold = jnp.all(state.gmu == 0) & jnp.any(mu0 != 0)
+            r0 = jax.lax.cond(
+                (it % cfg.gram_refresh == 0) | cold,
+                lambda: V - multb(mu0),
+                lambda: V - (tau_cols[None, :] * state.gmu
+                             + gam2_cols[None, :] * mu0))
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
-                             precond=precond)
+                             precond=precond, r0=r0)
+        gmu_new = (V - sol.r - gam2_cols[None, :] * sol.mu) / tau_cols[None, :]
         x2 = sol.mu[:, :T] * m_mask[:, None]
         invq = sol.mu[:, T:]
         x2 = jnp.where(live[None, :], x2, state.x2)
@@ -475,7 +489,9 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
             rho=rho,
             probs=jnp.where(live[:, None], probs, state.probs),
             vars=jnp.where(live[:, None], vars_, state.vars),
-            stopped=stopped)
+            stopped=stopped,
+            gmu=jnp.where(jnp.concatenate([live, live_tp])[None, :],
+                          gmu_new, state.gmu))
         new_state = _cast_like(new_state, state)
         metrics = {
             "it": it, "gam1": gam1, "gam2": gam2, "gamw": gamw_new,
@@ -599,6 +615,7 @@ class ProbitMultiState(NamedTuple):
     vars: jax.Array
     cov_eff: jax.Array   # [C, T]
     stopped: jax.Array   # bool[T]
+    gmu_p: jax.Array     # [Mpad, T*P] tracked probe warm-start Gram product
 
 
 def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
@@ -620,7 +637,8 @@ def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
         vars=jnp.broadcast_to(
             jnp.asarray(np.asarray(vars_user) * mp.geno.N, dt), (T, L)),
         cov_eff=jnp.zeros((max(n_cov, 1), T), dt),
-        stopped=jnp.zeros((T,), bool))
+        stopped=jnp.zeros((T,), bool),
+        gmu_p=jnp.zeros((Mp, T * cfg.n_probes), dt))
 
 
 
@@ -699,7 +717,7 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
     cols_all = np.concatenate([cols_t, cols_tp])
 
     def lmmse(op, aux_bern, state_mu_probe, m_mask, it, p2f, tau2, gam2, r2,
-              defl=None):
+              defl=None, gmu_p=None):
         nb = mp.y.shape[1]
         v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
             + gam2[None, :] * r2
@@ -723,12 +741,25 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
         if defl is not None:
             precond = cg.make_deflated_precond(
                 defl[0], defl[1], tau_cols, gam2_cols, diag_cols)
+        r0 = None
+        if gmu_p is not None and cfg.gram_refresh > 1:
+            # v-columns start from zero (r0 = V exactly); the probe
+            # columns' warm-start Gram product is tracked (linear.py gmu)
+            gmu = jnp.concatenate([jnp.zeros_like(v), gmu_p], axis=1)
+            cold = jnp.all(gmu_p == 0) & jnp.any(state_mu_probe != 0)
+            r0 = jax.lax.cond(
+                (it % cfg.gram_refresh == 0) | cold,
+                lambda: V - multb(mu0),
+                lambda: V - (tau_cols[None, :] * gmu
+                             + gam2_cols[None, :] * mu0))
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter,
                              modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
-                             precond=precond)
+                             precond=precond, r0=r0)
+        gmu_p_new = ((V - sol.r - gam2_cols[None, :] * sol.mu)
+                     / tau_cols[None, :])[:, T:]
         x2 = sol.mu[:, :T] * m_mask[:, None]
         invq = sol.mu[:, T:]
         quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
@@ -746,7 +777,8 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
         z2 = axm_fn(op, x2, cols_t)
         z2f = z2.reshape(-1, T)
         beta2 = Mt / N * (1.0 - alpha2)
-        return (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2)
+        return (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2,
+                gmu_p_new)
 
     return lmmse
 
@@ -818,9 +850,10 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
 
         # ---- LMMSE x + z (shared block-CG tail) ----------------------------
         nb = mp.y.shape[1]
-        (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2) = \
+        (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2,
+         gmu_p_new) = \
             lmmse_z(op, aux.bern, state.mu_probe, m_mask, it, p2f, tau2,
-                    gam2, r2, defl=aux.defl)
+                    gam2, r2, defl=aux.defl, gmu_p=state.gmu_p)
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
@@ -853,7 +886,8 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
             tau2=keep(tau2, state.tau2, live),
             alpha1=alpha1, probs=keep(probs, state.probs, live[:, None]),
             vars=keep(vars_, state.vars, live[:, None]),
-            cov_eff=cov_eff, stopped=stopped)
+            cov_eff=cov_eff, stopped=stopped,
+            gmu_p=keep(gmu_p_new, state.gmu_p, live_tp[None, :]))
         metrics = {
             "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
             "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
@@ -940,6 +974,7 @@ class HuberMultiState(NamedTuple):
     vars: jax.Array
     key: jax.Array
     stopped: jax.Array
+    gmu_p: jax.Array     # [Mpad, T*P] tracked probe warm-start Gram product
 
 
 def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
@@ -961,7 +996,8 @@ def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
         vars=jnp.broadcast_to(
             jnp.asarray(np.asarray(vars_user) * mp.geno.N, dt), (T, L)),
         key=jax.random.key(cfg.seed + 2),
-        stopped=jnp.zeros((T,), bool))
+        stopped=jnp.zeros((T,), bool),
+        gmu_p=jnp.zeros((Mp, T * cfg.n_probes), dt))
 
 
 def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
@@ -1022,9 +1058,9 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
         # ---- LMMSE x + z (shared block-CG tail) ----------------------------
         nb = mp.y.shape[1]
         (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2,
-         z2f, beta2) = lmmse_z(op, aux.bern, state.mu_probe,
-                               m_mask, it, p2f, tau2, gam2, r2,
-                               defl=aux.defl)
+         z2f, beta2, gmu_p_new) = lmmse_z(op, aux.bern, state.mu_probe,
+                                          m_mask, it, p2f, tau2, gam2, r2,
+                                          defl=aux.defl, gmu_p=state.gmu_p)
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
@@ -1056,7 +1092,8 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
             deltaH=jnp.where(live, delta, state.deltaH),
             probs=jnp.where(live[:, None], probs, state.probs),
             vars=jnp.where(live[:, None], vars_, state.vars),
-            key=key, stopped=stopped)
+            key=key, stopped=stopped,
+            gmu_p=jnp.where(live_tp[None, :], gmu_p_new, state.gmu_p))
         metrics = {
             "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
             "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
