@@ -127,21 +127,11 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         cfg = linear.VampConfig(gamma_damp=opt.gamma_damp, **_common_cfg(
             opt, gam1, 1e-6, opt.gamw_default() if gamw is None else gamw))
         mp = multi.MultiPhen.build(geno, ys)
-
-        def dump_cb(it, state, metrics, g):
-            if opt.dump_every and it % opt.dump_every == 0:
-                # to_numpy allgathers sharded arrays; one writer suffices
-                x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
-                if not dist.is_main():
-                    return
-                for t in range(mp.T):
-                    vecio.write_bin_shard(
-                        f"{opt.out_prefix}_phen{t}_it_{it}.bin", x[:, t], g.S)
-
         x_est, state, hist = multi.infer(mp, cfg, probs, vars_user,
                                          verbose=opt.verbosity > 0,
                                          sync_every=opt.sync_every,
-                                         callbacks=[dump_cb])
+                                         callbacks=[_multi_dump_cb(
+                                             opt, mp, cfg)])
         if hist and dist.is_main():
             _write_multi_scalar_history(opt.out_prefix, hist, mp.T)
         if opt.store_pvals:
@@ -187,22 +177,11 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         cfg = probit.ProbitConfig(probit_var=opt.probit_var,
                                   **_common_cfg(opt, gam1, 1e-8))
         mp = multi.MultiPhen.build(geno, ys, standardize=False)
-
-        def dump_cb(it, state, metrics, g):
-            if opt.dump_every and it % opt.dump_every == 0:
-                # to_numpy allgathers sharded arrays; one writer suffices
-                x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
-                if not dist.is_main():
-                    return
-                for t in range(mp.T):
-                    vecio.write_bin_shard(
-                        f"{opt.out_prefix}_phen{t}_probit_it_{it}.bin",
-                        x[:, t], g.S)
-
         return multi.infer_probit(mp, cfg, probs, vars_user,
                                   verbose=opt.verbosity > 0,
                                   sync_every=opt.sync_every,
-                                  callbacks=[dump_cb])
+                                  callbacks=[_multi_dump_cb(
+                                      opt, mp, cfg, tag="_probit")])
 
     if opt.model == "bin_class":
         from gvamp_tpu import probit
@@ -223,22 +202,11 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             ys.append(np.where(isna, np.nan, y))
         cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
         mp = multi.MultiPhen.build(geno, ys)
-
-        def dump_cb(it, state, metrics, g):
-            if opt.dump_every and it % opt.dump_every == 0:
-                # to_numpy allgathers sharded arrays; one writer suffices
-                x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
-                if not dist.is_main():
-                    return
-                for t in range(mp.T):
-                    vecio.write_bin_shard(
-                        f"{opt.out_prefix}_phen{t}_robust_it_{it}.bin",
-                        x[:, t], g.S)
-
         return multi.infer_huber(mp, cfg, probs, vars_user,
                                  verbose=opt.verbosity > 0,
                                  sync_every=opt.sync_every,
-                                 callbacks=[dump_cb])
+                                 callbacks=[_multi_dump_cb(
+                                     opt, mp, cfg, tag="_robust")])
 
     if opt.model == "robust":
         from gvamp_tpu import robust
@@ -261,14 +229,35 @@ def _check_multi_flags(opt):
         ("--use-cross-val", opt.use_cross_val),
         ("--use-freeze", opt.use_freeze),
         ("--init-est", opt.init_est),
-        ("--checkpoint", opt.checkpoint),
-        ("--resume", opt.resume),
         ("--phase-timers", opt.phase_timers),
     ] if v]
     if bad:
         raise SystemExit(
             "multi-trait runs (multiple --phen-files) do not support: "
             + ", ".join(bad))
+
+
+def _multi_dump_cb(opt, mp, cfg, tag=""):
+    """Per-iteration callback for the multi-trait engines: per-trait
+    reference-layout .bin estimate dumps + (optional) full-state .npz
+    checkpoint carrying the engine config and trait count, so --resume
+    reconstructs the EXACT original multi-trait run."""
+    from gvamp_tpu.ckpt import save_state
+
+    def cb(it, state, metrics, g):
+        if opt.dump_every and it % opt.dump_every == 0:
+            # to_numpy allgathers sharded arrays; one writer suffices
+            x = dist.to_numpy(state.x1)[: g.M] / np.sqrt(g.N)
+            if not dist.is_main():
+                return
+            for t in range(mp.T):
+                vecio.write_bin_shard(
+                    f"{opt.out_prefix}_phen{t}{tag}_it_{it}.bin", x[:, t], g.S)
+        if opt.checkpoint and dist.is_main():
+            save_state(opt.checkpoint, state, it=it, model=opt.model,
+                       T=mp.T, cfg=dataclasses.asdict(cfg))
+
+    return cb
 
 
 def _write_multi_scalar_history(prefix, hist, T):
@@ -345,6 +334,47 @@ def mode_restart(opt: Options):
     run_inference(opt, geno, gam1=opt.gam1_init, gamw=opt.gamw_init, r1_init=r1)
 
 
+def _resume_multi(opt, geno, meta, cfg_d, probs, vars_user):
+    """Resume a multi-trait checkpoint: rebuild the MultiPhen from the same
+    --phen-files set and continue the joint run with the original config."""
+    from gvamp_tpu import linear, multi, probit, robust
+    from gvamp_tpu.ckpt import load_state
+
+    model, T = meta.get("model", "linear"), int(meta["T"])
+    if len(opt.phen_files) != T:
+        raise SystemExit(
+            f"FATAL  : checkpoint {opt.resume} holds {T} traits; pass the "
+            f"same {T} --phen-files to resume (got {len(opt.phen_files)})")
+    ys = []
+    for pf in opt.phen_files:
+        y, isna = plink.read_phen(pf)
+        ys.append(np.where(isna, np.nan, y))
+    mp = multi.MultiPhen.build(geno, ys,
+                               standardize=(model != "bin_class"))
+    if model == "linear":
+        cfg, state_cls, run = (linear.VampConfig(**cfg_d), multi.MultiState,
+                               multi.infer)
+        tag = ""
+    elif model == "bin_class":
+        cfg, state_cls, run = (probit.ProbitConfig(**cfg_d),
+                               multi.ProbitMultiState, multi.infer_probit)
+        tag = "_probit"
+    elif model == "robust":
+        cfg, state_cls, run = (robust.RobustConfig(**cfg_d),
+                               multi.HuberMultiState, multi.infer_huber)
+        tag = "_robust"
+    else:
+        raise SystemExit(f"cannot resume model {model!r}")
+    state, _ = load_state(opt.resume, state_cls)
+    x_est, state, hist = run(
+        mp, cfg, probs, vars_user, resume_state=state,
+        verbose=opt.verbosity > 0, sync_every=opt.sync_every,
+        callbacks=[_multi_dump_cb(opt, mp, cfg, tag=tag)])
+    if hist and model == "linear" and dist.is_main():
+        _write_multi_scalar_history(opt.out_prefix, hist, mp.T)
+    return x_est, state, hist
+
+
 def _resume_run(opt: Options):
     """Full-state resume from an .npz checkpoint (extension beyond the
     reference's estimate-file restart): the engine kind and its COMPLETE
@@ -365,6 +395,9 @@ def _resume_run(opt: Options):
     probs, vars_user = _prior(opt, geno)
     start_it = int(meta.get("it", 0))
     cfg_d["max_iter"] = start_it + opt.iterations
+
+    if int(meta.get("T", 1)) > 1:
+        return _resume_multi(opt, geno, meta, cfg_d, probs, vars_user)
 
     if model == "linear":
         from gvamp_tpu import linear as eng

@@ -526,7 +526,7 @@ def _run_multi_loop(step, state, aux, cfg, chunk, mp, verbose_print,
     """Shared chunked driver loop for the three multi-trait engines."""
     history = []
     import time as _time
-    it = 0
+    it = int(np.asarray(state.it))  # > 0 when resuming from a checkpoint
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
         state, metrics = step(state, aux)
@@ -557,14 +557,18 @@ def _run_multi_loop(step, state, aux, cfg, chunk, mp, verbose_print,
 
 
 def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
-          verbose: bool = True, callbacks=None, sync_every: int = 1):
+          verbose: bool = True, callbacks=None, sync_every: int = 1,
+          resume_state: MultiState = None):
     """Run the joint multi-trait loop; returns (x_stored [M, T], state, hist).
 
     Stops when every trait's rel-change criterion fires (converged traits
     freeze in place while the rest continue).  ``sync_every`` > 1 runs that
     many iterations per device dispatch (lax.scan throughput mode).
+    ``resume_state`` continues a checkpointed run: ``cfg.max_iter`` is the
+    TOTAL budget and the loop restarts from ``resume_state.it``.
     """
-    state = init_state(mp, cfg, probs, vars_user)
+    state = (resume_state if resume_state is not None
+             else init_state(mp, cfg, probs, vars_user))
     aux = make_aux(mp, cfg)
     chunk = max(1, int(sync_every))
     step = (make_step(mp, cfg) if chunk == 1
@@ -924,10 +928,11 @@ def make_probit_aux(mp: MultiPhen, cfg) -> ProbitMultiAux:
 
 
 def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
-                 callbacks=None, sync_every: int = 1):
+                 callbacks=None, sync_every: int = 1, resume_state=None):
     """Joint multi-trait probit run; returns (x_stored [M, T], state, hist)."""
     n_cov = mp.geno.covs.shape[1] if mp.geno.covs is not None else 0
-    state = init_probit_state(mp, cfg, probs, vars_user, n_cov=n_cov)
+    state = (resume_state if resume_state is not None
+             else init_probit_state(mp, cfg, probs, vars_user, n_cov=n_cov))
     aux = make_probit_aux(mp, cfg)
     chunk = max(1, int(sync_every))
     step = (make_probit_step(mp, cfg, n_cov=n_cov) if chunk == 1
@@ -1106,9 +1111,10 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
 
 
 def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
-                callbacks=None, sync_every: int = 1):
+                callbacks=None, sync_every: int = 1, resume_state=None):
     """Joint multi-trait Huber run; returns (x_stored [M, T], state, hist)."""
-    state = init_huber_state(mp, cfg, probs, vars_user)
+    state = (resume_state if resume_state is not None
+             else init_huber_state(mp, cfg, probs, vars_user))
     aux = make_probit_aux(mp, cfg)  # same fields (op/y/n_mask/bern/Z/m_mask)
     chunk = max(1, int(sync_every))
     step = (make_huber_step(mp, cfg) if chunk == 1

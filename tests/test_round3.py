@@ -121,6 +121,97 @@ def test_resume_matches_uninterrupted_probit():
     assert len(hb) == 3
 
 
+def test_resume_matches_uninterrupted_multi(tmp_path):
+    """Multi-trait resume: 2 iterations + resume(2) == 4 uninterrupted,
+    with the state round-tripped through the .npz checkpoint layer."""
+    from gvamp_tpu import multi
+    from gvamp_tpu.ckpt import save_state, load_state
+
+    rng = np.random.default_rng(11)
+    N, M, T = 300, 128, 2
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 10, 0.7)
+    ys = []
+    for _ in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        ys.append(sim.simulate_linear_phenotype(geno, beta, 1 / 0.3, rng))
+    mp = multi.MultiPhen.build(geno, ys, standardize=False)
+
+    cfg4 = linear.VampConfig(max_iter=4, rho=0.3, seed=7,
+                             stop_criteria_thr=0.0)
+    xa, sa, _ = multi.infer(mp, cfg4, probs_t, vars_t, verbose=False)
+
+    cfg2 = dataclasses.replace(cfg4, max_iter=2)
+    _, sb2, _ = multi.infer(mp, cfg2, probs_t, vars_t, verbose=False)
+    ck = str(tmp_path / "multi.npz")
+    save_state(ck, sb2, it=2, model="linear", T=T,
+               cfg=dataclasses.asdict(cfg2))
+    loaded, meta = load_state(ck, multi.MultiState)
+    assert meta["T"] == T and meta["it"] == 2
+    xb, sb, hb = multi.infer(mp, cfg4, probs_t, vars_t, verbose=False,
+                             resume_state=loaded)
+    np.testing.assert_allclose(xb, xa, rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(sb.gam1), np.asarray(sa.gam1),
+                               rtol=1e-10)
+    assert len(hb) == 2  # only the resumed tail is re-run
+
+
+def test_cli_multi_trait_resume(tmp_path):
+    """CLI: multi-trait --checkpoint + run-mode restart --resume reaches
+    the same iteration-4 per-trait estimates as an uninterrupted run."""
+    rng = np.random.default_rng(31)
+    N, M, T = 300, 96, 2
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    bed = str(tmp_path / "m.bed")
+    plink.write_bed(bed, codes)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 10, 0.7)
+    pfs = []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        y = sim.simulate_linear_phenotype(geno, beta, 1 / 0.3, rng)
+        pf = str(tmp_path / f"m{t}.phen")
+        plink.write_phen(pf, y)
+        pfs.append(pf)
+
+    base = ["--model", "linear", "--bed-file", bed,
+            "--phen-files", ",".join(pfs),
+            "--N", str(N), "--Mt", str(M), "--rho", "0.3",
+            "--dtype", "float64",
+            "--probs", ",".join(map(str, probs_t)),
+            "--vars", ",".join(map(str, vars_t)),
+            "--out-dir", str(tmp_path), "--verbosity", "0"]
+    cli.main(["--run-mode", "infere", "--iterations", "4",
+              "--out-name", "full", "--checkpoint",
+              str(tmp_path / "full.npz")] + base)
+    cli.main(["--run-mode", "infere", "--iterations", "2",
+              "--out-name", "half", "--checkpoint",
+              str(tmp_path / "half.npz")] + base)
+    cli.main(["--run-mode", "restart", "--iterations", "2",
+              "--out-name", "res", "--resume",
+              str(tmp_path / "half.npz")] + base)
+    for t in range(T):
+        e4 = vecio.read_bin_shard(str(tmp_path / f"full_phen{t}_it_4.bin"),
+                                  M, 0)
+        er = vecio.read_bin_shard(str(tmp_path / f"res_phen{t}_it_4.bin"),
+                                  M, 0)
+        np.testing.assert_allclose(er, e4, rtol=1e-8, atol=1e-12)
+
+    # trait-count mismatch fails fast
+    with pytest.raises(SystemExit):
+        cli.main(["--run-mode", "restart", "--iterations", "1",
+                  "--out-name", "bad", "--resume", str(tmp_path / "half.npz"),
+                  "--model", "linear", "--bed-file", bed,
+                  "--phen-files", pfs[0],
+                  "--N", str(N), "--Mt", str(M), "--dtype", "float64",
+                  "--probs", ",".join(map(str, probs_t)),
+                  "--vars", ",".join(map(str, vars_t)),
+                  "--out-dir", str(tmp_path), "--verbosity", "0"])
+
+
 # ---------------------------------------------------------------- shard inv
 
 def _probit_sim(mesh=None, N=500, M=256):
