@@ -182,6 +182,48 @@ def solve_block(
     return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err, r=out.r)
 
 
+def tracked_warm_start(V, mu0_raw, gmu_raw, tau_now, tau_ref, gam2_cols,
+                       it, refresh, multb):
+    """Safe CG warm start from a tracked Gram product: (mu0, r0).
+
+    ``gmu_raw`` claims to hold the pure Gram product of ``mu0_raw`` (stored
+    by :func:`gram_from_exit` at the previous solve's exit, at scale
+    ``tau_ref``); off refresh ticks the init residual is then elementwise
+    algebra, no packed pass.  The stored product carries absolute float
+    noise ~ eps*|V|/tau_ref, which reuse at ``tau_now`` amplifies by
+    tau_now/tau_ref — z-model taus (probit/Huber) swing by orders of
+    magnitude early on, and in float32 the amplified noise NaNs the whole
+    loop (caught by the fuzz sweep).  Guards, all falling back to a true
+    init mult with the warm start kept: non-finite carried state,
+    tau_now > 4*tau_ref, unset tau_ref.  An all-zero warm start never pays
+    the mult (r0 = V exactly, the zero-start fast path).
+    """
+    finite = jnp.all(jnp.isfinite(mu0_raw)) & jnp.all(jnp.isfinite(gmu_raw))
+    mu0 = jnp.where(finite, mu0_raw, jnp.zeros_like(mu0_raw))
+    zero = jnp.all(mu0 == 0)
+    gmu = jnp.where(finite & ~zero, gmu_raw, jnp.zeros_like(gmu_raw))
+    stale = jnp.any((tau_ref <= 0) | (tau_now > 4.0 * tau_ref))
+    cold = jnp.all(gmu == 0) & jnp.any(mu0 != 0)
+    need_mult = ((it % refresh == 0) | cold | stale) & ~zero
+    r0 = jax.lax.cond(
+        need_mult,
+        lambda: V - multb(mu0),
+        lambda: V - (tau_now * gmu + gam2_cols * mu0))
+    return mu0, r0
+
+
+def gram_from_exit(V, sol, tau_now, gam2_cols):
+    """Recover the pure Gram product of ``sol.mu`` from the CG exit
+    residual: mult(mu) = V - r, so gram(mu) = (V - r - gam2*mu)/tau.
+    The divide is guarded (tau ~ 0 would manufacture inf in float32);
+    :func:`tracked_warm_start`'s tau-ratio guard rejects reuse of values
+    stored at tiny tau anyway."""
+    dt = V.dtype
+    tau_safe = jnp.maximum(jnp.asarray(tau_now, dt),
+                           jnp.sqrt(jnp.finfo(dt).tiny))
+    return (V - sol.r - gam2_cols * sol.mu) / tau_safe
+
+
 def make_lmmse_mult_block(axm_fn, atxm_fn, op, tau, gam2, gram_fn=None):
     """P[M, B] -> tau * A^T(A P) + gam2 * P, one wide pass per call.
 

@@ -88,12 +88,22 @@ def load_state(path: str, state_cls):
     vals = {name: jnp.asarray(z[f"f_{name}"]) for name in meta["fields"]}
     missing = [f for f in state_cls._fields if f not in vals]
     if missing:
-        # state fields added after the checkpoint was written (e.g. the
-        # tracked CG Gram product `gmu`): restart with a safe default —
-        # zeros match a cold warm-start, and the first gram_refresh tick
-        # recomputes the true init mult anyway
-        if set(missing) - {"gmu", "gmu_n", "gmu_p"}:
+        # CG warm-start fields added after the checkpoint was written
+        # (mu_cg/mu_probe and the tracked Gram products gmu/gmu_n/gmu_p):
+        # restart with zeros — a cold warm-start; the engine's cold
+        # detection recomputes the true init mult on the first solve
+        if set(missing) - {"gmu", "gmu_n", "gmu_p", "mu_cg", "mu_probe",
+                           "tau_gmu"}:
             raise KeyError(f"checkpoint {path} lacks state fields {missing}")
+        x1 = vals["x1"]
+        if "tau_gmu" in missing:  # zero = stale -> first solve re-mults
+            vals["tau_gmu"] = jnp.zeros(
+                x1.shape[1:2] if x1.ndim == 2 else (), x1.dtype)
+        if "mu_cg" in missing:  # probit/robust pre-warm-start checkpoints
+            vals["mu_cg"] = jnp.zeros_like(x1)
+        if "mu_probe" in missing:
+            n_probes = int(meta.get("cfg", {}).get("n_probes", 1))
+            vals["mu_probe"] = jnp.zeros((x1.shape[0], n_probes), x1.dtype)
         p = vals["mu_probe"]
         if "gmu" in missing:
             mu = vals["mu_cg"]

@@ -233,6 +233,8 @@ class MultiState(NamedTuple):
     stopped: jax.Array   # bool[T] — converged traits freeze
     gmu: jax.Array       # [Mpad, T+T*P] A^T A [mu_cg | mu_probe] (tracked
                          # warm-start Gram product, see linear.LinState.gmu)
+    tau_gmu: jax.Array   # [T] the per-trait tau `gmu` was stored at
+                         # (tau-ratio guard, cg.tracked_warm_start)
 
 
 def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
@@ -252,7 +254,8 @@ def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
         alpha1=jnp.zeros((T,), dt), alpha2=jnp.zeros((T,), dt),
         rho=jnp.full((T,), cfg.rho, dt),
         probs=probs_t, vars=vars_t, stopped=jnp.zeros((T,), bool),
-        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt))
+        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt),
+        tau_gmu=jnp.zeros((T,), dt))
 
 
 class MultiAux(NamedTuple):
@@ -425,20 +428,21 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
                 aux.defl[0], aux.defl[1], tau_cols, gam2_cols, diag_cols)
         r0 = None
         if cfg.gram_refresh > 1:
-            # tracked warm-start Gram product (see linear.py): the init
-            # residual is elementwise algebra except on refresh ticks
-            cold = jnp.all(state.gmu == 0) & jnp.any(mu0 != 0)
-            r0 = jax.lax.cond(
-                (it % cfg.gram_refresh == 0) | cold,
-                lambda: V - multb(mu0),
-                lambda: V - (tau_cols[None, :] * state.gmu
-                             + gam2_cols[None, :] * mu0))
+            # tracked warm-start Gram product (see linear.py / the guards
+            # in cg.tracked_warm_start): the init residual is elementwise
+            # algebra except on refresh ticks
+            tau_ref = jnp.concatenate([state.tau_gmu,
+                                       state.tau_gmu[cols_tp]])[None, :]
+            mu0, r0 = cg.tracked_warm_start(
+                V, mu0, state.gmu, tau_cols[None, :], tau_ref,
+                gam2_cols[None, :], it, cfg.gram_refresh, multb)
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
                              precond=precond, r0=r0)
-        gmu_new = (V - sol.r - gam2_cols[None, :] * sol.mu) / tau_cols[None, :]
+        gmu_new = cg.gram_from_exit(V, sol, tau_cols[None, :],
+                                    gam2_cols[None, :])
         x2 = sol.mu[:, :T] * m_mask[:, None]
         invq = sol.mu[:, T:]
         x2 = jnp.where(live[None, :], x2, state.x2)
@@ -491,7 +495,8 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
             vars=jnp.where(live[:, None], vars_, state.vars),
             stopped=stopped,
             gmu=jnp.where(jnp.concatenate([live, live_tp])[None, :],
-                          gmu_new, state.gmu))
+                          gmu_new, state.gmu),
+            tau_gmu=jnp.where(live, gamw, state.tau_gmu))
         new_state = _cast_like(new_state, state)
         metrics = {
             "it": it, "gam1": gam1, "gam2": gam2, "gamw": gamw_new,
@@ -619,7 +624,10 @@ class ProbitMultiState(NamedTuple):
     vars: jax.Array
     cov_eff: jax.Array   # [C, T]
     stopped: jax.Array   # bool[T]
-    gmu_p: jax.Array     # [Mpad, T*P] tracked probe warm-start Gram product
+    mu_cg: jax.Array     # [Mpad, T] LMMSE-column CG warm starts
+    gmu: jax.Array       # [Mpad, T+T*P] tracked warm-start Gram product
+                         # (see linear.LinState.gmu)
+    tau_gmu: jax.Array   # [T] the per-trait tau2 `gmu` was stored at
 
 
 def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
@@ -642,7 +650,9 @@ def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
             jnp.asarray(np.asarray(vars_user) * mp.geno.N, dt), (T, L)),
         cov_eff=jnp.zeros((max(n_cov, 1), T), dt),
         stopped=jnp.zeros((T,), bool),
-        gmu_p=jnp.zeros((Mp, T * cfg.n_probes), dt))
+        mu_cg=jnp.zeros((Mp, T), dt),
+        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt),
+        tau_gmu=jnp.zeros((T,), dt))
 
 
 
@@ -721,7 +731,7 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
     cols_all = np.concatenate([cols_t, cols_tp])
 
     def lmmse(op, aux_bern, state_mu_probe, m_mask, it, p2f, tau2, gam2, r2,
-              defl=None, gmu_p=None):
+              defl=None, gmu=None, state_mu_cg=None, tau_gmu=None):
         nb = mp.y.shape[1]
         v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
             + gam2[None, :] * r2
@@ -740,30 +750,32 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
 
         bern_tp = jnp.tile(aux_bern, (1, T))
         V = jnp.concatenate([v, bern_tp], axis=1)
-        mu0 = jnp.concatenate([jnp.zeros_like(v), state_mu_probe], axis=1)
+        warm = gmu is not None and cfg.gram_refresh > 1
+        mu_cg0 = (state_mu_cg if warm and state_mu_cg is not None
+                  else jnp.zeros_like(v))
+        mu0 = jnp.concatenate([mu_cg0, state_mu_probe], axis=1)
         precond = None
         if defl is not None:
             precond = cg.make_deflated_precond(
                 defl[0], defl[1], tau_cols, gam2_cols, diag_cols)
         r0 = None
-        if gmu_p is not None and cfg.gram_refresh > 1:
-            # v-columns start from zero (r0 = V exactly); the probe
-            # columns' warm-start Gram product is tracked (linear.py gmu)
-            gmu = jnp.concatenate([jnp.zeros_like(v), gmu_p], axis=1)
-            cold = jnp.all(gmu_p == 0) & jnp.any(state_mu_probe != 0)
-            r0 = jax.lax.cond(
-                (it % cfg.gram_refresh == 0) | cold,
-                lambda: V - multb(mu0),
-                lambda: V - (tau_cols[None, :] * gmu
-                             + gam2_cols[None, :] * mu0))
+        if warm:
+            # every column warm-starts from the previous solve with the
+            # tracked Gram product (linear.py gmu; guards in
+            # cg.tracked_warm_start): the init residual is elementwise
+            # algebra except on refresh ticks
+            tau_ref = jnp.concatenate([tau_gmu, tau_gmu[cols_tp]])[None, :]
+            mu0, r0 = cg.tracked_warm_start(
+                V, mu0, gmu, tau_cols[None, :], tau_ref,
+                gam2_cols[None, :], it, cfg.gram_refresh, multb)
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter,
                              modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
                              precond=precond, r0=r0)
-        gmu_p_new = ((V - sol.r - gam2_cols[None, :] * sol.mu)
-                     / tau_cols[None, :])[:, T:]
+        gmu_new = cg.gram_from_exit(V, sol, tau_cols[None, :],
+                                    gam2_cols[None, :])
         x2 = sol.mu[:, :T] * m_mask[:, None]
         invq = sol.mu[:, T:]
         quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
@@ -782,7 +794,7 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
         z2f = z2.reshape(-1, T)
         beta2 = Mt / N * (1.0 - alpha2)
         return (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2,
-                gmu_p_new)
+                gmu_new)
 
     return lmmse
 
@@ -855,9 +867,11 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
         # ---- LMMSE x + z (shared block-CG tail) ----------------------------
         nb = mp.y.shape[1]
         (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2, z2f, beta2,
-         gmu_p_new) = \
+         gmu_new) = \
             lmmse_z(op, aux.bern, state.mu_probe, m_mask, it, p2f, tau2,
-                    gam2, r2, defl=aux.defl, gmu_p=state.gmu_p)
+                    gam2, r2, defl=aux.defl, gmu=state.gmu,
+                    state_mu_cg=state.mu_cg, tau_gmu=state.tau_gmu)
+        tau2_solve = tau2  # the tau the Gram product was stored at
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
@@ -891,7 +905,10 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
             alpha1=alpha1, probs=keep(probs, state.probs, live[:, None]),
             vars=keep(vars_, state.vars, live[:, None]),
             cov_eff=cov_eff, stopped=stopped,
-            gmu_p=keep(gmu_p_new, state.gmu_p, live_tp[None, :]))
+            mu_cg=keep(sol.mu[:, :T], state.mu_cg, live[None, :]),
+            gmu=keep(gmu_new, state.gmu,
+                     jnp.concatenate([live, live_tp])[None, :]),
+            tau_gmu=keep(tau2_solve, state.tau_gmu, live))
         metrics = {
             "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
             "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,
@@ -979,7 +996,9 @@ class HuberMultiState(NamedTuple):
     vars: jax.Array
     key: jax.Array
     stopped: jax.Array
-    gmu_p: jax.Array     # [Mpad, T*P] tracked probe warm-start Gram product
+    mu_cg: jax.Array     # [Mpad, T] LMMSE-column CG warm starts
+    gmu: jax.Array       # [Mpad, T+T*P] tracked warm-start Gram product
+    tau_gmu: jax.Array   # [T] the per-trait tau2 `gmu` was stored at
 
 
 def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
@@ -1002,7 +1021,9 @@ def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
             jnp.asarray(np.asarray(vars_user) * mp.geno.N, dt), (T, L)),
         key=jax.random.key(cfg.seed + 2),
         stopped=jnp.zeros((T,), bool),
-        gmu_p=jnp.zeros((Mp, T * cfg.n_probes), dt))
+        mu_cg=jnp.zeros((Mp, T), dt),
+        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt),
+        tau_gmu=jnp.zeros((T,), dt))
 
 
 def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
@@ -1063,9 +1084,12 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
         # ---- LMMSE x + z (shared block-CG tail) ----------------------------
         nb = mp.y.shape[1]
         (sol, x2, invq, alpha2, gam2, r1, gam1_new, z2,
-         z2f, beta2, gmu_p_new) = lmmse_z(op, aux.bern, state.mu_probe,
-                                          m_mask, it, p2f, tau2, gam2, r2,
-                                          defl=aux.defl, gmu_p=state.gmu_p)
+         z2f, beta2, gmu_new) = lmmse_z(op, aux.bern, state.mu_probe,
+                                        m_mask, it, p2f, tau2, gam2, r2,
+                                        defl=aux.defl, gmu=state.gmu,
+                                        state_mu_cg=state.mu_cg,
+                                        tau_gmu=state.tau_gmu)
+        tau2_solve = tau2  # the tau the Gram product was stored at
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
@@ -1098,7 +1122,10 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
             probs=jnp.where(live[:, None], probs, state.probs),
             vars=jnp.where(live[:, None], vars_, state.vars),
             key=key, stopped=stopped,
-            gmu_p=jnp.where(live_tp[None, :], gmu_p_new, state.gmu_p))
+            mu_cg=jnp.where(live[None, :], sol.mu[:, :T], state.mu_cg),
+            gmu=jnp.where(jnp.concatenate([live, live_tp])[None, :],
+                          gmu_new, state.gmu),
+            tau_gmu=jnp.where(live, tau2_solve, state.tau_gmu))
         metrics = {
             "it": it, "gam1": gam1_new, "gam2": gam2, "tau1": tau1_new,
             "tau2": tau2, "alpha1": alpha1, "alpha2": alpha2, "beta1": beta1,

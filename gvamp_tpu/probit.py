@@ -218,6 +218,12 @@ class ProbitState(NamedTuple):
     probs: jax.Array
     vars: jax.Array
     cov_eff: jax.Array  # [C] (C >= 1; zero-width handled by C=0 -> [1] dummy)
+    mu_cg: jax.Array    # [Mpad] CG warm start (LMMSE solution carried over)
+    mu_probe: jax.Array  # [Mpad, P] probe-column warm starts
+    gmu: jax.Array      # [Mpad, 1+P] A^T A [mu_cg | mu_probe] — tracked
+                        # warm-start Gram product (see linear.LinState.gmu)
+    tau_gmu: jax.Array  # scalar: the tau2 `gmu` was stored at (the tau-ratio
+                        # guard in cg.tracked_warm_start needs it)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -260,6 +266,9 @@ def init_state(geno, cfg: ProbitConfig, probs, vars_user, key=None) -> ProbitSta
         probs=jnp.asarray(probs, dt),
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
         cov_eff=jnp.zeros((max(C, 1),), dt),
+        mu_cg=zeros_m, mu_probe=jnp.zeros((Mp, cfg.n_probes), dt),
+        gmu=jnp.zeros((Mp, 1 + cfg.n_probes), dt),
+        tau_gmu=jnp.asarray(0.0, dt),
     )
 
 
@@ -285,7 +294,8 @@ def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
                             n_iter=cfg.deflate_iters, dtype=geno.dtype)
     return ProbitAux(
         op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
-        bern=make_bern_probe(geno, cfg.seed), m_mask=geno.m_mask, Z=Z,
+        bern=make_bern_probe(geno, cfg.seed, cfg.n_probes),
+        m_mask=geno.m_mask, Z=Z,
         ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
            else jnp.zeros((geno.Mpad,), geno.dtype),
         defl=defl,
@@ -416,11 +426,32 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         if cfg.deflate_k > 0:
             precond = cg.make_deflated_precond(
                 aux.defl[0], aux.defl[1], tau2, gam2, diag)
-        sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
-                             cfg.cg_max_iter, modes=(0,) + (1,) * aux.bern.shape[1],
-                             err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol, precond=precond,
-                             start_zero=True)
+        if cfg.gram_refresh > 1:
+            # warm-start from the previous LMMSE/probe solutions with the
+            # tracked Gram product (linear.py gmu): the init residual is
+            # elementwise algebra except on refresh ticks, so the warm
+            # start costs no packed pass (the reference zero-starts here,
+            # vamp_probit.cpp:507)
+            mu0, r0 = cg.tracked_warm_start(
+                V, jnp.concatenate([state.mu_cg[:, None], state.mu_probe],
+                                   axis=1),
+                state.gmu, tau2, state.tau_gmu, gam2, it,
+                cfg.gram_refresh, multb)
+            sol = cg.solve_block(multb, V, mu0, diag, gam2,
+                                 cfg.cg_max_iter,
+                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 err_tol=cfg.cg_err_tol,
+                                 onsager_tol=cfg.onsager_tol,
+                                 precond=precond, r0=r0)
+            gmu_new = cg.gram_from_exit(V, sol, tau2, gam2)
+        else:
+            sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
+                                 cfg.cg_max_iter,
+                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 err_tol=cfg.cg_err_tol,
+                                 onsager_tol=cfg.onsager_tol,
+                                 precond=precond, start_zero=True)
+            gmu_new = jnp.zeros_like(sol.mu)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
         # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
@@ -439,7 +470,8 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         gam1_new = gam2 * (1.0 - alpha2) / alpha2
         w = dict(w)
         w.update(x2=x2, alpha2=alpha2, gam2=gam2, r1=r1, gam1_new=gam1_new,
-                 cg_iters=sol.iters[0])
+                 cg_iters=sol.iters[0], mu_cg=sol.mu[:, 0],
+                 mu_probe=sol.mu[:, 1:], gmu=gmu_new, tau_gmu=tau2)
         return w
 
     def phase_lmmse_z(w, state: ProbitState, aux: ProbitAux):
@@ -486,7 +518,9 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
             z1=z1f.reshape(4, nb), z2=z2, p1=p1_new.reshape(4, nb),
             p2=p2f.reshape(4, nb),
             gam1=gam1_new, gam2=gam2, tau1=tau1_new, tau2=tau2,
-            alpha1=alpha1, probs=probs, vars=vars_, cov_eff=cov_eff)
+            alpha1=alpha1, probs=probs, vars=vars_, cov_eff=cov_eff,
+            mu_cg=w["mu_cg"], mu_probe=w["mu_probe"], gmu=w["gmu"],
+            tau_gmu=w["tau_gmu"])
         return _cast_like(new_state, state), metrics
 
     phases = (("denoise_x", phase_denoise_x), ("denoise_z", phase_denoise_z),

@@ -126,6 +126,12 @@ class RobustState(NamedTuple):
     probs: jax.Array
     vars: jax.Array
     key: jax.Array
+    mu_cg: jax.Array    # [Mpad] CG warm start (LMMSE solution carried over)
+    mu_probe: jax.Array  # [Mpad, P] probe-column warm starts
+    gmu: jax.Array      # [Mpad, 1+P] tracked warm-start Gram product
+                        # (see linear.LinState.gmu)
+    tau_gmu: jax.Array  # scalar: the tau2 `gmu` was stored at (tau-ratio
+                        # guard, cg.tracked_warm_start)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +167,9 @@ def init_state(geno, cfg: RobustConfig, probs, vars_user) -> RobustState:
         probs=jnp.asarray(probs, dt),
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
         key=jax.random.key(cfg.seed + 2),
+        mu_cg=zeros_m, mu_probe=jnp.zeros((Mp, cfg.n_probes), dt),
+        gmu=jnp.zeros((Mp, 1 + cfg.n_probes), dt),
+        tau_gmu=jnp.asarray(0.0, dt),
     )
 
 
@@ -180,7 +189,8 @@ def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
                             n_iter=cfg.deflate_iters, dtype=geno.dtype)
     return RobustAux(
         op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
-        bern=make_bern_probe(geno, cfg.seed), m_mask=geno.m_mask,
+        bern=make_bern_probe(geno, cfg.seed, cfg.n_probes),
+        m_mask=geno.m_mask,
         ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
            else jnp.zeros((geno.Mpad,), geno.dtype),
         defl=defl,
@@ -293,11 +303,30 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         if cfg.deflate_k > 0:
             precond = cg.make_deflated_precond(
                 aux.defl[0], aux.defl[1], tau2, gam2, diag)
-        sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
-                             cfg.cg_max_iter, modes=(0,) + (1,) * aux.bern.shape[1],
-                             err_tol=cfg.cg_err_tol,
-                             onsager_tol=cfg.onsager_tol, precond=precond,
-                             start_zero=True)
+        if cfg.gram_refresh > 1:
+            # warm-start with the tracked Gram product (linear.py gmu):
+            # the init residual costs no packed pass off refresh ticks
+            # (the reference zero-starts here, vamp_Huber.cpp:313)
+            mu0, r0 = cg.tracked_warm_start(
+                V, jnp.concatenate([state.mu_cg[:, None], state.mu_probe],
+                                   axis=1),
+                state.gmu, tau2, state.tau_gmu, gam2, it,
+                cfg.gram_refresh, multb)
+            sol = cg.solve_block(multb, V, mu0, diag, gam2,
+                                 cfg.cg_max_iter,
+                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 err_tol=cfg.cg_err_tol,
+                                 onsager_tol=cfg.onsager_tol,
+                                 precond=precond, r0=r0)
+            gmu_new = cg.gram_from_exit(V, sol, tau2, gam2)
+        else:
+            sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
+                                 cfg.cg_max_iter,
+                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 err_tol=cfg.cg_err_tol,
+                                 onsager_tol=cfg.onsager_tol,
+                                 precond=precond, start_zero=True)
+            gmu_new = jnp.zeros_like(sol.mu)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
         # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
@@ -316,7 +345,8 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         gam1_new = gam2 * (1.0 - alpha2) / alpha2
         w = dict(w)
         w.update(x2=x2, alpha2=alpha2, gam2=gam2, r1=r1, gam1_new=gam1_new,
-                 cg_iters=sol.iters[0])
+                 cg_iters=sol.iters[0], mu_cg=sol.mu[:, 0],
+                 mu_probe=sol.mu[:, 1:], gmu=gmu_new, tau_gmu=tau2)
         return w
 
     def phase_lmmse_z(w, state: RobustState, aux: RobustAux):
@@ -362,7 +392,9 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
             z1=z1f.reshape(4, nb), z2=z2,
             p1=p1_new.reshape(4, nb), p2=p2f.reshape(4, nb),
             gam1=gam1_new, gam2=gam2, tau1=tau1_new, tau2=tau2,
-            alpha1=alpha1, deltaH=delta, probs=probs, vars=vars_, key=key)
+            alpha1=alpha1, deltaH=delta, probs=probs, vars=vars_, key=key,
+            mu_cg=w["mu_cg"], mu_probe=w["mu_probe"], gmu=w["gmu"],
+            tau_gmu=w["tau_gmu"])
         return _cast_like(new_state, state), metrics
 
     phases = (("denoise_x", phase_denoise_x), ("denoise_z", phase_denoise_z),

@@ -91,8 +91,45 @@ def test_robust_phase_timers_match_fused():
     x_f, s_f, h_f = robust.infer(geno, cfg, probs_t, vars_t, verbose=False)
     x_p, s_p, h_p = robust.infer(geno, cfg, probs_t, vars_t, verbose=False,
                                  phase_timers=True)
-    np.testing.assert_array_equal(x_f, x_p)
+    # ulp-level: the phased jits may fuse the tracked CG init residual
+    # algebra differently than the fused step (same math, 1-ulp drift)
+    np.testing.assert_allclose(x_p, x_f, rtol=0,
+                               atol=1e-12 * (np.abs(x_f).max() + 1e-30))
     for k in ("gam1", "tau1", "deltaH"):
-        np.testing.assert_array_equal(float(h_f[-1][k]), float(h_p[-1][k]))
+        np.testing.assert_allclose(float(h_p[-1][k]), float(h_f[-1][k]),
+                                   rtol=1e-12)
     for nm in ("denoise_x", "denoise_z", "lmmse_cg", "lmmse_z_finish"):
         assert f"phase_ms_{nm}" in h_p[-1]
+
+
+def test_robust_gram_tracking_matches_true_init_mult():
+    """Warm-started CG with the tracked Gram product stays within
+    CG-truncation noise of the reference's zero-start behavior
+    (see test_probit_gram_tracking_matches_true_init_mult)."""
+    import dataclasses
+    rng = np.random.default_rng(15)
+    N, M = 600, 160
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 12, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    x = geno.pad_m(beta * np.sqrt(N))
+    g = geno.deplanarize(geno.ax(jnp.asarray(x)))[:N]
+    geno.set_phen(g + rng.standard_t(3.0, N) * 0.5)
+
+    # 3 iterations: the Huber gammas traverse a volatile regime (swings of
+    # orders of magnitude) that chaotically amplifies CG float noise
+    # (measured: rel 4.5e-6 at it 3, 2e-3 at it 4, 3.6e-2 at it 8 — the
+    # same growth follows ANY ulp-level perturbation); compare before
+    # the amplification takes over
+    base = robust.RobustConfig(max_iter=3, rho=0.3, seed=3)
+    x_t, _, h_t = robust.infer(geno, dataclasses.replace(base, gram_refresh=1),
+                               probs_t, vars_t, verbose=False)
+    x_k, _, h_k = robust.infer(geno, base, probs_t, vars_t, verbose=False)
+    assert base.gram_refresh > 1
+    np.testing.assert_allclose(x_k, x_t, rtol=0,
+                               atol=1e-4 * (np.abs(x_t).max() + 1e-30))
+    for k in ("gam1", "gam2", "deltaH"):
+        np.testing.assert_allclose(float(h_k[-1][k]), float(h_t[-1][k]),
+                                   rtol=5e-4)
