@@ -140,9 +140,11 @@ def run_config(N, M, k_iters, warm_steps=2, miss=False, use_xxt=False):
     fused = (geno.fn_gram_aat() if use_xxt else geno.fn_gram()) is not None
     mult_passes = 1 if fused else 2
     if use_xxt:
-        # dual mode: init mult per iteration (untracked) + the wide
-        # [r2, x1] forward pass + the x2-extraction atx
-        passes = mult_passes * (max(cg_it, probe_it) + 1) + 1 + 1
+        # dual mode: tracked init mult (gmu_n — amortized 1/gram_refresh
+        # refresh tick) + the wide [r2, x1] forward pass + the
+        # x2-extraction atx
+        passes = (mult_passes * (max(cg_it, probe_it)
+                                 + 1.0 / max(cfg.gram_refresh, 1)) + 1 + 1)
     else:
         passes = (mult_passes * (max(cg_it, probe_it)
                                  + 1.0 / max(cfg.gram_refresh, 1)) + 1)

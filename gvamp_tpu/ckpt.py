@@ -92,8 +92,8 @@ def load_state(path: str, state_cls):
         # (mu_cg/mu_probe and the tracked Gram products gmu/gmu_n/gmu_p):
         # restart with zeros — a cold warm-start; the engine's cold
         # detection recomputes the true init mult on the first solve
-        if set(missing) - {"gmu", "gmu_n", "gmu_p", "mu_cg", "mu_probe",
-                           "tau_gmu"}:
+        if set(missing) - {"gmu", "gmu_n", "mu_cg", "mu_probe",
+                           "mu_probe_n", "tau_gmu"}:
             raise KeyError(f"checkpoint {path} lacks state fields {missing}")
         x1 = vals["x1"]
         if "tau_gmu" in missing:  # zero = stale -> first solve re-mults
@@ -105,6 +105,10 @@ def load_state(path: str, state_cls):
             n_probes = int(meta.get("cfg", {}).get("n_probes", 1))
             vals["mu_probe"] = jnp.zeros((x1.shape[0], n_probes), x1.dtype)
         p = vals["mu_probe"]
+        if "mu_probe_n" in missing:  # pre-round-3 linear checkpoints
+            mun = vals["mu_cg_n"]
+            vals["mu_probe_n"] = jnp.zeros(mun.shape + (p.shape[1],),
+                                           mun.dtype)
         if "gmu" in missing:
             mu = vals["mu_cg"]
             ncols = (mu.shape[1] if mu.ndim == 2 else 1) + p.shape[1]
@@ -113,8 +117,6 @@ def load_state(path: str, state_cls):
             mun = vals["mu_cg_n"]
             vals["gmu_n"] = jnp.zeros(mun.shape + (1 + p.shape[1],),
                                       mun.dtype)
-        if "gmu_p" in missing:
-            vals["gmu_p"] = jnp.zeros_like(p)
     return state_cls(*[vals[f] for f in state_cls._fields]), meta
 
 

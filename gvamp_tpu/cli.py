@@ -581,16 +581,12 @@ def mode_both(opt: Options):
     geno_t = _load_geno(opt, test=True)
     sqn = np.sqrt(geno_t.N)
     bin_class = opt.model == "bin_class"
-    m_cov_pl = None
-    if bin_class:
+    eff_all = None
+    if bin_class and opt.C > 0 and getattr(state, "cov_eff", None) is not None:
         # fixed covariate effects learned at it 1 carry to the test set
-        # (main_real_probit.cpp:241-258); requires the test covariate rows
-        m_cov = np.zeros(geno_t.N)
-        if opt.C > 0 and getattr(state, "cov_eff", None) is not None:
-            eff = np.asarray(state.cov_eff)[: opt.C]
-            if geno_t.covs is not None and geno_t.covs_np.shape[0] == geno_t.N:
-                m_cov = geno_t.covs_np @ eff
-        m_cov_pl = geno_t.planarize(m_cov)
+        # (main_real_probit.cpp:241-258); requires the test covariate rows.
+        # Multi-trait state carries one effect column per trait ([C, T]).
+        eff_all = np.asarray(state.cov_eff)[: opt.C]
     scores = []
     for t, (tag, pf) in enumerate(traits):
         if multi:
@@ -600,7 +596,13 @@ def mode_both(opt: Options):
         est_t = x_est[:, t] if multi else x_est
         z_pl = geno_t.ax(geno_t.pad_m(est_t[: geno_t.M] * sqn))
         if bin_class:
-            tpr, fpr, acc = _score_bin_class(geno_t, z_pl, m_cov_pl)
+            m_cov = np.zeros(geno_t.N)
+            if (eff_all is not None and geno_t.covs is not None
+                    and geno_t.covs_np.shape[0] == geno_t.N):
+                eff_t = eff_all[:, t] if eff_all.ndim == 2 else eff_all
+                m_cov = geno_t.covs_np @ eff_t
+            tpr, fpr, acc = _score_bin_class(geno_t, z_pl,
+                                             geno_t.planarize(m_cov))
             print(f"test{tag and f' ({tag})' or ''}: TPR={tpr:.4f} "
                   f"FPR={fpr:.4f} acc={acc:.4f}")
             scores.append(acc)

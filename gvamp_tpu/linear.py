@@ -243,7 +243,10 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
         xxt_diag_base = jnp.zeros_like(geno.y_planar)
     bern = make_bern_probe(geno, cfg.seed, cfg.n_probes)
     defl = None
-    if cfg.deflate_k > 0:
+    # red mode re-draws its sample window per iteration: the full-data
+    # deflation basis would not match the windowed operator (phase_lmmse
+    # skips it there), so skip the top_eigs setup cost entirely
+    if cfg.deflate_k > 0 and not cfg.red:
         axm_fn, atxm_fn = geno.fns_multi()
         op = geno.op
         gram_fn0 = geno.fn_gram()
@@ -486,16 +489,19 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 [state.mu_cg_n.reshape(nb4, 1),
                  state.mu_probe_n.reshape(nb4, P)], axis=1)
 
+            # gamma_damp: the damped gam2_eff builds Q_N (the whole dual
+            # LMMSE block), exactly like the primal branch below
             def mult_aat_b(U):
                 Up = U.reshape((4, nb4 // 4, U.shape[1]))
                 if gram_aat_fn is not None:
                     # fused dual Gram: one packed pass per CG iteration
-                    out = gamw * gram_aat_fn(op, Up) + gam2 * Up
+                    out = gamw * gram_aat_fn(op, Up) + gam2_eff * Up
                 else:
-                    out = gamw * axm_fn(op, atxm_fn(op, Up)) + gam2 * Up
+                    out = gamw * axm_fn(op, atxm_fn(op, Up)) + gam2_eff * Up
                 return out.reshape(nb4, U.shape[1])
 
-            diag_n = (gamw * aux.xxt_diag_base + gam2).reshape(nb4)[:, None]
+            diag_n = (gamw * aux.xxt_diag_base
+                      + gam2_eff).reshape(nb4)[:, None]
             r0_n = None
             if cfg.gram_refresh > 1:
                 # dual analog of the primal gmu tracking: state.gmu_n
@@ -505,14 +511,14 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 r0_n = jax.lax.cond(
                     (it % cfg.gram_refresh == 0) | cold,
                     lambda: V_n - mult_aat_b(mu0_n),
-                    lambda: V_n - (gamw * gmu_n + gam2 * mu0_n))
-            sol = cg.solve_block(mult_aat_b, V_n, mu0_n, diag_n, gam2,
+                    lambda: V_n - (gamw * gmu_n + gam2_eff * mu0_n))
+            sol = cg.solve_block(mult_aat_b, V_n, mu0_n, diag_n, gam2_eff,
                                  cfg.cg_max_iter, modes=(0,) + (1,) * P,
                                  err_tol=cfg.cg_err_tol_xxt,
                                  onsager_tol=cfg.onsager_tol, r0=r0_n)
             if cfg.gram_refresh > 1:
                 w = dict(w)
-                w.update(gmu_n=((V_n - sol.r - gam2 * sol.mu) / gamw)
+                w.update(gmu_n=((V_n - sol.r - gam2_eff * sol.mu) / gamw)
                          .reshape(y.shape + (1 + P,)))
             sol0 = sol.mu[:, 0]
             x2 = (gamw * atx_fn(op, sol0.reshape(y.shape)) + r2) * m_mask
@@ -521,7 +527,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             # A x2 = y - gam2 s0 - r_cg0 EXACTLY for the returned s0 (the
             # identity folds the whole noise-EM matvec pass away, and the
             # trace correction is free: Mt (1 - alpha2) / gamw)
-            ax2_exact = y - (gam2 * sol0 + sol.r[:, 0]).reshape(y.shape)
+            ax2_exact = y - (gam2_eff * sol0
+                             + sol.r[:, 0]).reshape(y.shape)
             invq = state.mu_probe      # unused in dual mode (kept in state)
             mu_cg_new, mu_cg_n_new = state.mu_cg, sol0.reshape(y.shape)
             mu_probe_n_new = sol.mu[:, 1:].reshape(y.shape + (P,))
@@ -560,7 +567,11 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             V = jnp.concatenate([v[:, None], bern], axis=1)
             mu0 = jnp.concatenate([state.mu_cg[:, None], state.mu_probe], axis=1)
             precond = None
-            if cfg.deflate_k > 0:
+            if cfg.deflate_k > 0 and not cfg.red:
+                # red re-draws a 10% sample window per iteration, whose
+                # Gram spectrum no longer matches the full-data eigenpairs
+                # the deflation basis was built from — plain Jacobi is the
+                # honest preconditioner for the windowed operator
                 precond = cg.make_deflated_precond(
                     aux.defl[0], aux.defl[1], gamw, gam2_eff, diag)
             r0 = None
@@ -863,17 +874,28 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
     else:
         step = (make_step(geno, cfg, **kw) if chunk == 1
                 else make_scan_step(geno, cfg, chunk, **kw))
+    tail_step = step if chunk == 1 else None
     history = []
     sqn = float(np.sqrt(geno.N))
     it = int(np.asarray(state.it))
     while it < cfg.max_iter:
-        state, metrics = step(state, aux)
+        if chunk > 1 and cfg.max_iter - it < chunk:
+            # the remaining budget is shorter than a scan chunk: finish
+            # with single steps so state stops EXACTLY at max_iter
+            # (a full chunk would silently advance state past it)
+            if tail_step is None:
+                tail_step = make_step(geno, cfg, **kw)
+            state, metrics = tail_step(state, aux)
+            k_got = 1
+        else:
+            state, metrics = step(state, aux)
+            k_got = chunk
         fetched = jax.device_get(metrics)
-        if chunk == 1:
+        if k_got == 1:
             chunk_ms = [{k: np.asarray(v) for k, v in fetched.items()}]
         else:
             chunk_ms = [{k: np.asarray(v)[i] for k, v in fetched.items()}
-                        for i in range(chunk)]
+                        for i in range(k_got)]
         for m in chunk_ms:
             it += 1
             history.append(m)

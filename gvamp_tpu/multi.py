@@ -527,21 +527,34 @@ def make_scan_step(make_step_fn, mp, cfg, k: int, **kw):
 
 
 def _run_multi_loop(step, state, aux, cfg, chunk, mp, verbose_print,
-                    callbacks):
-    """Shared chunked driver loop for the three multi-trait engines."""
+                    callbacks, make_single=None):
+    """Shared chunked driver loop for the three multi-trait engines.
+
+    ``make_single`` (required when ``chunk > 1``) lazily builds a one-step
+    program for the final partial chunk, so state stops EXACTLY at
+    cfg.max_iter instead of silently overrunning it by up to chunk-1
+    device iterations."""
     history = []
     import time as _time
+    single = step if chunk == 1 else None
     it = int(np.asarray(state.it))  # > 0 when resuming from a checkpoint
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
-        state, metrics = step(state, aux)
+        if chunk > 1 and cfg.max_iter - it < chunk:
+            if single is None:
+                single = make_single()
+            state, metrics = single(state, aux)
+            k_got = 1
+        else:
+            state, metrics = step(state, aux)
+            k_got = chunk
         fetched = jax.device_get(metrics)  # one batched transfer
         span = np.float64((_time.perf_counter() - _t0) * 1e3)
-        if chunk == 1:
+        if k_got == 1:
             chunk_ms = [fetched]
         else:
             chunk_ms = [{k: v[i] for k, v in fetched.items()}
-                        for i in range(chunk)]
+                        for i in range(k_got)]
         for m in chunk_ms:
             it += 1
             m["iter_ms"] = span / len(chunk_ms)
@@ -587,7 +600,8 @@ def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
               f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
 
     state, history = _run_multi_loop(step, state, aux, cfg, chunk, mp,
-                                     vprint if verbose else None, callbacks)
+                                     vprint if verbose else None, callbacks,
+                                     make_single=lambda: make_step(mp, cfg))
     from gvamp_tpu import dist
     x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
@@ -963,8 +977,9 @@ def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
               f"beta1=[{' '.join(f'{v:.3g}' for v in m['beta1'])}] "
               f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
 
-    state, history = _run_multi_loop(step, state, aux, cfg, chunk, mp,
-                                     vprint if verbose else None, callbacks)
+    state, history = _run_multi_loop(
+        step, state, aux, cfg, chunk, mp, vprint if verbose else None,
+        callbacks, make_single=lambda: make_probit_step(mp, cfg, n_cov=n_cov))
     from gvamp_tpu import dist
     x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history
@@ -1154,8 +1169,9 @@ def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
               f"deltaH=[{' '.join(f'{v:.2g}' for v in m['deltaH'])}] "
               f"stopped={m['stopped'].sum()}/{mp.T}", flush=True)
 
-    state, history = _run_multi_loop(step, state, aux, cfg, chunk, mp,
-                                     vprint if verbose else None, callbacks)
+    state, history = _run_multi_loop(
+        step, state, aux, cfg, chunk, mp, vprint if verbose else None,
+        callbacks, make_single=lambda: make_huber_step(mp, cfg))
     from gvamp_tpu import dist
     x_stored = dist.to_numpy(state.x1)[: mp.geno.M, :] / sqn
     return x_stored, state, history

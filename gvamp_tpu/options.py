@@ -230,6 +230,14 @@ class Options:
                             ("--use-freeze", self.use_freeze)]:
                 if bad:
                     fatal(f"{nm} is only supported for --model linear")
+        if self.red:
+            # reduced-subset solves are implemented only for the primal
+            # single-trait linear path (matching the reference, vamp.cpp:
+            # 561-596) — reject the unimplemented combinations loudly
+            if self.use_XXT_denoiser:
+                fatal("--red is not supported with --use-XXT-denoiser")
+            if len(self.phen_files) > 1:
+                fatal("--red is not supported for multi-trait runs")
         if self.out_dir and not os.path.isdir(self.out_dir):
             os.makedirs(self.out_dir, exist_ok=True)
 

@@ -442,20 +442,30 @@ def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
         step = make_step(geno, cfg, **kw)
     history = []
     import time as _time
+    single = step if chunk == 1 else None
     it = int(np.asarray(state.it))
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
-        state, metrics = step(state, aux)
+        if chunk > 1 and cfg.max_iter - it < chunk:
+            # final partial chunk: single steps so state stops EXACTLY
+            # at max_iter instead of overrunning by up to chunk-1
+            if single is None:
+                single = make_step(geno, cfg, **kw)
+            state, metrics = single(state, aux)
+            k_got = 1
+        else:
+            state, metrics = step(state, aux)
+            k_got = chunk
         # ONE batched transfer: per-key np.asarray costs a
         # separate device round-trip each (~20 ms through the
         # axon tunnel x ~15 keys dominated the iteration)
         fetched = jax.device_get(metrics)
         span = np.float64((_time.perf_counter() - _t0) * 1e3)
-        if chunk == 1:
+        if k_got == 1:
             chunk_ms = [fetched]
         else:
             chunk_ms = [{k: v[i] for k, v in fetched.items()}
-                        for i in range(chunk)]
+                        for i in range(k_got)]
         for m in chunk_ms:
             it += 1
             # np.asarray above synced the dispatch: honest per-iteration

@@ -50,6 +50,10 @@ BASE_ARGS = ["--run-mode", "infere", "--bed-file", "x.bed",
     BASE_ARGS + ["--model", "bin_class", "--gamma-damp", "0.5"],
     BASE_ARGS + ["--model", "robust", "--red", "1"],
     BASE_ARGS + ["--model", "bin_class", "--use-XXT-denoiser", "1"],
+    BASE_ARGS + ["--red", "1", "--use-XXT-denoiser", "1"],
+    ["--run-mode", "infere", "--bed-file", "x.bed",
+     "--phen-files", "a.phen,b.phen", "--N", "100", "--Mt", "50",
+     "--red", "1"],                                     # multi-trait --red
 ])
 def test_option_check_rejects(args):
     """Inconsistent flag sets fail fast with a message (check_options,
@@ -385,3 +389,109 @@ def test_probit_both_mode_cm_and_resume(tmp_path, capsys):
     bad[bad.index("bin_class")] = "linear"
     with pytest.raises(SystemExit):
         cli.main(bad)
+
+
+def test_load_state_backfills_pre_round3_linear_checkpoint(tmp_path):
+    """A checkpoint written before the round-3 state fields existed
+    (mu_probe_n / gmu / gmu_n / warm-start fields) must load with safe
+    cold-start defaults instead of raising."""
+    from gvamp_tpu.ckpt import save_state, load_state
+
+    geno, beta, vars_t, probs_t = build_sim(N=300, M=128)
+    cfg = linear.VampConfig(max_iter=2, rho=0.3, seed=1)
+    _, state, _ = linear.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    old_fields = [f for f in linear.LinState._fields
+                  if f not in ("mu_probe_n", "gmu", "gmu_n")]
+    pruned = {f: getattr(state, f) for f in old_fields}
+
+    class OldState:  # save_state duck-types on _fields + iteration
+        _fields = old_fields
+
+        def __iter__(self):
+            return iter(pruned[f] for f in old_fields)
+
+    ck = str(tmp_path / "old.npz")
+    save_state(ck, OldState(), it=2, model="linear",
+               cfg=dataclasses.asdict(cfg))
+    loaded, meta = load_state(ck, linear.LinState)
+    assert meta["it"] == 2
+    np.testing.assert_array_equal(np.asarray(loaded.x1),
+                                  np.asarray(state.x1))
+    assert np.asarray(loaded.gmu).shape == np.asarray(state.gmu).shape
+    assert np.all(np.asarray(loaded.gmu) == 0)
+    assert (np.asarray(loaded.mu_probe_n).shape
+            == np.asarray(state.mu_probe_n).shape)
+    # and the resumed engine runs (cold gmu -> true init mult on first solve)
+    cfg4 = dataclasses.replace(cfg, max_iter=4)
+    x, _, h = linear.infer(geno, cfg4, probs_t, vars_t, verbose=False,
+                           resume_state=loaded)
+    assert len(h) == 2 and np.isfinite(x).all()
+
+
+def test_probit_both_mode_multi_trait_with_covariates(tmp_path, capsys):
+    """Multi-trait bin_class both-mode must score each trait with ITS OWN
+    covariate-effect column (state.cov_eff is [C, T]; selecting nothing
+    crashed planarize on an [N, T] array)."""
+    rng = np.random.default_rng(77)
+    N, M, T, C = 300, 96, 2, 2
+    codes = sim.random_genotypes(rng, M, 2 * N, miss_rate=0.01)
+    bed, bed_t = str(tmp_path / "c.bed"), str(tmp_path / "ct.bed")
+    plink.write_bed(bed, codes[:, :N])
+    plink.write_bed(bed_t, codes[:, N:])
+    Z = rng.normal(size=(N, C))
+    plink.write_covariates(str(tmp_path / "c.cov"), Z)
+    gtr = GenoBed.from_arrays(make_bed(codes[:, :N]), np.zeros(N), N=N,
+                              standardize_phen=False, dtype=jnp.float64)
+    gte = GenoBed.from_arrays(make_bed(codes[:, N:]), np.zeros(N), N=N,
+                              standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 10, 0.8)
+    pfs, pfs_t = [], []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        gtr.covs = Z
+        ytr = sim.simulate_probit_phenotype(gtr, beta, 0.5, rng,
+                                            np.array([0.25, -0.25]))
+        yte = sim.simulate_probit_phenotype(gte, beta, 0.5, rng)
+        p, pt = str(tmp_path / f"c{t}.phen"), str(tmp_path / f"ct{t}.phen")
+        plink.write_phen(p, ytr)
+        plink.write_phen(pt, yte)
+        pfs.append(p)
+        pfs_t.append(pt)
+
+    scores = cli.main([
+        "--run-mode", "both", "--model", "bin_class",
+        "--bed-file", bed, "--phen-files", ",".join(pfs),
+        "--N", str(N), "--Mt", str(M),
+        "--cov-file", str(tmp_path / "c.cov"), "--C", str(C),
+        "--bed-file-test", bed_t, "--phen-files-test", ",".join(pfs_t),
+        "--N-test", str(N), "--Mt-test", str(M),
+        "--iterations", "4", "--rho", "0.3", "--dtype", "float64",
+        "--probs", ",".join(map(str, probs_t)),
+        "--vars", ",".join(map(str, vars_t)),
+        "--out-dir", str(tmp_path), "--out-name", "cb", "--verbosity", "0"])
+    out = capsys.readouterr().out
+    assert out.count("TPR=") == T
+    assert len(scores) == T and all(np.isfinite(s) for s in scores)
+
+
+def test_sync_every_partial_chunk_stops_at_max_iter():
+    """sync_every that does not divide max_iter must still stop state at
+    EXACTLY max_iter (a full trailing scan chunk used to overrun it)."""
+    from gvamp_tpu import multi
+
+    geno, beta, vars_t, probs_t = build_sim(N=300, M=128)
+    cfg = linear.VampConfig(max_iter=4, rho=0.3, seed=2,
+                            stop_criteria_thr=0.0)
+    x1, s1, h1 = linear.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    x3, s3, h3 = linear.infer(geno, cfg, probs_t, vars_t, verbose=False,
+                              sync_every=3)
+    assert int(np.asarray(s3.it)) == 4 and len(h3) == 4
+    np.testing.assert_allclose(x3, x1, rtol=1e-12, atol=1e-15)
+
+    y = np.asarray(geno.deplanarize(geno.y_planar))[: geno.N]
+    mp = multi.MultiPhen.build(geno, [y, y], standardize=False)
+    xm1, sm1, hm1 = multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+    xm3, sm3, hm3 = multi.infer(mp, cfg, probs_t, vars_t, verbose=False,
+                                sync_every=3)
+    assert int(np.asarray(sm3.it)) == 4 and len(hm3) == 4
+    np.testing.assert_allclose(xm3, xm1, rtol=1e-12, atol=1e-15)

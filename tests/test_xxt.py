@@ -114,3 +114,20 @@ def test_dual_gram_tracking_matches_true_init_mult():
     for k in ("gam1", "gam2", "gamw", "alpha2"):
         np.testing.assert_allclose(float(h_k[-1][k]), float(h_t[-1][k]),
                                    rtol=5e-4)
+
+
+def test_xxt_honors_gamma_damp():
+    """--gamma-damp must produce the SAME damped trajectory in dual mode
+    as in primal mode (it was silently dropped from the dual solve)."""
+    geno, beta, vars_t, probs_t = build_sim(N=300, M=500, CV=25, h2=0.7)
+    kw = dict(max_iter=4, rho=0.3, cg_max_iter=400, cg_err_tol=1e-10,
+              gamma_damp=0.5)
+    x_std, _, h_std = linear.infer(
+        geno, linear.VampConfig(**kw), probs_t, vars_t, verbose=False)
+    x_xxt, _, h_xxt = linear.infer(
+        geno, linear.VampConfig(use_xxt=True, cg_err_tol_xxt=1e-10, **kw),
+        probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(x_xxt, x_std, rtol=1e-5, atol=1e-8)
+    for k in ("gam1", "gam2", "gamw", "alpha2"):
+        np.testing.assert_allclose(float(h_xxt[-1][k]), float(h_std[-1][k]),
+                                   rtol=1e-5)
