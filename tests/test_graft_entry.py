@@ -5,6 +5,7 @@ import pathlib
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -19,5 +20,6 @@ def test_entry_compiles_and_runs():
     assert int(metrics2["it"]) == 2
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)

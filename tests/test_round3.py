@@ -88,6 +88,7 @@ def test_every_option_field_is_consumed():
 
 # ---------------------------------------------------------------- resume
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted_linear():
     """3 iterations + resume(3 more) == 6 uninterrupted iterations: the
     engine config and complete state round-trip through resume_state."""
@@ -104,6 +105,7 @@ def test_resume_matches_uninterrupted_linear():
     assert len(hb) == 3  # only the resumed tail is re-run
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted_probit():
     rng = np.random.default_rng(3)
     N, M = 600, 150
@@ -125,6 +127,7 @@ def test_resume_matches_uninterrupted_probit():
     assert len(hb) == 3
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted_multi(tmp_path):
     """Multi-trait resume: 2 iterations + resume(2) == 4 uninterrupted,
     with the state round-tripped through the .npz checkpoint layer."""
@@ -162,6 +165,7 @@ def test_resume_matches_uninterrupted_multi(tmp_path):
     assert len(hb) == 2  # only the resumed tail is re-run
 
 
+@pytest.mark.slow
 def test_cli_multi_trait_resume(tmp_path):
     """CLI: multi-trait --checkpoint + run-mode restart --resume reaches
     the same iteration-4 per-trait estimates as an uninterrupted run."""
@@ -237,6 +241,7 @@ def _mesh8():
     return jax.sharding.Mesh(np.array(devs[:8]), ("m",))
 
 
+@pytest.mark.slow
 def test_probit_shard_invariance():
     """Probit results identical on 1 device and an 8-device marker mesh —
     the reference's collectives are model-agnostic (vamp_probit.cpp reuses
@@ -252,6 +257,7 @@ def test_probit_shard_invariance():
                                    rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_huber_shard_invariance():
     g1, vars_t, probs_t, y = _probit_sim()
     g8, _, _, _ = _probit_sim(mesh=_mesh8())
@@ -391,6 +397,7 @@ def test_probit_both_mode_cm_and_resume(tmp_path, capsys):
         cli.main(bad)
 
 
+@pytest.mark.slow
 def test_load_state_backfills_pre_round3_linear_checkpoint(tmp_path):
     """A checkpoint written before the round-3 state fields existed
     (mu_probe_n / gmu / gmu_n / warm-start fields) must load with safe
@@ -428,6 +435,7 @@ def test_load_state_backfills_pre_round3_linear_checkpoint(tmp_path):
     assert len(h) == 2 and np.isfinite(x).all()
 
 
+@pytest.mark.slow
 def test_probit_both_mode_multi_trait_with_covariates(tmp_path, capsys):
     """Multi-trait bin_class both-mode must score each trait with ITS OWN
     covariate-effect column (state.cov_eff is [C, T]; selecting nothing
@@ -474,6 +482,7 @@ def test_probit_both_mode_multi_trait_with_covariates(tmp_path, capsys):
     assert len(scores) == T and all(np.isfinite(s) for s in scores)
 
 
+@pytest.mark.slow
 def test_sync_every_partial_chunk_stops_at_max_iter():
     """sync_every that does not divide max_iter must still stop state at
     EXACTLY max_iter (a full trailing scan chunk used to overrun it)."""
