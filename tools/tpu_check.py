@@ -76,6 +76,13 @@ def main():
         print(f"{'FAIL' if v > TOL else 'ok  '} {k:30s} relerr {v:.3g}")
     if bad:
         sys.exit(1)
+
+    # round-3 fused Gram kernels vs their (checked-above) two-pass
+    # compositions — bench_gram.correctness covers gram_i8[a],
+    # gram_aat_i8[a] and axm_i8s on small hardware shapes
+    from tools import bench_gram
+    if not bench_gram.correctness():
+        sys.exit(1)
     print("all kernels hardware-exact")
 
 
