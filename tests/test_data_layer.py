@@ -429,3 +429,70 @@ def test_aat_gram_kernels_match_composition():
     z_a = np.asarray(matvec.gram_aat_i8a_pallas(wc, V, mave, msig2))
     np.testing.assert_allclose(z_a, z_g, rtol=0,
                                atol=2e-5 * (np.abs(z_g).max() + 1e-30))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,N,M,miss_geno,miss_phen,B", [
+    (101, 123, 77, 0.0, 0.0, 1),
+    (102, 257, 333, 0.07, 0.1, 3),
+    (103, 64, 501, 0.02, 0.0, 7),     # M > N (dual regime), odd M
+    (104, 399, 129, 0.3, 0.25, 2),    # heavy missingness
+    (105, 130, 130, 0.0, 0.15, 9),    # square, phen NAs only
+])
+def test_gram_operators_randomized_shapes(seed, N, M, miss_geno,
+                                          miss_phen, B):
+    """Seeded odd-shape sweep: the fused primal and dual Gram operators
+    must equal their two-pass compositions through the full data-layer
+    padding/standardization stack (the parametrized kernel tests use
+    round tile-multiple shapes only)."""
+    rng = np.random.default_rng(seed)
+    codes, y = random_dataset(rng, N, M, miss_geno=miss_geno,
+                              miss_phen=miss_phen)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, backend="pallas")
+    X = jnp.asarray(rng.standard_normal((geno.Mpad, B)).astype(np.float32))
+
+    gram_fn = geno.fn_gram()
+    assert gram_fn is not None
+    want = np.asarray(geno.atxm(geno.axm(X)))
+    got = np.asarray(gram_fn(geno.op, X))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=3e-5 * (np.abs(want).max() + 1e-30))
+
+    gram_aat = geno.fn_gram_aat()
+    assert gram_aat is not None
+    U = jnp.asarray(rng.standard_normal(
+        geno.y_planar.shape + (B,)).astype(np.float32))
+    Uf = U * geno.n_mask_planar[:, :, None]
+    want_n = np.asarray(geno.axm(geno.atxm(Uf)))
+    got_n = np.asarray(gram_aat(geno.op, Uf))
+    np.testing.assert_allclose(got_n, want_n, rtol=0,
+                               atol=3e-5 * (np.abs(want_n).max() + 1e-30))
+
+
+@pytest.mark.slow
+def test_multi_gram_per_column_randomized():
+    """MultiPhen.fn_gram with a trait-mixing column map equals the
+    two-pass per-column operator (odd sizes, per-trait NA patterns)."""
+    from gvamp_tpu import multi, sim
+
+    rng = np.random.default_rng(44)
+    N, M, T, P = 201, 155, 3, 2
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.04)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, backend="pallas")
+    ys = []
+    for t in range(T):
+        y = rng.standard_normal(N)
+        y[rng.choice(N, 10 + 7 * t, replace=False)] = np.nan
+        ys.append(y)
+    mp = multi.MultiPhen.build(geno, ys)
+    gram_fn = mp.fn_gram()
+    assert gram_fn is not None
+    axm_fn, atxm_fn = mp.fns()
+    cols = np.concatenate([np.arange(T), np.repeat(np.arange(T), P)])
+    X = jnp.asarray(rng.standard_normal(
+        (geno.Mpad, len(cols))).astype(np.float32))
+    want = np.asarray(atxm_fn(mp.op, axm_fn(mp.op, X, cols), cols))
+    got = np.asarray(gram_fn(mp.op, X, cols))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=3e-5 * (np.abs(want).max() + 1e-30))
