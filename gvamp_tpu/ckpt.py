@@ -72,20 +72,37 @@ class IterDumper:
 
 
 def save_state(path: str, state, **extra) -> None:
-    """Full state -> npz (all pytree leaves + metadata)."""
+    """Full state -> npz (all pytree leaves + metadata).
+
+    Typed PRNG keys (the Huber engines' ``key`` field) serialize via
+    ``jax.random.key_data`` and are tagged in the metadata so load_state
+    re-wraps them."""
+    import jax
     from gvamp_tpu import dist
-    arrs = {f"f_{name}": dist.to_numpy(v)
-            for name, v in zip(state._fields, state)}
+    arrs, key_fields = {}, []
+    for name, v in zip(state._fields, state):
+        if hasattr(v, "dtype") and jax.dtypes.issubdtype(
+                v.dtype, jax.dtypes.prng_key):
+            arrs[f"f_{name}"] = np.asarray(jax.random.key_data(v))
+            key_fields.append(name)
+        else:
+            arrs[f"f_{name}"] = dist.to_numpy(v)
     arrs["_meta"] = np.frombuffer(
-        json.dumps({"fields": list(state._fields), **extra}).encode(), dtype=np.uint8)
+        json.dumps({"fields": list(state._fields),
+                    "key_fields": key_fields, **extra}).encode(),
+        dtype=np.uint8)
     np.savez(path, **arrs)
 
 
 def load_state(path: str, state_cls):
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["_meta"]).decode())
+    import jax
     import jax.numpy as jnp
-    vals = {name: jnp.asarray(z[f"f_{name}"]) for name in meta["fields"]}
+    key_fields = set(meta.get("key_fields", []))
+    vals = {name: (jax.random.wrap_key_data(jnp.asarray(z[f"f_{name}"]))
+                   if name in key_fields else jnp.asarray(z[f"f_{name}"]))
+            for name in meta["fields"]}
     missing = [f for f in state_cls._fields if f not in vals]
     if missing:
         # CG warm-start fields added after the checkpoint was written

@@ -504,3 +504,46 @@ def test_sync_every_partial_chunk_stops_at_max_iter():
                                 sync_every=3)
     assert int(np.asarray(sm3.it)) == 4 and len(hm3) == 4
     np.testing.assert_allclose(xm3, xm1, rtol=1e-12, atol=1e-15)
+
+
+@pytest.mark.slow
+def test_resume_multi_zmodels_roundtrip(tmp_path):
+    """ProbitMultiState / HuberMultiState checkpoint round-trip + resumed
+    tail equality (the multi-linear test covers MultiState)."""
+    from gvamp_tpu import multi, robust
+    from gvamp_tpu.ckpt import save_state, load_state
+
+    rng = np.random.default_rng(13)
+    N, M, T = 300, 96, 2
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 10, 0.8)
+    ys_bin, ys_lin = [], []
+    for _ in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        ys_bin.append(sim.simulate_probit_phenotype(geno, beta, 1.0, rng))
+        ys_lin.append(sim.simulate_linear_phenotype(geno, beta, 1 / 0.2,
+                                                    rng))
+
+    for model, ys, cfg_cls, state_cls, run in (
+            ("bin_class", ys_bin, probit.ProbitConfig,
+             multi.ProbitMultiState, multi.infer_probit),
+            ("robust", ys_lin, robust.RobustConfig,
+             multi.HuberMultiState, multi.infer_huber)):
+        mp = multi.MultiPhen.build(geno, ys,
+                                   standardize=(model != "bin_class"))
+        cfg4 = cfg_cls(max_iter=4, rho=0.3, seed=5, stop_criteria_thr=0.0)
+        xa, sa, _ = run(mp, cfg4, probs_t, vars_t, verbose=False)
+        cfg2 = dataclasses.replace(cfg4, max_iter=2)
+        _, sb2, _ = run(mp, cfg2, probs_t, vars_t, verbose=False)
+        ck = str(tmp_path / f"{model}.npz")
+        save_state(ck, sb2, it=2, model=model, T=T,
+                   cfg=dataclasses.asdict(cfg2))
+        loaded, meta = load_state(ck, state_cls)
+        assert meta["T"] == T
+        xb, sb, hb = run(mp, cfg4, probs_t, vars_t, verbose=False,
+                         resume_state=loaded)
+        np.testing.assert_allclose(xb, xa, rtol=1e-10, atol=1e-13,
+                                   err_msg=model)
+        assert len(hb) == 2, model
