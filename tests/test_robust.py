@@ -133,3 +133,28 @@ def test_robust_gram_tracking_matches_true_init_mult():
     for k in ("gam1", "gam2", "deltaH"):
         np.testing.assert_allclose(float(h_k[-1][k]), float(h_t[-1][k]),
                                    rtol=5e-4)
+
+
+def test_robust_sync_every_matches():
+    """Scan throughput mode (sync_every) == per-iteration dispatch,
+    including a partial final chunk (max_iter=4, chunks of 3)."""
+    rng = np.random.default_rng(21)
+    N, M = 500, 160
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 12, 0.8)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    x = geno.pad_m(beta * np.sqrt(N))
+    g = geno.deplanarize(geno.ax(jnp.asarray(x)))[:N]
+    geno.set_phen(g + rng.standard_t(3.0, N) * 0.5)
+    cfg = robust.RobustConfig(max_iter=4, rho=0.3, seed=2,
+                              stop_criteria_thr=0.0)
+    x1, s1, h1 = robust.infer(geno, cfg, probs_t, vars_t, verbose=False)
+    x2, s2, h2 = robust.infer(geno, cfg, probs_t, vars_t, verbose=False,
+                              sync_every=3)
+    np.testing.assert_array_equal(x1, x2)
+    assert len(h1) == len(h2) == 4
+    assert int(np.asarray(s2.it)) == 4
+    for k in ("gam1", "tau1", "deltaH"):
+        np.testing.assert_array_equal(float(h1[-1][k]), float(h2[-1][k]))
