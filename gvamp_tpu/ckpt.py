@@ -120,7 +120,9 @@ def load_state(path: str, state_cls):
             vals["mu_cg"] = jnp.zeros_like(x1)
         if "mu_probe" in missing:
             n_probes = int(meta.get("cfg", {}).get("n_probes", 1))
-            vals["mu_probe"] = jnp.zeros((x1.shape[0], n_probes), x1.dtype)
+            # multi-trait states ([Mp, T] x1) carry T*P probe columns
+            n_cols = n_probes * (x1.shape[1] if x1.ndim == 2 else 1)
+            vals["mu_probe"] = jnp.zeros((x1.shape[0], n_cols), x1.dtype)
         p = vals["mu_probe"]
         if "mu_probe_n" in missing:  # pre-round-3 linear checkpoints
             mun = vals["mu_cg_n"]

@@ -786,6 +786,21 @@ def _phase_sync(tree) -> float:
     return _t.perf_counter()
 
 
+def dispatch_chunk(step, single, make_single, state, aux, remaining, chunk):
+    """One driver-loop dispatch with exact-max_iter semantics: a full scan
+    chunk while the remaining budget allows, otherwise one single step
+    (lazily built via ``make_single``) so state never overruns max_iter.
+    Returns (state, metrics, k_got, single).  Shared by the linear, probit,
+    robust and multi-trait driver loops."""
+    if chunk > 1 and remaining < chunk:
+        if single is None:
+            single = make_single()
+        state, metrics = single(state, aux)
+        return state, metrics, 1, single
+    state, metrics = step(state, aux)
+    return state, metrics, chunk, single
+
+
 def timed_step_from_phases(phases):
     """Compose (name, phase_fn) sub-steps into a per-phase-timed step.
 
@@ -879,17 +894,9 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
     sqn = float(np.sqrt(geno.N))
     it = int(np.asarray(state.it))
     while it < cfg.max_iter:
-        if chunk > 1 and cfg.max_iter - it < chunk:
-            # the remaining budget is shorter than a scan chunk: finish
-            # with single steps so state stops EXACTLY at max_iter
-            # (a full chunk would silently advance state past it)
-            if tail_step is None:
-                tail_step = make_step(geno, cfg, **kw)
-            state, metrics = tail_step(state, aux)
-            k_got = 1
-        else:
-            state, metrics = step(state, aux)
-            k_got = chunk
+        state, metrics, k_got, tail_step = dispatch_chunk(
+            step, tail_step, lambda: make_step(geno, cfg, **kw),
+            state, aux, cfg.max_iter - it, chunk)
         fetched = jax.device_get(metrics)
         if k_got == 1:
             chunk_ms = [{k: np.asarray(v) for k, v in fetched.items()}]

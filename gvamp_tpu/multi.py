@@ -536,18 +536,13 @@ def _run_multi_loop(step, state, aux, cfg, chunk, mp, verbose_print,
     device iterations."""
     history = []
     import time as _time
+    from gvamp_tpu.linear import dispatch_chunk
     single = step if chunk == 1 else None
     it = int(np.asarray(state.it))  # > 0 when resuming from a checkpoint
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
-        if chunk > 1 and cfg.max_iter - it < chunk:
-            if single is None:
-                single = make_single()
-            state, metrics = single(state, aux)
-            k_got = 1
-        else:
-            state, metrics = step(state, aux)
-            k_got = chunk
+        state, metrics, k_got, single = dispatch_chunk(
+            step, single, make_single, state, aux, cfg.max_iter - it, chunk)
         fetched = jax.device_get(metrics)  # one batched transfer
         span = np.float64((_time.perf_counter() - _t0) * 1e3)
         if k_got == 1:

@@ -442,20 +442,14 @@ def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
         step = make_step(geno, cfg, **kw)
     history = []
     import time as _time
+    from gvamp_tpu.linear import dispatch_chunk
     single = step if chunk == 1 else None
     it = int(np.asarray(state.it))
     while it < cfg.max_iter:
         _t0 = _time.perf_counter()
-        if chunk > 1 and cfg.max_iter - it < chunk:
-            # final partial chunk: single steps so state stops EXACTLY
-            # at max_iter instead of overrunning by up to chunk-1
-            if single is None:
-                single = make_step(geno, cfg, **kw)
-            state, metrics = single(state, aux)
-            k_got = 1
-        else:
-            state, metrics = step(state, aux)
-            k_got = chunk
+        state, metrics, k_got, single = dispatch_chunk(
+            step, single, lambda: make_step(geno, cfg, **kw),
+            state, aux, cfg.max_iter - it, chunk)
         # ONE batched transfer: per-key np.asarray costs a
         # separate device round-trip each (~20 ms through the
         # axon tunnel x ~15 keys dominated the iteration)

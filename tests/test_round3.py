@@ -547,3 +547,45 @@ def test_resume_multi_zmodels_roundtrip(tmp_path):
         np.testing.assert_allclose(xb, xa, rtol=1e-10, atol=1e-13,
                                    err_msg=model)
         assert len(hb) == 2, model
+
+
+def test_load_state_backfills_multi_warm_start_fields(tmp_path):
+    """Backfilled multi-trait warm-start fields must have the [Mp, T*P]
+    / [Mp, T+T*P] / [T] shapes (not the single-trait ones)."""
+    from gvamp_tpu import multi
+    from gvamp_tpu.ckpt import save_state, load_state
+
+    rng = np.random.default_rng(5)
+    N, M, T = 200, 96, 3
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 8, 0.7)
+    ys = [rng.standard_normal(N) for _ in range(T)]
+    mp = multi.MultiPhen.build(geno, ys, standardize=False)
+    cfg = linear.VampConfig(max_iter=1, rho=0.3, stop_criteria_thr=0.0)
+    _, state, _ = multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+
+    drop = ("mu_cg", "mu_probe", "gmu", "tau_gmu")
+    fields = [f for f in multi.MultiState._fields if f not in drop]
+    vals = {f: getattr(state, f) for f in fields}
+
+    class OldState:
+        _fields = fields
+
+        def __iter__(self):
+            return iter(vals[f] for f in fields)
+
+    ck = str(tmp_path / "oldmulti.npz")
+    save_state(ck, OldState(), it=1, model="linear", T=T,
+               cfg=dataclasses.asdict(cfg))
+    loaded, _ = load_state(ck, multi.MultiState)
+    P = cfg.n_probes
+    assert np.asarray(loaded.mu_probe).shape == (geno.Mpad, T * P)
+    assert np.asarray(loaded.gmu).shape == (geno.Mpad, T * (1 + P))
+    assert np.asarray(loaded.tau_gmu).shape == (T,)
+    # and the resumed engine accepts the backfilled state
+    cfg2 = dataclasses.replace(cfg, max_iter=2)
+    x, s2, h = multi.infer(mp, cfg2, probs_t, vars_t, verbose=False,
+                           resume_state=loaded)
+    assert len(h) == 1 and np.isfinite(x).all()

@@ -15,9 +15,9 @@ from gvamp_tpu.ops import matvec
 from tools.bench_variants import synth_words
 from tools.bench_burst import time_burst
 
-NW = int(sys.argv[1]) if len(sys.argv) > 1 else 6400
-M = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
-K = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+NW = (int(sys.argv[1]) if __name__ == "__main__" and len(sys.argv) > 1 else 6400)
+M = (int(sys.argv[2]) if __name__ == "__main__" and len(sys.argv) > 2 else 65536)
+K = (int(sys.argv[3]) if __name__ == "__main__" and len(sys.argv) > 3 else 6)
 
 
 def complete_words(nw, m):

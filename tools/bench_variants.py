@@ -26,9 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gvamp_tpu.ops import matvec
 from gvamp_tpu.ops.matvec import _swar, _quant_digits, _fold_digits, _NDIG
 
-NW = int(sys.argv[1]) if len(sys.argv) > 1 else 6400
-M = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
-REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+NW = (int(sys.argv[1]) if __name__ == "__main__" and len(sys.argv) > 1 else 6400)
+M = (int(sys.argv[2]) if __name__ == "__main__" and len(sys.argv) > 2 else 65536)
+REPS = (int(sys.argv[3]) if __name__ == "__main__" and len(sys.argv) > 3 else 4)
 TNW, TM = 256, 512
 
 
