@@ -170,8 +170,14 @@ def _wait_backend():
     deadline = time.time() + float(os.environ.get("BENCH_WAIT_TPU_S", "900"))
     while True:
         try:
+            # assert a NON-cpu device: when the tunnel fails fast (refused
+            # rather than hang) jax silently falls back to CPU with exit 0,
+            # which must count as "still unavailable" or the wait window
+            # never engages
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "assert any(x.platform != 'cpu' for x in d), d"],
                 capture_output=True, timeout=300)
             ok, err = r.returncode == 0, r.stderr.decode()[-200:]
         except subprocess.TimeoutExpired:

@@ -22,12 +22,14 @@ M = (int(sys.argv[2]) if __name__ == "__main__" and len(sys.argv) > 2 else 65536
 K = (int(sys.argv[3]) if __name__ == "__main__" and len(sys.argv) > 3 else 6)
 
 
-def time_burst(make_burst, args, reps=3):
+def time_burst(make_burst, args, k, reps=3):
     """make_burst(k) -> jitted fn of *args returning a scalar.  The arrays
     MUST be jit arguments, not closure captures — a closed-over device
     array becomes a jaxpr constant and the 1.7 GB buffer is shipped to the
-    remote compile server (minutes per compile through the tunnel)."""
-    f1, fk = make_burst(1), make_burst(K)
+    remote compile server (minutes per compile through the tunnel).
+    ``k`` is the burst chain length — explicit, NOT the module global,
+    so importers (bench_gram) time the chain length they asked for."""
+    f1, fk = make_burst(1), make_burst(k)
     for f in (f1, fk):
         float(f(*args))          # compile + run
         float(f(*args))
@@ -39,7 +41,7 @@ def time_burst(make_burst, args, reps=3):
     for _ in range(reps):
         float(fk(*args))
     tk = (time.perf_counter() - t0) / reps
-    return (tk - t1) / (K - 1), t1
+    return (tk - t1) / (k - 1), t1
 
 
 def main():
@@ -56,7 +58,7 @@ def main():
     v1 = jnp.asarray(rng.standard_normal((4, 4 * NW)).astype(np.float32))
 
     def rec(name, make_burst, args):
-        dt, t1 = time_burst(make_burst, args)
+        dt, t1 = time_burst(make_burst, args, K)
         print(f"{name:28s} {dt*1e3:8.2f} ms   {gb/dt:7.1f} GB/s   "
               f"(1-call {t1*1e3:.2f} ms)", flush=True)
 

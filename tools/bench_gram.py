@@ -106,7 +106,7 @@ def main():
     V = jnp.asarray(rng.standard_normal((4, 4 * NW, B)).astype(np.float32))
 
     def rec(name, make_burst, args, streams=1.0):
-        dt, t1 = time_burst(make_burst, args)
+        dt, t1 = time_burst(make_burst, args, K)
         print(f"{name:30s} {dt*1e3:8.2f} ms   {gb*streams/dt:7.1f} GB/s "
               f"eff   (1-call {t1*1e3:.2f} ms)", flush=True)
 

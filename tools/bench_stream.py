@@ -17,6 +17,7 @@ from tools.bench_variants import synth_words, timeit
 
 NW = int(sys.argv[1]) if len(sys.argv) > 1 else 6400
 M = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
 
 def _stream_kernel(g_ref, o_ref):
@@ -86,7 +87,7 @@ def main():
 
     def rec(name, fn, *args):
         try:
-            dt = timeit(fn, *args)
+            dt = timeit(fn, *args, reps=REPS)
             print(f"{name:44s} {dt*1e3:8.2f} ms   {gb/dt:7.1f} GB/s",
                   flush=True)
         except Exception as e:

@@ -46,7 +46,11 @@ def synth_words(nw, m, chunk=4096):
     return w
 
 
-def timeit(fn, *args, reps=REPS):
+def timeit(fn, *args, reps=None):
+    # read the module global at CALL time (an importer's argv can't reach
+    # the __main__-guarded parse above, so a default bound at import would
+    # silently pin reps=4)
+    reps = REPS if reps is None else reps
     for _ in range(2):
         out = fn(*args)
         float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)[:1]))
