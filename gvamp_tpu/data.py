@@ -651,20 +651,38 @@ class GenoBed:
         iteration just like lmmse_mult.  gram_aat_i8_pallas caches one
         marker column-stripe in VMEM (the dual analog of fn_gram's sample
         band), so dual iterations read the packed words once.  Available
-        on the single-shard pallas path whenever the stripe fits VMEM
-        (the tile width auto-narrows; only N in the millions overflows)."""
-        if self.backend != "pallas" or self.mesh is not None:
+        whenever the stripe fits VMEM (the tile width auto-narrows; only N
+        in the millions overflows).
+
+        Unlike the primal Gram, the dual product is additive over MARKER
+        shards — ``A A^T = sum_s A_s A_s^T`` — so under marker sharding
+        each device runs the fused kernel on its local slab and a single
+        ``psum`` over "m" combines the N-space results: the same one
+        collective per CG iteration as the two-pass form (whose forward
+        ``A t`` ends in the identical psum), at HALF the HBM traffic."""
+        if self.backend != "pallas":
             return None
+        n_sh = self.mesh.devices.size if self.mesh is not None else 1
+        m_local = self.Mpad // n_sh
         Nw = int(self.words.shape[0])
-        tm = matvec._pick_aat_tm(Nw, self.Mpad)
-        if matvec.gram_aat_stripe_bytes(Nw, self.Mpad, tm) \
+        tm = matvec._pick_aat_tm(Nw, m_local)
+        if matvec.gram_aat_stripe_bytes(Nw, m_local, tm) \
                 > matvec._GRAM_BAND_MAX_BYTES:
             return None
         dtype = self.dtype
         scale2 = self.inv_sqrt_n * self.inv_sqrt_n
 
-        aat = (matvec.gram_aat_i8a_pallas if self.geno_complete
-               else matvec.gram_aat_i8_pallas)
+        aat_local = (matvec.gram_aat_i8a_pallas if self.geno_complete
+                     else matvec.gram_aat_i8_pallas)
+        if self.mesh is not None:
+            aat = jax.shard_map(
+                lambda g, v, mv, ms2: jax.lax.psum(aat_local(g, v, mv, ms2),
+                                                   "m"),
+                mesh=self.mesh,
+                in_specs=(P(None, "m"), P(None, None, None), P("m"), P("m")),
+                out_specs=P(None, None, None), check_vma=False)
+        else:
+            aat = aat_local
 
         def gram_aat_fn(op: BedOp, Up):
             v = Up.astype(op.msig.dtype) * op.na_planar[:, :, None]

@@ -209,6 +209,34 @@ def test_pallas_backend_under_mesh():
         np.asarray(g_ref.axm(jnp.asarray(X[: g_ref.Mpad]))), rtol=1e-5, atol=1e-7)
 
 
+def test_fused_dual_gram_under_mesh():
+    """The dual Gram is additive over marker shards (A A^T = sum_s A_s A_s^T),
+    so the shard_mapped fused kernel + one psum must match both the unsharded
+    fused operator and the two-pass composition on the same meshed data."""
+    import jax
+
+    rng = np.random.default_rng(23)
+    N, M = 130, 40
+    codes, y = random_dataset(rng, N, M)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("m",))
+    g_sh = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+                               backend="pallas", mesh=mesh)
+    g_ref = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+                                backend="pallas")
+    fn_sh, fn_ref = g_sh.fn_gram_aat(), g_ref.fn_gram_aat()
+    assert fn_sh is not None and fn_ref is not None
+    B = 3
+    Up = jnp.asarray(np.stack(
+        [np.asarray(g_sh.planarize(rng.normal(size=N))) for _ in range(B)],
+        axis=-1))
+    z_sh = np.asarray(jax.jit(fn_sh)(g_sh.op, Up))
+    z_ref = np.asarray(jax.jit(fn_ref)(g_ref.op, Up))
+    scale = np.abs(z_ref).max() + 1e-30
+    np.testing.assert_allclose(z_sh, z_ref, rtol=0, atol=5e-5 * scale)
+    z_two_pass = np.asarray(g_sh.axm(g_sh.atxm(Up)))
+    np.testing.assert_allclose(z_sh, z_two_pass, rtol=0, atol=5e-5 * scale)
+
+
 def test_no_missing_fast_path():
     """Complete (imputed) genotypes route through the a-only kernels and
     match the general path exactly."""
