@@ -114,6 +114,56 @@ def test_multi_trait_shard_invariance():
     np.testing.assert_allclose(x1, x8, rtol=1e-8, atol=1e-12)
 
 
+def test_multi_zmodel_shard_invariance():
+    """Multi-trait probit AND Huber results match between 1 device and an
+    8-device marker mesh (the z-model engines reuse the same sharded
+    matvec/psum machinery as the linear engine — reference collectives are
+    model-agnostic, vamp_probit.cpp / vamp_Huber.cpp)."""
+    import jax
+    from gvamp_tpu import probit, robust
+
+    rng = np.random.default_rng(61)
+    N, M, T = 300, 192, 2
+    codes = sim.random_genotypes(rng, M, N)
+    geno1 = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                                standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 12, 0.8)
+    ys_bin, ys_rob = [], []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        ys_bin.append(sim.simulate_probit_phenotype(geno1, beta, 1.0, rng))
+        x = geno1.pad_m(beta * np.sqrt(N))
+        g = geno1.deplanarize(geno1.ax(jnp.asarray(x)))[:N]
+        ys_rob.append(g + rng.standard_t(3.0, N) * 0.5)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("m",))
+    geno8 = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                                standardize_phen=False, dtype=jnp.float64,
+                                mesh=mesh)
+
+    pcfg = probit.ProbitConfig(max_iter=3, rho=0.25, gam1_init=1e-8, seed=3,
+                               stop_criteria_thr=0.0)
+    xp1, _, _ = multi.infer_probit(
+        multi.MultiPhen.build(geno1, ys_bin, standardize=False),
+        pcfg, probs_t, vars_t, verbose=False)
+    xp8, _, _ = multi.infer_probit(
+        multi.MultiPhen.build(geno8, ys_bin, standardize=False),
+        pcfg, probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(xp1, xp8, rtol=1e-8, atol=1e-12)
+
+    # Huber: 3 iterations only — its gamma trajectory chaotically amplifies
+    # ulp-level reduction-order differences past that (docs/ROUND3.md)
+    rcfg = robust.RobustConfig(max_iter=3, rho=0.25, gam1_init=1e-8, seed=3,
+                               stop_criteria_thr=0.0)
+    xr1, _, _ = multi.infer_huber(
+        multi.MultiPhen.build(geno1, ys_rob, standardize=False),
+        rcfg, probs_t, vars_t, verbose=False)
+    xr8, _, _ = multi.infer_huber(
+        multi.MultiPhen.build(geno8, ys_rob, standardize=False),
+        rcfg, probs_t, vars_t, verbose=False)
+    np.testing.assert_allclose(xr1, xr8, rtol=1e-6, atol=1e-10)
+
+
 def test_multi_probit_matches_single_runs():
     """Joint multi-trait probit == independent single probit runs."""
     from gvamp_tpu import probit
