@@ -24,4 +24,8 @@ echo "=== stage 4: bench.py (configs A, B, Bm, X) ==="
 BENCH_WAIT_TPU_S=60 python bench.py 2>&1
 echo "=== bench rc=$? $(date) ==="
 
+echo "=== stage 5: bench_engines (all engine families at 3.36 GB, scan mode) ==="
+python tools/bench_engines.py 2>&1
+echo "=== bench_engines rc=$? $(date) ==="
+
 echo "=== hw_round3 done $(date) ==="
