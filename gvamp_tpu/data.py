@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -615,7 +616,14 @@ class GenoBed:
         Matches the two-pass composition to f32 rounding (the composition
         quantizes z per GLOBAL column, the fused kernel per band — a
         strictly tighter dynamic range).
+
+        ``GVAMP_NO_FUSED_GRAM=1`` disables the fused kernels (two-pass
+        form everywhere) — an A/B lever for on-hardware pass-accounting
+        studies and a fallback if a platform lowers the band-cached
+        kernel poorly.
         """
+        if os.environ.get("GVAMP_NO_FUSED_GRAM", "") == "1":
+            return None
         if self.backend != "pallas" or self.mesh is not None:
             return None
         if (matvec.gram_band_bytes(int(self.words.shape[0]), self.Mpad)
@@ -659,7 +667,11 @@ class GenoBed:
         each device runs the fused kernel on its local slab and a single
         ``psum`` over "m" combines the N-space results: the same one
         collective per CG iteration as the two-pass form (whose forward
-        ``A t`` ends in the identical psum), at HALF the HBM traffic."""
+        ``A t`` ends in the identical psum), at HALF the HBM traffic.
+
+        ``GVAMP_NO_FUSED_GRAM=1`` disables it (see fn_gram)."""
+        if os.environ.get("GVAMP_NO_FUSED_GRAM", "") == "1":
+            return None
         if self.backend != "pallas":
             return None
         n_sh = self.mesh.devices.size if self.mesh is not None else 1
