@@ -177,3 +177,39 @@ def test_two_process_multi_trait(ds):
             str(ds["dir"] / f"mtm_phen{t}_it_{iters}.bin"), M, 0)
         np.testing.assert_allclose(m, s, rtol=1e-8, atol=1e-12,
                                    err_msg=f"trait {t}")
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_no_deadlock(ds):
+    """--checkpoint on a multi-process run: ckpt.save_state fetches every
+    state field with dist.to_numpy, whose reshard of sharded fields is a
+    COLLECTIVE all ranks must enter — a main-rank-only call deadlocks the
+    cluster (round-3 review finding).  Multi-trait exercises _multi_dump_cb
+    (dump branch + checkpoint branch); the checkpoint must land with
+    meta it == iterations and resumable state."""
+    iters = 2
+    port = _free_port()
+    ck = str(ds["dir"] / "ckpt_mt.npz")
+    args = _cli_args(ds, "ckmt", iters)
+    i = args.index("--phen-files")
+    args[i + 1] = f"{ds['dir'] / 't.phen'},{ds['dir'] / 't.phen'}"
+    args[args.index("--store-pvals") + 1] = "0"
+    args += ["--checkpoint", ck]
+    procs = [
+        _spawn(args + ["--distributed", "1",
+                       "--coordinator", f"localhost:{port}",
+                       "--n-processes", "2", "--process-id", str(i)],
+               n_devices=2)
+        for i in range(2)
+    ]
+    # generous but bounded: a deadlock must fail the test, not hang pytest
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    from gvamp_tpu import ckpt, multi
+    meta = ckpt.read_meta(ck)
+    assert meta["model"] == "linear" and meta["T"] == 2
+    assert int(meta["it"]) == iters
+    state, meta2 = ckpt.load_state(ck, multi.MultiState)
+    assert int(np.asarray(state.it)) == iters
+    assert np.isfinite(np.asarray(state.x1)).all()
