@@ -1,0 +1,159 @@
+"""Open-ended randomized robustness sweep across every engine and flag axis.
+
+Broader than tests/test_fuzz.py's fixed cases: each trial draws a random
+configuration over (shape, missingness, phenotype NAs, model family incl.
+the three multi-trait engines, dtype, h2, sync_every scan mode,
+gram_refresh, deflation, n_probes, XXT, --red, learn_vars, covariates)
+and checks the run stays finite.  Non-finite anything = FAIL (with the
+full config echoed for reproduction); a finite run with weak signal
+correlation = WARN (VAMP is legitimately fragile at small N — see
+docs/ROUND3.md on the Huber demo divergence — so only blowups are bugs).
+
+Designed for idle-CPU soak runs:  nice -n 19 python tools/fuzz_extended.py
+[n_trials] [seed0] >> /tmp/fuzz_ext.log 2>&1 &
+"""
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_bed(codes):
+    M, N = codes.shape
+    mb = (N + 3) // 4
+    by = np.zeros((M, mb), dtype=np.uint8)
+    for k in range(4):
+        cols = np.arange(k, N, 4)
+        by[:, (cols - k) // 4] |= (codes[:, cols].astype(np.uint8) << (2 * k))
+    return by
+
+
+def run_trial(seed):
+    import jax.numpy as jnp
+
+    from gvamp_tpu import linear, multi, probit, robust, sim
+    from gvamp_tpu.data import GenoBed
+
+    rng = np.random.default_rng(seed)
+    N = int(rng.integers(150, 1600))
+    M = int(rng.integers(96, 900))
+    miss = float(rng.choice([0.0, 0.0, 0.01, 0.05, 0.2]))
+    model = str(rng.choice(["linear", "linear", "bin_class", "robust",
+                            "multi-linear", "multi-probit", "multi-robust"]))
+    dtype = jnp.float32 if rng.random() < 0.7 else jnp.float64
+    h2 = float(rng.uniform(0.2, 0.95))
+    sync_every = int(rng.choice([1, 1, 3, 4]))
+    gram_refresh = int(rng.choice([1, 8, 3]))
+    deflate_k = int(rng.choice([0, 0, 0, 4])) if model == "linear" else 0
+    n_probes = int(rng.choice([1, 1, 2]))
+    use_xxt = bool(model == "linear" and M > N and rng.random() < 0.7)
+    red = bool(model == "linear" and not use_xxt and N >= 640
+               and rng.random() < 0.15)
+    learn_vars = bool(rng.random() < 0.5)
+    T = int(rng.integers(2, 5)) if model.startswith("multi") else 1
+    max_iter = int(rng.integers(4, 8))
+    cfgd = dict(max_iter=max_iter, rho=0.25, gam1_init=1e-8,
+                gram_refresh=gram_refresh, n_probes=n_probes,
+                learn_vars=learn_vars, stop_criteria_thr=0.0)
+
+    desc = (f"seed={seed} N={N} M={M} miss={miss} model={model} "
+            f"dt={'f32' if dtype == jnp.float32 else 'f64'} h2={h2:.2f} "
+            f"sync={sync_every} gr={gram_refresh} defl={deflate_k} "
+            f"P={n_probes} xxt={use_xxt} red={red} lv={learn_vars} T={T} "
+            f"it={max_iter}")
+
+    codes = sim.random_genotypes(rng, M, N, miss_rate=miss)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=dtype)
+    cv = max(M // 20, 2)
+    vars_t, probs_t = sim.two_group_prior(M, cv, h2)
+
+    def phen(bmodel, beta, r):
+        if bmodel == "bin_class":
+            return sim.simulate_probit_phenotype(geno, beta, 1.0, r)
+        y = sim.simulate_linear_phenotype(geno, beta, 1.0 / (1.0 - h2), r)
+        y[r.choice(N, max(N // 40, 1), replace=False)] = np.nan
+        return y
+
+    base = model.split("-")[-1] if model.startswith("multi") else model
+    base = {"linear": "linear", "probit": "bin_class", "bin_class":
+            "bin_class", "robust": "robust"}[base]
+    betas = [sim.simulate_mixture(rng, M, vars_t, probs_t)
+             for _ in range(max(T, 1))]
+    ys = [phen(base, b, rng) for b in betas]
+
+    if model.startswith("multi"):
+        mp = multi.MultiPhen.build(geno, ys,
+                                   standardize=(base != "bin_class"))
+        eng = {"multi-linear": (multi.infer, linear.VampConfig),
+               "multi-probit": (multi.infer_probit, probit.ProbitConfig),
+               "multi-robust": (multi.infer_huber, robust.RobustConfig)}[model]
+        run, cfg_cls = eng
+        x, state, hist = run(mp, cfg_cls(**cfgd), probs_t, vars_t,
+                             verbose=False, sync_every=sync_every)
+        corr = min(np.corrcoef(x[:, t], betas[t])[0, 1] for t in range(T))
+    else:
+        geno.set_phen(ys[0])
+        if model == "linear":
+            cfg = linear.VampConfig(use_xxt=use_xxt, red=red,
+                                    deflate_k=deflate_k, **cfgd)
+            x, state, hist = linear.infer(geno, cfg, probs_t, vars_t,
+                                          verbose=False,
+                                          sync_every=sync_every)
+        elif model == "bin_class":
+            x, state, hist = probit.infer(geno, probit.ProbitConfig(**cfgd),
+                                          probs_t, vars_t, verbose=False,
+                                          sync_every=sync_every)
+        else:
+            x, state, hist = robust.infer(geno, robust.RobustConfig(**cfgd),
+                                          probs_t, vars_t, verbose=False,
+                                          sync_every=sync_every)
+        corr = np.corrcoef(x, betas[0])[0, 1] if x.ndim == 1 else np.nan
+
+    bad = []
+    if not np.isfinite(np.asarray(x)).all():
+        bad.append("x non-finite")
+    for k in ("gam1", "gam2", "tau1"):
+        if k in hist[-1] and not np.isfinite(np.asarray(hist[-1][k])).all():
+            bad.append(f"{k} non-finite")
+    if not np.isfinite(corr):
+        bad.append("corr non-finite")
+    if bad:
+        return "FAIL", desc + " :: " + ", ".join(bad)
+    if corr < 0.1:
+        return "WARN", desc + f" :: weak corr {corr:.3f}"
+    return "OK", desc + f" :: corr {corr:.3f}"
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)  # make the f64 draws real f64
+    fails = warns = 0
+    for i in range(n):
+        seed = seed0 + i
+        t0 = time.time()
+        try:
+            status, msg = run_trial(seed)
+        except Exception:
+            status = "FAIL"
+            msg = f"seed={seed} :: EXCEPTION\n" + traceback.format_exc()
+        dt = time.time() - t0
+        if status == "FAIL":
+            fails += 1
+        elif status == "WARN":
+            warns += 1
+        print(f"[{i + 1}/{n}] {status} ({dt:.0f}s) {msg}", flush=True)
+    print(f"done: {fails} FAIL, {warns} WARN of {n}", flush=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
