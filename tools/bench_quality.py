@@ -1,0 +1,81 @@
+"""Biobank-scale inference-quality runs (the BASELINE.md headline rows).
+
+Full inference (not a timing synthetic) at N=327,680 x M=131,072 —
+10.74 GB packed, 5,000 causal markers, h2=0.5 — on one chip:
+
+  - linear: 12 VAMP iterations incl. compile; expect corr(x_hat, truth)
+    ~0.98, train R2 ~ h2, gamw -> ~true 2.0
+  - probit (binary phenotype): 10 iterations; expect corr ~0.92
+
+Usage: python tools/bench_quality.py [linear|probit|both]
+Run DETACHED on hardware (wedge protocol — see tools/hw_round3.sh).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N, M = 327680, 131072
+
+
+def run_linear(geno, lay, mpad, beta, probs_t, vars_t, rng):
+    from gvamp_tpu import linear, sim
+
+    y = sim.simulate_linear_phenotype(geno, beta[:M], 2.0, rng)
+    geno.set_phen(y)
+    cfg = linear.VampConfig(max_iter=12, rho=0.15, gam1_init=1e-8,
+                            gamw_init=2.0)
+    t0 = time.perf_counter()
+    x_hat, state, hist = linear.infer(geno, cfg, probs_t, vars_t,
+                                      true_signal=beta[:M], verbose=False,
+                                      sync_every=4)
+    wall = time.perf_counter() - t0
+    corr = np.corrcoef(x_hat, beta[:M])[0, 1]
+    print(f"linear: 12 its in {wall:.1f}s wall (incl. compile); "
+          f"corr(x_hat, truth)={corr:.4f} "
+          f"R2={float(hist[-1]['R2_train_1']):.4f} "
+          f"gamw={float(hist[-1]['gamw']):.3f}", flush=True)
+
+
+def run_probit(geno, lay, mpad, beta, probs_t, vars_t, rng):
+    from gvamp_tpu import probit, sim
+
+    y = sim.simulate_probit_phenotype(geno, beta[:M], 1.0, rng)
+    geno.set_phen(y)
+    cfg = probit.ProbitConfig(max_iter=10, rho=0.3, seed=2)
+    t0 = time.perf_counter()
+    x_hat, state, hist = probit.infer(geno, cfg, probs_t, vars_t,
+                                      true_signal=beta[:M], verbose=False,
+                                      sync_every=2)
+    wall = time.perf_counter() - t0
+    corr = np.corrcoef(x_hat, beta[:M])[0, 1]
+    print(f"probit: 10 its in {wall:.1f}s wall (incl. compile); "
+          f"corr(x_hat, truth)={corr:.4f}", flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    import jax
+
+    import bench  # repo-root: synth_geno
+    from gvamp_tpu import sim
+
+    geno, lay, mpad = bench.synth_geno(N, M)
+    print(f"# backend={jax.default_backend()} "
+          f"packed={lay.n_words * 4 * mpad / 1e9:.2f} GB", flush=True)
+    rng = np.random.default_rng(0)
+    vars_t, probs_t = sim.two_group_prior(M, 5000, 0.5)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    if which in ("linear", "both"):
+        run_linear(geno, lay, mpad, beta, probs_t, vars_t,
+                   np.random.default_rng(1))
+    if which in ("probit", "both"):
+        run_probit(geno, lay, mpad, beta, probs_t, vars_t,
+                   np.random.default_rng(2))
+
+
+if __name__ == "__main__":
+    main()

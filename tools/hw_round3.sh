@@ -28,4 +28,8 @@ echo "=== stage 5: bench_engines (all engine families at 3.36 GB, scan mode) ===
 python tools/bench_engines.py 2>&1
 echo "=== bench_engines rc=$? $(date) ==="
 
+echo "=== stage 6: bench_quality (biobank-scale inference quality, 10.74 GB) ==="
+python tools/bench_quality.py both 2>&1
+echo "=== bench_quality rc=$? $(date) ==="
+
 echo "=== hw_round3 done $(date) ==="
