@@ -32,6 +32,16 @@ def make_bed(codes):
     return by
 
 
+def _corr(x, beta):
+    """corr(x, truth), robust to degenerate draws: a mixture draw with zero
+    causal markers (possible at small M) makes corrcoef NaN with no engine
+    involvement — score it 1.0 so only real blowups fail."""
+    x, beta = np.asarray(x), np.asarray(beta)
+    if x.std() == 0.0 or beta.std() == 0.0:
+        return 1.0 if np.isfinite(x).all() else np.nan
+    return np.corrcoef(x, beta)[0, 1]
+
+
 def run_trial(seed):
     import jax.numpy as jnp
 
@@ -95,7 +105,8 @@ def run_trial(seed):
         run, cfg_cls = eng
         x, state, hist = run(mp, cfg_cls(**cfgd), probs_t, vars_t,
                              verbose=False, sync_every=sync_every)
-        corr = min(np.corrcoef(x[:, t], betas[t])[0, 1] for t in range(T))
+        corr = min((_corr(x[:, t], betas[t]) for t in range(T)),
+                   default=1.0)
     else:
         geno.set_phen(ys[0])
         if model == "linear":
@@ -112,7 +123,7 @@ def run_trial(seed):
             x, state, hist = robust.infer(geno, robust.RobustConfig(**cfgd),
                                           probs_t, vars_t, verbose=False,
                                           sync_every=sync_every)
-        corr = np.corrcoef(x, betas[0])[0, 1] if x.ndim == 1 else np.nan
+        corr = _corr(x, betas[0])
 
     bad = []
     if not np.isfinite(np.asarray(x)).all():
