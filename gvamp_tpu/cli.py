@@ -136,6 +136,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             _write_multi_scalar_history(opt.out_prefix, hist, mp.T)
         if opt.store_pvals:
             _store_pvals_multi(opt, geno, ys, state)
+        if opt.store_pip:
+            _store_pip(opt, geno, state, T=mp.T)
         return x_est, state, hist
 
     if opt.model == "linear":
@@ -164,6 +166,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             write_scalar_history(opt.out_prefix, hist)
         if opt.store_pvals:
             _store_pvals_after_infer(opt, geno, state)
+        if opt.store_pip:
+            _store_pip(opt, geno, state)
         return x_est, state, hist
 
     if opt.model == "bin_class" and len(opt.phen_files) > 1:
@@ -177,20 +181,26 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         cfg = probit.ProbitConfig(probit_var=opt.probit_var,
                                   **_common_cfg(opt, gam1, 1e-8))
         mp = multi.MultiPhen.build(geno, ys, standardize=False)
-        return multi.infer_probit(mp, cfg, probs, vars_user,
-                                  verbose=opt.verbosity > 0,
-                                  sync_every=opt.sync_every,
-                                  callbacks=[_multi_dump_cb(
-                                      opt, mp, cfg, tag="_probit")])
+        res = multi.infer_probit(mp, cfg, probs, vars_user,
+                                 verbose=opt.verbosity > 0,
+                                 sync_every=opt.sync_every,
+                                 callbacks=[_multi_dump_cb(
+                                     opt, mp, cfg, tag="_probit")])
+        if opt.store_pip:
+            _store_pip(opt, geno, res[1], tag="_probit", T=mp.T)
+        return res
 
     if opt.model == "bin_class":
         from gvamp_tpu import probit
         cfg = probit.ProbitConfig(probit_var=opt.probit_var,
                                   **_common_cfg(opt, gam1, 1e-8))
         dump.meta = {"cfg": dataclasses.asdict(cfg)}
-        return probit.infer(geno, cfg, probs, vars_user,
-                            phase_timers=bool(opt.phase_timers),
-                            sync_every=opt.sync_every, **common)
+        res = probit.infer(geno, cfg, probs, vars_user,
+                           phase_timers=bool(opt.phase_timers),
+                           sync_every=opt.sync_every, **common)
+        if opt.store_pip:
+            _store_pip(opt, geno, res[1], tag="_probit")
+        return res
 
     if opt.model == "robust" and len(opt.phen_files) > 1:
         # multi-trait Huber extension (gvamp_tpu/multi.py)
@@ -202,19 +212,25 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             ys.append(np.where(isna, np.nan, y))
         cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
         mp = multi.MultiPhen.build(geno, ys)
-        return multi.infer_huber(mp, cfg, probs, vars_user,
-                                 verbose=opt.verbosity > 0,
-                                 sync_every=opt.sync_every,
-                                 callbacks=[_multi_dump_cb(
-                                     opt, mp, cfg, tag="_robust")])
+        res = multi.infer_huber(mp, cfg, probs, vars_user,
+                                verbose=opt.verbosity > 0,
+                                sync_every=opt.sync_every,
+                                callbacks=[_multi_dump_cb(
+                                    opt, mp, cfg, tag="_robust")])
+        if opt.store_pip:
+            _store_pip(opt, geno, res[1], tag="_robust", T=mp.T)
+        return res
 
     if opt.model == "robust":
         from gvamp_tpu import robust
         cfg = robust.RobustConfig(**_common_cfg(opt, gam1, 1e-8))
         dump.meta = {"cfg": dataclasses.asdict(cfg)}
-        return robust.infer(geno, cfg, probs, vars_user,
-                            phase_timers=bool(opt.phase_timers),
-                            sync_every=opt.sync_every, **common)
+        res = robust.infer(geno, cfg, probs, vars_user,
+                           phase_timers=bool(opt.phase_timers),
+                           sync_every=opt.sync_every, **common)
+        if opt.store_pip:
+            _store_pip(opt, geno, res[1], tag="_robust")
+        return res
 
     raise SystemExit(f"invalid model {opt.model!r}")
 
@@ -277,6 +293,31 @@ def _write_multi_scalar_history(prefix, hist, T):
                     d[k] = v[t] if v.ndim else v
             ht.append(d)
         write_scalar_history(f"{prefix}_phen{t}", ht)
+
+
+def _store_pip(opt, geno, state, tag="", T=0):
+    """--store-pip: per-marker posterior inclusion probabilities
+    P(x != 0 | r1, gam1) at the final iterate (extension — the reference
+    computes this posterior only internally, as `pin` in updatePrior's EM,
+    vamp.cpp:979).  The engines run in the internal scale (r1 x sqrt(N),
+    vars x N), in which the responsibility form is the actual posterior,
+    so state fields feed prior.pip directly."""
+    from gvamp_tpu import prior as pr
+
+    def one(r1, gam1, probs, vars_, name):
+        p = dist.to_numpy(pr.pip(r1, gam1, pr.Prior(probs=probs,
+                                                    vars=vars_)))[: geno.M]
+        if dist.is_main():
+            vecio.write_bin_shard(name, p, geno.S)
+            print(f"pip -> {name}")
+
+    if T:
+        for t in range(T):
+            one(state.r1[:, t], state.gam1[t], state.probs[t], state.vars[t],
+                f"{opt.out_prefix}_phen{t}{tag}_pip.bin")
+    else:
+        one(state.r1, state.gam1, state.probs, state.vars,
+            f"{opt.out_prefix}{tag}_pip.bin")
 
 
 def _store_pvals_multi(opt, geno, ys, state):

@@ -62,6 +62,10 @@ class Options:
     gamma_damp: float = 1.0
     use_cross_val: int = 0          # live version of the reference's dormant
                                     # cross-validated damping (vamp.hpp:61)
+    store_pip: int = 0              # write per-marker posterior inclusion
+                                    # probabilities at the final iterate
+                                    # (extension; the reference only uses
+                                    # this posterior internally, vamp.cpp:979)
     # extensions beyond the reference CLI:
     type_data: str = "bed"          # bed | meth (reference data ctor arg,
                                     # data.hpp:93; meth = raw-double matrix
@@ -119,6 +123,7 @@ class Options:
                      ("--iterations", 1), ("--num-mix-comp", 0), ("--CV", 0),
                      ("--C", 0), ("--EM-max-iter", 2), ("--CG-max-iter", 60),
                      ("--learn-vars", 1), ("--store-pvals", 0),
+                     ("--store-pip", 0),
                      ("--use-lmmse-damp", 0), ("--use-XXT-denoiser", 0),
                      ("--use-freeze", 0), ("--init-est", 0), ("--red", 0),
                      ("--use-cross-val", 0),
@@ -216,6 +221,8 @@ class Options:
             fatal("--test-iter-range needs 0 <= first <= last")
         if self.store_pvals not in (0, 1, 2):
             fatal("--store-pvals must be 0 (both), 1 (LOO) or 2 (LOCO)")
+        if self.store_pip not in (0, 1):
+            fatal("--store-pip must be 0 or 1")
         if self.red not in (0, 1):
             fatal("--red must be 0 or 1")
         # flags with a linear-model-only implementation (matching the

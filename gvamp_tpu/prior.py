@@ -83,6 +83,27 @@ def g1d(r: jax.Array, gam1, prior: Prior) -> jax.Array:
     return jnp.where(jnp.abs(sigma) < 1e-10, jnp.ones_like(r), val)
 
 
+def pip(r: jax.Array, gam1, prior: Prior) -> jax.Array:
+    """Posterior inclusion probability P(x != 0 | r, gam1) per marker.
+
+    An output the reference does not expose: the same posterior appears as
+    `pin` inside updatePrior's EM (vamp.cpp:979) but is only consumed
+    internally.  Evaluated at the final (r1, gam1) it is the standard
+    fine-mapping PIP for the spike-and-slab posterior the denoiser
+    marginalizes over.  Same max-variance exponent shift as `_resp_terms`;
+    merged slots (prob 0) contribute nothing.  Slot 0 is the spike.
+    """
+    sigma = 1.0 / gam1
+    vmax = jnp.max(prior.vars)
+    v = prior.vars[None, :]
+    p = prior.probs[None, :]
+    r2 = jnp.square(r)[:, None]
+    vps = v + sigma
+    c = p / jnp.sqrt(vps) * jnp.exp(
+        -0.5 * r2 * (vmax - v) / (vps * (vmax + sigma)))
+    return 1.0 - c[:, 0] / jnp.sum(c, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("em_max_iter", "learn_vars"))
 def update_prior(
     r1: jax.Array,        # f[Mpad], padded entries arbitrary (masked out)

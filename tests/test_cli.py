@@ -413,3 +413,19 @@ def test_multi_trait_roundtrip_modes(dataset, tmp_path):
     with pytest.raises(SystemExit, match="multi-trait"):
         cli.main(args + ["--use-XXT-denoiser", "1",
                          "--out-dir", str(tmp_path), "--out-name", "mtx"])
+
+
+def test_store_pip(dataset):
+    """--store-pip writes final-iterate posterior inclusion probabilities:
+    in [0, 1], discriminating causal from null markers (AUC-style check)."""
+    ds = dataset
+    cli.main(_base_args(ds, "pip1", **{"store-pip": 1}))
+    p = vecio.read_bin_shard(str(ds["dir"] / "pip1_pip.bin"), ds["M"], 0)
+    assert p.shape == (ds["M"],)
+    assert (p >= 0).all() and (p <= 1).all()
+    causal = ds["beta"] != 0
+    # discrimination: causal markers carry far higher inclusion mass than
+    # null ones (some simulated effects are weak — compare, don't threshold)
+    assert p[causal].mean() > 4 * p[~causal].mean(), \
+        (p[causal].mean(), p[~causal].mean())
+    assert p[causal].max() > 0.9

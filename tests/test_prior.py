@@ -144,3 +144,35 @@ def test_initialize_prior_default_23():
     np.testing.assert_allclose(vars_[-1] * 1000, 1e2, rtol=1e-9)
     # probabilities sum to one
     np.testing.assert_allclose(np.sum(probs), 1.0, rtol=1e-9)
+
+
+def test_pip_matches_unshifted_bayes_posterior():
+    """pip == P(slab | r) by direct (unshifted) Bayes in f64, and behaves:
+    0 at r=0 under a dominant spike, -> 1 for |r| >> noise."""
+    from gvamp_tpu.prior import pip
+
+    probs = np.array([0.9, 0.07, 0.03])
+    vars_ = np.array([0.0, 0.5, 5.0])
+    gam1 = 2.5
+    sigma = 1.0 / gam1
+    r = np.linspace(-8.0, 8.0, 101)
+    dens = np.stack([p / np.sqrt(2 * np.pi * (v + sigma))
+                     * np.exp(-0.5 * r**2 / (v + sigma))
+                     for p, v in zip(probs, vars_)])
+    ref = 1.0 - dens[0] / dens.sum(axis=0)
+    prior = Prior(jnp.asarray(probs), jnp.asarray(vars_))
+    ours = np.asarray(pip(jnp.asarray(r), gam1, prior))
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-12)
+    assert (ours >= 0).all() and (ours <= 1).all()
+    assert ours[50] < 0.2 and ours[0] > 0.999 and ours[-1] > 0.999
+
+
+def test_pip_ignores_merged_zero_prob_slots():
+    """A merged slot (prob 0, duplicated var) must not perturb the pip."""
+    from gvamp_tpu.prior import pip
+
+    r = jnp.linspace(-4.0, 4.0, 17)
+    base = Prior(jnp.array([0.8, 0.2]), jnp.array([0.0, 1.0]))
+    merged = Prior(jnp.array([0.8, 0.2, 0.0]), jnp.array([0.0, 1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(pip(r, 3.0, base)),
+                               np.asarray(pip(r, 3.0, merged)), rtol=1e-12)
