@@ -39,6 +39,18 @@ def _clamp_gamma(x):
     return jnp.clip(x, GAMMA_MIN, GAMMA_MAX)
 
 
+def geo_damp(new, old, s, active):
+    """Geometric (log-domain) damping of a precision update:
+    old^(1-s) * new^s where `active`, else `new` untouched.
+
+    The standard VAMP stabilizer for the gam/tau recurrences — a
+    multiplicative trust region bounding each iteration's log-step to s
+    times the raw one.  s=1.0 is the identity (reference dynamics)."""
+    damped = jnp.exp((1.0 - s) * jnp.log(jnp.maximum(old, GAMMA_MIN))
+                     + s * jnp.log(jnp.maximum(new, GAMMA_MIN)))
+    return jnp.where(active, damped, new)
+
+
 def _cast_like(new, ref):
     """Cast a pytree to the dtypes of a reference pytree (loop-carry hygiene:
     weak-type promotion rules differ across environments)."""
@@ -99,6 +111,18 @@ class VampConfig:
                                  # gamw trace over it (reference --red,
                                  # vamp.cpp:561-596, 884, 907-916) — ~10x
                                  # cheaper packed passes inside the CG
+    stab_gamma: float = 1.0      # geometric trust region on the gam1/tau1
+                                 # recurrences (probit + Huber engines):
+                                 # gam <- gam_old^(1-s) * gam_new^s.  1.0
+                                 # (default) = reference dynamics.  s < 1
+                                 # bounds the per-iteration log-step of the
+                                 # precisions, rescuing the small-N /
+                                 # heavy-tail runs where the reference's
+                                 # unguarded alpha2->0 collapse at it 2
+                                 # explodes gam1 by ~1e6 and the loop never
+                                 # recovers (extension; no reference analog
+                                 # — vamp_Huber.cpp:355 / vamp_probit.cpp:571
+                                 # leave these unguarded)
 
 
 class LinState(NamedTuple):

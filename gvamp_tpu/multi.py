@@ -27,7 +27,7 @@ from jax.sharding import PartitionSpec as P
 
 from gvamp_tpu import cg
 from gvamp_tpu.data import GenoBed
-from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma
+from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma, geo_damp
 from gvamp_tpu.ops import matvec
 from gvamp_tpu.prior import Prior, g1, g1d, update_prior
 
@@ -891,6 +891,12 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
         p1_new = ((z2f - beta2[None, :] * p2f)
                   / (1.0 - beta2)[None, :]) * nmf[:, None]
         tau1_new = _clamp_gamma(tau2 * (1.0 - beta2) / beta2)
+        # --stab-gamma geometric trust region on the per-trait gam1/tau1
+        # recurrences (extension; see linear.VampConfig.stab_gamma)
+        if cfg.stab_gamma < 1.0:
+            s_ = jnp.asarray(cfg.stab_gamma, tau1_new.dtype)
+            gam1_new = geo_damp(gam1_new, state.gam1, s_, it > 1)
+            tau1_new = geo_damp(tau1_new, state.tau1, s_, it > 1)
 
         rel_change = jnp.sqrt(
             jnp.sum(jnp.square(x1_prev - x1), axis=0) /
@@ -1110,6 +1116,12 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
         p1_new = ((z2f - beta2[None, :] * p2f)
                   / (1.0 - beta2)[None, :]) * nmf[:, None]
         tau1_new = _clamp_gamma(tau2 * (1.0 - beta2) / beta2)
+        # --stab-gamma geometric trust region on the per-trait gam1/tau1
+        # recurrences (extension; see linear.VampConfig.stab_gamma)
+        if cfg.stab_gamma < 1.0:
+            s_ = jnp.asarray(cfg.stab_gamma, tau1_new.dtype)
+            gam1_new = geo_damp(gam1_new, state.gam1, s_, it > 1)
+            tau1_new = geo_damp(tau1_new, state.tau1, s_, it > 1)
 
         rel_change = jnp.sqrt(
             jnp.sum(jnp.square(x1_prev - x1), axis=0) /

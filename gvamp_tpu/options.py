@@ -66,6 +66,13 @@ class Options:
                                     # probabilities at the final iterate
                                     # (extension; the reference only uses
                                     # this posterior internally, vamp.cpp:979)
+    stab_gamma: float = 1.0         # geometric trust region on the gam1/tau1
+                                    # recurrences of the z-model engines
+                                    # (bin_class/robust, single- and
+                                    # multi-trait); 1.0 = reference dynamics.
+                                    # Rescues late-iteration precision
+                                    # collapse at small N (extension; see
+                                    # linear.VampConfig.stab_gamma)
     # extensions beyond the reference CLI:
     type_data: str = "bed"          # bed | meth (reference data ctor arg,
                                     # data.hpp:93; meth = raw-double matrix
@@ -139,7 +146,7 @@ class Options:
                      ("--stop-criteria-thr", 1e-4), ("--EM-err-thr", 1e-2),
                      ("--alpha-scale", 1.0), ("--probit-var", 1.0),
                      ("--gamw-init", 0.0), ("--gam1-init", -1.0),
-                     ("--gamma-damp", 1.0)]:
+                     ("--gamma-damp", 1.0), ("--stab-gamma", 1.0)]:
             flag(f, type=float, default=d)
         for f in ["--phen-files", "--phen-files-test", "--true-signal-files"]:
             flag(f, type=lambda s: s.split(","), default=[])
@@ -225,6 +232,14 @@ class Options:
             fatal("--store-pip must be 0 or 1")
         if self.red not in (0, 1):
             fatal("--red must be 0 or 1")
+        if not (0.0 < self.stab_gamma <= 1.0):
+            fatal("--stab-gamma must be in (0, 1]")
+        if self.stab_gamma != 1.0 and self.model == "linear":
+            # the linear engine has its own stabilizers (--use-lmmse-damp,
+            # --gamma-damp, --use-cross-val); reject rather than silently
+            # ignore
+            fatal("--stab-gamma is only supported for "
+                  "--model bin_class/robust")
         # flags with a linear-model-only implementation (matching the
         # reference, where they live in infere_linear / vamp.cpp): reject
         # rather than silently ignore on other model families

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gvamp_tpu import cg
-from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma, make_bern_probe
+from gvamp_tpu.linear import (VampConfig, _cast_like, _clamp_gamma, geo_damp,
+                              make_bern_probe)
 from gvamp_tpu.prior import GAMMA_MIN, Prior, g1, g1d, update_prior
 
 # deltaH M-step grid (vamp_Huber.cpp:259)
@@ -343,6 +344,12 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
                          _clamp_gamma(1.0 / (1.0 / eta2 + l2x2r2 / Mt)), gam2)
         r1 = ((x2 - alpha2 * r2) / (1.0 - alpha2)) * m_mask
         gam1_new = gam2 * (1.0 - alpha2) / alpha2
+        # --stab-gamma geometric trust region (extension; reference leaves
+        # this recurrence unguarded, vamp_Huber.cpp:355 — see VampConfig)
+        if cfg.stab_gamma < 1.0:
+            gam1_new = geo_damp(gam1_new, state.gam1,
+                                jnp.asarray(cfg.stab_gamma, gam1_new.dtype),
+                                it > 1)
         w = dict(w)
         w.update(x2=x2, alpha2=alpha2, gam2=gam2, r1=r1, gam1_new=gam1_new,
                  cg_iters=sol.iters[0], mu_cg=sol.mu[:, 0],
@@ -370,6 +377,10 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         tau2 = jnp.where(it > 1, 1.0 / (1.0 / zeta2 + l2z2p2 / N), tau2)
         p1_new = ((z2f - beta2 * p2f) / (1.0 - beta2)) * nm
         tau1_new = _clamp_gamma(tau2 * (1.0 - beta2) / beta2)
+        if cfg.stab_gamma < 1.0:
+            tau1_new = geo_damp(tau1_new, state.tau1,
+                                jnp.asarray(cfg.stab_gamma, tau1_new.dtype),
+                                it > 1)
 
         rel_change = jnp.sqrt(
             jnp.sum(jnp.square(x1_prev - x1)) /

@@ -130,3 +130,25 @@ def test_block_cg_zero_rhs_column_finishes():
     assert int(res.iters[1]) <= 1
     np.testing.assert_allclose(np.asarray(res.mu)[:, 1], 0.0, atol=1e-12)
     assert int(res.iters[0]) < 50  # real column converged normally
+
+
+def test_geo_damp_properties():
+    """geo_damp: s=1 identity, inactive passthrough, bounded log-step."""
+    import numpy as np
+    from gvamp_tpu.linear import geo_damp
+
+    old, new = jnp.asarray(2.0), jnp.asarray(2.0e6)
+    # s=1: raw update
+    np.testing.assert_allclose(float(geo_damp(new, old, 1.0, True)), 2.0e6)
+    # inactive: raw update regardless of s
+    np.testing.assert_allclose(float(geo_damp(new, old, 0.3, False)), 2.0e6)
+    # s=0.5: geometric mean — log-step halved
+    np.testing.assert_allclose(float(geo_damp(new, old, 0.5, True)),
+                               float(jnp.sqrt(old * new)), rtol=1e-6)
+    # monotone: damped value lies between old and new
+    for s in (0.25, 0.75):
+        v = float(geo_damp(new, old, s, True))
+        assert float(old) < v < float(new)
+    # elementwise over vectors (multi-trait use)
+    v = geo_damp(jnp.asarray([1e6, 1e-6]), jnp.asarray([1.0, 1.0]), 0.5, True)
+    np.testing.assert_allclose(np.asarray(v), [1e3, 1e-3], rtol=1e-5)

@@ -342,3 +342,43 @@ def test_multi_fused_gram_matches_two_pass(monkeypatch):
     for t in range(T):
         np.testing.assert_allclose(float(h_f[-1]["gam1"][t]),
                                    float(h_t[-1]["gam1"][t]), rtol=2e-4)
+
+
+def test_multi_zmodel_stab_gamma_identity():
+    """--stab-gamma in the multi-trait z-model engines: the it-2 per-trait
+    gam1/tau1 recurrences damp to old^(1-s) * new^s of the undamped run
+    (same identity as the single-trait tests; covers both wiring sites in
+    multi.py's probit and Huber steps)."""
+    from gvamp_tpu import probit, robust
+
+    rng = np.random.default_rng(29)
+    N, M, T = 300, 192, 2
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False, dtype=jnp.float64)
+    vars_t, probs_t = sim.two_group_prior(M, 12, 0.8)
+    ys_bin, ys_rob = [], []
+    for t in range(T):
+        beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+        ys_bin.append(sim.simulate_probit_phenotype(geno, beta, 1.0, rng))
+        g = geno.deplanarize(geno.ax(jnp.asarray(
+            geno.pad_m(beta * np.sqrt(N)))))[:N]
+        ys_rob.append(g + rng.standard_t(3.0, N) * 0.5)
+
+    s = 0.5
+    for cfg_cls, run, ys in (
+            (probit.ProbitConfig, multi.infer_probit, ys_bin),
+            (robust.RobustConfig, multi.infer_huber, ys_rob)):
+        hs = {}
+        for sg in (1.0, s):
+            cfg = cfg_cls(max_iter=2, rho=0.25, gam1_init=1e-8, seed=3,
+                          stop_criteria_thr=0.0, stab_gamma=sg)
+            _, _, hs[sg] = run(multi.MultiPhen.build(geno, ys,
+                                                     standardize=False),
+                               cfg, probs_t, vars_t, verbose=False)
+        for k in ("gam1", "tau1"):
+            old = np.asarray(hs[1.0][0][k], float)
+            np.testing.assert_array_equal(old, np.asarray(hs[s][0][k], float))
+            want = old ** (1 - s) * np.asarray(hs[1.0][1][k], float) ** s
+            np.testing.assert_allclose(np.asarray(hs[s][1][k], float), want,
+                                       rtol=1e-8)

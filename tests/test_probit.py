@@ -174,3 +174,31 @@ def test_probit_gram_tracking_matches_true_init_mult():
     for k in ("gam1", "gam2", "tau1", "alpha2"):
         np.testing.assert_allclose(float(h_k[-1][k]), float(h_t[-1][k]),
                                    rtol=5e-4)
+
+
+def test_stab_gamma_geometric_recurrence_identity_probit():
+    """Probit analog of test_robust's --stab-gamma identity: the it-2
+    gam1/tau1 recurrences damp to exactly old^(1-s) * new^s of the
+    undamped run (trajectories coincide through it 1)."""
+    rng = np.random.default_rng(8)
+    N, M = 600, 160
+    codes = sim.random_genotypes(rng, M, N)
+    geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
+                               standardize_phen=False)
+    vars_t, probs_t = sim.two_group_prior(M, 12, 0.9)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    geno.set_phen(sim.simulate_probit_phenotype(geno, beta, 1.0, rng))
+
+    def run(s):
+        cfg = probit.ProbitConfig(max_iter=2, rho=0.3, seed=2,
+                                  stop_criteria_thr=0.0, stab_gamma=s)
+        return probit.infer(geno, cfg, probs_t, vars_t, verbose=False)
+
+    s = 0.5
+    _, _, h_ref = run(1.0)
+    _, _, h_dmp = run(s)
+    for k in ("gam1", "tau1"):
+        old = float(h_ref[0][k])
+        assert old == float(h_dmp[0][k])
+        want = old ** (1 - s) * float(h_ref[1][k]) ** s
+        np.testing.assert_allclose(float(h_dmp[1][k]), want, rtol=1e-4)

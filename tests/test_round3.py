@@ -48,6 +48,8 @@ BASE_ARGS = ["--run-mode", "infere", "--bed-file", "x.bed",
     BASE_ARGS + ["--test-iter-range", "5,2"],
     BASE_ARGS + ["--probs", "0.5,0.5", "--vars", "0.0,0.1,0.2"],
     BASE_ARGS + ["--model", "bin_class", "--gamma-damp", "0.5"],
+    BASE_ARGS + ["--stab-gamma", "0.0"],                # out of (0, 1]
+    BASE_ARGS + ["--stab-gamma", "0.5"],                # linear-only reject
     BASE_ARGS + ["--model", "robust", "--red", "1"],
     BASE_ARGS + ["--model", "bin_class", "--use-XXT-denoiser", "1"],
     BASE_ARGS + ["--red", "1", "--use-XXT-denoiser", "1"],
