@@ -1221,17 +1221,22 @@ def _gram_aat_i8_kernel(nJ, B, tnw, g_ref, vt_ref, vs_ref, mave_ref,
         bv = fold(t32b[...])
         W = msig2[None, :] * (av - mave[None, :] * bv)      # [B, tm]
         mU = -mave[None, :] * W
-        S = jnp.concatenate([W[:, None, :], mU[:, None, :]], axis=1)
-        m = jnp.max(jnp.abs(S), axis=(1, 2))                 # [B]
+        # shared-scale digit pair, quantized rank-2 (a rank-3 concat here
+        # crashes Mosaic's VectorLayoutInferer on v5e — layout.h join
+        # check failure; mathematically identical either way)
+        m = jnp.maximum(jnp.max(jnp.abs(W), axis=1),
+                        jnp.max(jnp.abs(mU), axis=1))        # [B]
         s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
         wsc[...] = s0[None, :]
-        r = S                                                # [B, 2, tm]
+        rw, ru = W, mU
         s = s0
         for d in range(_NDIG):
-            dig = jnp.round(r / s[:, None, None])
-            w8[d * B:(d + 1) * B, :] = dig[:, 0, :].astype(jnp.int8)
-            mu8[d * B:(d + 1) * B, :] = dig[:, 1, :].astype(jnp.int8)
-            r = r - dig * s[:, None, None]
+            dw = jnp.round(rw / s[:, None])
+            du = jnp.round(ru / s[:, None])
+            w8[d * B:(d + 1) * B, :] = dw.astype(jnp.int8)
+            mu8[d * B:(d + 1) * B, :] = du.astype(jnp.int8)
+            rw = rw - dw * s[:, None]
+            ru = ru - du * s[:, None]
             s = s / 127.0
 
     @pl.when(i == 0)
