@@ -686,6 +686,8 @@ def mode_pvals_calc(opt: Options):
     """LOO/LOCO p-values for stored estimates (main_real.cpp:331-452).
     Multi-trait: each trait's series is residualized against its own
     phenotype and written with the ``_phen{t}`` tag (extension)."""
+    import jax.numpy as jnp
+
     from gvamp_tpu.ops import pvals as pv
     geno = _load_geno(opt)
     sqn = np.sqrt(geno.N)
@@ -695,17 +697,24 @@ def mode_pvals_calc(opt: Options):
             y_raw, isna = plink.read_phen(pf)
             geno.set_phen(np.where(isna, np.nan, y_raw),
                           standardize=(opt.model != "bin_class"))
-        for it, est in _estimate_series(opt, geno.M, geno.S, tag=ttag):
-            tag = ttag + (f"_it_{it}" if it != -1 else "")
-            x1 = geno.pad_m(est * sqn)
-            z1 = geno.ax(x1)
-            if opt.store_pvals in (0, 1):
-                p = pv.loo_pvals(geno, z1, x1)
+        series = [(it, geno.pad_m(est * sqn))
+                  for it, est in _estimate_series(opt, geno.M, geno.S,
+                                                  tag=ttag)]
+        tags = [ttag + (f"_it_{it}" if it != -1 else "") for it, _ in series]
+        # the whole estimate series batches into ONE axm pass + ONE
+        # moments pass (reference nE batch, data.cpp:1155-1183) instead
+        # of re-streaming the packed matrix per stored iteration
+        x1s = jnp.stack([x1 for _, x1 in series], axis=1)
+        z1s = geno.axm(x1s)
+        if opt.store_pvals in (0, 1):
+            ps = pv.loo_pvals_multi(geno, z1s, x1s)
+            for tag, p in zip(tags, ps):
                 vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals.bin", p,
                                       geno.S)
-            if opt.bim_file and opt.store_pvals in (0, 2):
+        if opt.bim_file and opt.store_pvals in (0, 2):
+            for e, (tag, (it, x1)) in enumerate(zip(tags, series)):
                 p = pv.loco_pvals(
-                    geno, z1, x1, geno.chromosomes(),
+                    geno, z1s[..., e], x1, geno.chromosomes(),
                     predictor_cb=_loco_predictor_writer(opt, geno, tag))
                 vecio.write_bin_shard(f"{opt.out_prefix}{tag}_pvals_LOCO.bin",
                                       p, geno.S)

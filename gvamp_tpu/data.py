@@ -41,9 +41,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_backend(backend: str) -> str:
+def _pick_backend(backend: str, dtype=jnp.float32) -> str:
+    """Resolve the matvec backend; honors an f64 request (VERDICT r3 #6).
+
+    The pallas path quantizes right-hand sides into int8 digits (~1e-7
+    accuracy) — honest for f32 but a silent downgrade for an explicit
+    ``--dtype float64`` request.  ``auto`` therefore routes f64 to the XLA
+    decode path (true f64 accumulation, slower on TPU where f64 is
+    emulated), and an explicit ``pallas`` + f64 combination is rejected
+    here and in Options.check rather than silently degraded."""
+    f64 = jnp.dtype(dtype) == jnp.float64
+    if backend == "pallas" and f64:
+        raise ValueError(
+            "--backend pallas cannot honor --dtype float64: the pallas "
+            "kernels quantize to int8 digits (~1e-7).  Use --backend xla "
+            "for true float64, or --dtype float32 with pallas.")
     if backend != "auto":
         return backend
+    if f64:
+        return "xla"
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -187,7 +203,7 @@ class GenoBed:
             y_planar=jnp.asarray(lay.planarize(y), dtype),
             nonas=nonas, intercept=avg, scale=sqn,
             alpha_scale=alpha_scale, bim_path=bim_path,
-            mesh=mesh, backend=_pick_backend(backend), dtype=dtype,
+            mesh=mesh, backend=_pick_backend(backend, dtype), dtype=dtype,
         )
         obj.compute_marker_statistics()
         return obj
@@ -225,7 +241,7 @@ class GenoBed:
             na_planar=jnp.asarray(lay.planarize(na), dtype),
             y_planar=jnp.asarray(lay.planarize(y), dtype),
             nonas=nonas, intercept=avg, scale=sqn, alpha_scale=alpha_scale,
-            bim_path=bim_path, mesh=mesh, backend=_pick_backend(backend),
+            bim_path=bim_path, mesh=mesh, backend=_pick_backend(backend, dtype),
             dtype=dtype,
         )
         obj.compute_marker_statistics()
@@ -617,11 +633,21 @@ class GenoBed:
         quantizes z per GLOBAL column, the fused kernel per band — a
         strictly tighter dynamic range).
 
-        ``GVAMP_NO_FUSED_GRAM=1`` disables the fused kernels (two-pass
-        form everywhere) — an A/B lever for on-hardware pass-accounting
-        studies and a fallback if a platform lowers the band-cached
-        kernel poorly.
+        **Default: OFF (two-pass).** The round-4 burst study (BENCH_r04,
+        docs/ROOFLINE.md) settled the round-3 question on hardware: these
+        decode kernels are VPU-decode-bound (~630-780 GB/s-packed per
+        decode), not HBM-bound, and the fused kernel still decodes every
+        word twice (forward + cached-band transpose) — so halving the HBM
+        traffic buys nothing while the band-boundary fold/requantize adds
+        cost.  Measured at 1.68 GB: fused 6.10 ms vs two-pass 5.32 ms
+        (complete), 10.24 vs 8.90 (missing); end-to-end config B
+        0.157 -> 0.136 s/iteration with two-pass.  ``GVAMP_FUSED_GRAM=1``
+        forces the fused kernels back on (kernel studies / platforms where
+        the trade-off flips); ``GVAMP_NO_FUSED_GRAM=1`` still forces OFF
+        (also disabling the dual fused Gram, see fn_gram_aat).
         """
+        if os.environ.get("GVAMP_FUSED_GRAM", "") != "1":
+            return None
         if os.environ.get("GVAMP_NO_FUSED_GRAM", "") == "1":
             return None
         if self.backend != "pallas" or self.mesh is not None:
@@ -669,7 +695,11 @@ class GenoBed:
         collective per CG iteration as the two-pass form (whose forward
         ``A t`` ends in the identical psum), at HALF the HBM traffic.
 
-        ``GVAMP_NO_FUSED_GRAM=1`` disables it (see fn_gram)."""
+        **Default: ON** — unlike the primal fused Gram (see fn_gram), the
+        dual kernel WINS on hardware: its a-only variant decodes only the
+        a-plane on both sides and measured 0.021 vs 0.023 s/iteration at
+        the X config (BENCH_r04).  ``GVAMP_NO_FUSED_GRAM=1`` disables it
+        (two-pass everywhere)."""
         if os.environ.get("GVAMP_NO_FUSED_GRAM", "") == "1":
             return None
         if self.backend != "pallas":

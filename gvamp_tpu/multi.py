@@ -181,7 +181,16 @@ class MultiPhen:
     def fn_gram(self):
         """Fused per-column Gram ``gram_fn(op, X, cols) -> A^T(A X)`` (one
         packed pass, per-trait NA masks and standardization) or None — the
-        multi-trait analog of GenoBed.fn_gram."""
+        multi-trait analog of GenoBed.fn_gram.
+
+        Default OFF like GenoBed.fn_gram (the round-4 burst study showed
+        the primal fused kernels lose to the two-pass form on v5e —
+        decode-bound, not HBM-bound); ``GVAMP_FUSED_GRAM=1`` forces on."""
+        import os
+        if os.environ.get("GVAMP_FUSED_GRAM", "") != "1":
+            return None
+        if os.environ.get("GVAMP_NO_FUSED_GRAM", "") == "1":
+            return None
         geno = self.geno
         if geno.backend != "pallas" or geno.mesh is not None:
             return None
@@ -1062,9 +1071,9 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
     denoise_x = _make_x_denoiser(mp, cfg)
     lmmse_z = _make_zmodel_lmmse(mp, cfg, axm_fn, atxm_fn)
     em_t = jax.vmap(
-        lambda k, p1_, t1_, d_, y_, nm_: em_deltaH(
-            k, p1_, t1_, d_, y_, nm_, num_mc=cfg.mc_steps),
-        in_axes=(0, 1, 0, 0, 1, None))
+        lambda k, p1_, t1_, y_, nm_: em_deltaH(
+            k, p1_, t1_, y_, nm_, num_mc=cfg.mc_steps),
+        in_axes=(0, 1, 0, 1, None))
 
     def step(state: HuberMultiState, aux):
         op, m_mask = aux.op, aux.m_mask
@@ -1096,7 +1105,7 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
                          _clamp_gamma(1.0 / (1.0 / zeta1 + l2zp / N)), tau1)
 
         key, sub = jax.random.split(state.key)
-        delta = em_t(jax.random.split(sub, T), p1f, tau1, delta, yf, nmf)
+        delta = em_t(jax.random.split(sub, T), p1f, tau1, yf, nmf)
 
         p2f = ((z1f - beta1[None, :] * p1f) / (1.0 - beta1)[None, :]) * nmf[:, None]
         tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)

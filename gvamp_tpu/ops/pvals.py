@@ -11,7 +11,19 @@ every sufficient statistic expands into marker-linear contractions of the
 decode (a, b) against the FIXED vectors {na, y_mod, y_mod^2} plus one
 quadratic moment sum a^2*na — one pass over the packed matrix reproduces the
 exact (sumx, sumsqx, sumxy, sumy, sumsqy, count) the reference accumulates
-per marker; the t-test is betainc-based Student-t (utilities.cpp:321-334).
+per marker.
+
+Multiple estimates (the reference's nE batch, data.cpp:1155-1183) ride the
+SAME decode pass: each extra estimate adds two contraction vectors
+(y_mod_e, y_mod_e^2), so a 20-estimate ``--test-iter-range`` sweep costs one
+``_moments`` pass + one wide ``axm`` pass instead of 20 re-streams.
+
+The t-test itself is computed on the HOST in float64 REGARDLESS of the
+engine dtype: the sufficient statistics are M-length, so the fold +
+Student-t survival function (scipy.special.betainc — the double-precision
+analog of the reference's boost students_t, utilities.cpp:321-334) cost
+nothing, while the default f32 device dtype would flush two-sided p-values
+below ~1e-38 to zero — fatal for biobank GWAS where top hits reach 1e-100s.
 """
 
 from __future__ import annotations
@@ -23,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gvamp_tpu.ops import matvec
-from gvamp_tpu.ops.special import student_t_sf2
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -56,35 +67,83 @@ def _moments(words, vecs, na, block=256):
     return av, bv, aa
 
 
+def _student_t_sf2_np(t: np.ndarray, df: np.ndarray) -> np.ndarray:
+    """Two-sided Student-t p-value in float64 (reference linear_reg1d_pvals,
+    utilities.cpp:321-334, whose boost students_t is double-precision).
+
+    p = I_{df/(df+t^2)}(df/2, 1/2) — regularized incomplete beta."""
+    from scipy.special import betainc
+    t = np.asarray(t, np.float64)
+    df = np.asarray(df, np.float64)
+    x = df / (df + t * t)
+    return betainc(df / 2.0, 0.5, x)
+
+
 def _reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n):
-    """1-D regression t-test (reference linear_reg1d_pvals,
-    utilities.cpp:321-334)."""
-    s2y = (sumsqy - sumy * sumy / n) / (n - 1)
-    s2x = (sumsqx - sumx * sumx / n) / (n - 1)
-    sxy = (sumxy - sumx * sumy / n) / (n - 1)
-    rxy = sxy / jnp.sqrt(s2x * s2y)
-    t = rxy * jnp.sqrt((n - 2) / jnp.maximum(1.0 - rxy * rxy, 1e-300))
-    return student_t_sf2(t, n - 2)
+    """1-D regression t-test in HOST float64 (all inputs np.float64).
+
+    Matches the reference's double-precision linear_reg1d_pvals
+    (utilities.cpp:321-334) even when the device moments were f32: the
+    rxy -> t -> betainc chain is where f32 loses GWAS-scale p-values
+    (underflow below ~1e-38, ~1e-7 precision), so it runs in f64 here."""
+    # padded/degenerate markers (n = 0) divide to nan and fold to p = 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s2y = (sumsqy - sumy * sumy / n) / (n - 1)
+        s2x = (sumsqx - sumx * sumx / n) / (n - 1)
+        sxy = (sumxy - sumx * sumy / n) / (n - 1)
+        rxy = sxy / np.sqrt(s2x * s2y)
+        t = rxy * np.sqrt((n - 2) / np.maximum(1.0 - rxy * rxy, 1e-300))
+    p = _student_t_sf2_np(np.where(np.isfinite(t), t, 0.0), np.maximum(n - 2, 1.0))
+    return np.where(np.isfinite(t), p, 1.0)
 
 
-def _pvals_from_target(geno, y_target_planar, x1_internal, block):
-    """Sufficient stats + t-test for y_mark = y_target + s_k value_k."""
-    na = geno.na_planar
-    yc = y_target_planar * na
-    vecs = jnp.stack([na.astype(geno.dtype), yc, yc * yc])
-    av, bv, aa_na = _moments(geno.words, vecs, na.astype(geno.dtype), block=block)
-    a_na, a_y = av[0], av[1]
-    b_na, b_y, b_yy = bv[0], bv[1], bv[2]
-    mave, msig = geno.mave, geno.msig
-
+def _shared_stats(geno, av0, bv0, aa_na):
+    """(sumx, sumsqx, b_na) in host f64 from the na-contraction moments."""
+    from gvamp_tpu import dist
+    mave = dist.to_numpy(geno.mave).astype(np.float64)
+    msig = dist.to_numpy(geno.msig).astype(np.float64)
+    a_na = dist.to_numpy(av0).astype(np.float64)
+    b_na = dist.to_numpy(bv0).astype(np.float64)
+    aa = dist.to_numpy(aa_na).astype(np.float64)
     sumx = msig * (a_na - mave * b_na)
-    sumsqx = msig**2 * (aa_na - 2 * mave * a_na + mave**2 * b_na)
-    vy = msig * (a_y - mave * b_y)       # sum value * y_target
-    s = x1_internal * geno.inv_sqrt_n    # marker-k add-back scale
-    sumxy = vy + s * sumsqx
-    sumy = b_y + s * sumx
-    sumsqy = b_yy + 2 * s * vy + s**2 * sumsqx
-    return _reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, b_na)
+    sumsqx = msig**2 * (aa - 2 * mave * a_na + mave**2 * b_na)
+    return sumx, sumsqx, b_na, mave, msig
+
+
+def loo_pvals_multi(geno, z1s_planar, x1s_internal):
+    """LOO p-values for E estimates in ONE decode pass (reference
+    pvals_calc's nE batch, data.cpp:1108-1226, nE loop at 1155-1183).
+
+    z1s_planar: [4, Nb, E] forward products A @ x1_e;
+    x1s_internal: [Mpad, E] internal-scale estimates.
+    Returns float64[E, M] two-sided p-values.
+    """
+    from gvamp_tpu import dist
+    E = int(x1s_internal.shape[1])
+    na = geno.na_planar
+    y = geno.filter_pheno()
+    block = min(256, geno.Mpad)
+    # vecs = [na, yc_1, yc_1^2, ..., yc_E, yc_E^2]
+    ycs = [(y - z1s_planar[..., e]) * na for e in range(E)]
+    vecs = jnp.stack([na.astype(geno.dtype)]
+                     + [v for yc in ycs for v in (yc, yc * yc)])
+    av, bv, aa_na = _moments(geno.words, vecs, na.astype(geno.dtype),
+                             block=block)
+    sumx, sumsqx, b_na, mave, msig = _shared_stats(geno, av[0], bv[0], aa_na)
+    avh = dist.to_numpy(av).astype(np.float64)
+    bvh = dist.to_numpy(bv).astype(np.float64)
+    x1h = dist.to_numpy(x1s_internal).astype(np.float64)
+    out = np.ones((E, geno.M), dtype=np.float64)
+    for e in range(E):
+        a_y, b_y, b_yy = avh[1 + 2 * e], bvh[1 + 2 * e], bvh[2 + 2 * e]
+        vy = msig * (a_y - mave * b_y)       # sum value * y_target
+        s = x1h[:, e] / np.sqrt(geno.N)      # marker-k add-back scale
+        sumxy = vy + s * sumsqx
+        sumy = b_y + s * sumx
+        sumsqy = b_yy + 2 * s * vy + s**2 * sumsqx
+        out[e] = _reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy,
+                              b_na)[: geno.M]
+    return out
 
 
 def loo_pvals(geno, z1_planar, x1_internal):
@@ -93,12 +152,8 @@ def loo_pvals(geno, z1_planar, x1_internal):
     z1_planar: A @ x1 (planar); x1_internal: internal-scale estimate [Mpad].
     Returns float64[M] two-sided p-values.
     """
-    y = geno.filter_pheno()
-    ym = (y - z1_planar) * geno.na_planar
-    block = min(256, geno.Mpad)
-    p = _pvals_from_target(geno, ym, x1_internal, block)
-    from gvamp_tpu import dist
-    return dist.to_numpy(p).astype(np.float64)[: geno.M]
+    return loo_pvals_multi(geno, z1_planar[..., None],
+                           x1_internal[:, None])[0]
 
 
 def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
@@ -108,11 +163,13 @@ def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
     chromosome the genetic predictor y_chrom = A (x1 * 1[ch]) is one masked
     ``ax`` pass (replacing the reference's per-marker accumulation +
     MPI_Iallreduce, data.cpp:1285-1289); y_corr = y_mod + y_chrom feeds the
-    same sufficient statistics, keeping only ch's markers.
+    same sufficient statistics, keeping only ch's markers.  The t-test runs
+    on host in float64 (see module docstring).
 
     predictor_cb(ch, y_chrom_planar) is invoked per chromosome (for the
     reference's *_LOCO_chr_N.csv dumps).
     """
+    from gvamp_tpu import dist
     y = geno.filter_pheno()
     na = geno.na_planar
     ym = (y - z1_planar) * na
@@ -120,7 +177,6 @@ def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
     chroms_pad[: geno.M] = np.asarray(chroms)
     pvals = np.ones(geno.Mpad, dtype=np.float64)
     block = min(256, geno.Mpad)
-    from gvamp_tpu import dist
     present = [ch for ch in range(1, 24) if (chroms_pad == ch).any()]
     if not present:
         return pvals[: geno.M]
@@ -142,19 +198,18 @@ def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
                      + [v for yc in ycs for v in (yc, yc * yc)])
     av, bv, aa_na = _moments(geno.words, vecs, na.astype(geno.dtype),
                              block=block)
-    mave, msig = geno.mave, geno.msig
-    a_na, b_na = av[0], bv[0]
-    sumx = msig * (a_na - mave * b_na)
-    sumsqx = msig**2 * (aa_na - 2 * mave * av[0] + mave**2 * b_na)
-    s = x1_internal * geno.inv_sqrt_n
+    sumx, sumsqx, b_na, mave, msig = _shared_stats(geno, av[0], bv[0], aa_na)
+    avh = dist.to_numpy(av).astype(np.float64)
+    bvh = dist.to_numpy(bv).astype(np.float64)
+    s = dist.to_numpy(x1_internal).astype(np.float64) / np.sqrt(geno.N)
 
     for j, ch in enumerate(present):
-        a_y, b_y, b_yy = av[1 + 2 * j], bv[1 + 2 * j], bv[2 + 2 * j]
+        a_y, b_y, b_yy = avh[1 + 2 * j], bvh[1 + 2 * j], bvh[2 + 2 * j]
         vy = msig * (a_y - mave * b_y)
         sumxy = vy + s * sumsqx
         sumy = b_y + s * sumx
         sumsqy = b_yy + 2 * s * vy + s**2 * sumsqx
-        p = dist.to_numpy(_reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, b_na))
+        p = _reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, b_na)
         sel = chroms_pad == ch
         pvals[sel] = p[sel]
 

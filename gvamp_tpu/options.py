@@ -260,6 +260,14 @@ class Options:
                 fatal("--red is not supported with --use-XXT-denoiser")
             if len(self.phen_files) > 1:
                 fatal("--red is not supported for multi-trait runs")
+        if self.backend == "pallas" and self.dtype == "float64":
+            # the pallas kernels are int8-digit-quantized (~1e-7): honoring
+            # an explicit f64 request there would silently downgrade
+            # precision (VERDICT r3 #6).  --backend auto routes f64 to the
+            # true-f64 XLA decode path instead.
+            fatal("--backend pallas cannot honor --dtype float64 (int8 "
+                  "digit quantization, ~1e-7); use --backend xla (or auto) "
+                  "for float64, or --dtype float32 with pallas")
         if self.out_dir and not os.path.isdir(self.out_dir):
             os.makedirs(self.out_dir, exist_ok=True)
 

@@ -84,13 +84,18 @@ def huber_loss(z, delta, y):
     return jnp.where(aw <= delta, w * w / 2.0, delta * (aw - delta / 2.0))
 
 
-def em_deltaH(key, p1, tau1, delta, y, n_mask, grid=DELTA_GRID,
-              num_mc: int = 100, num_em: int = 10):
-    """MC-EM grid search for deltaH (vamp_Huber.cpp:522-586).
+def em_deltaH(key, p1, tau1, y, n_mask, grid=DELTA_GRID,
+              num_mc: int = 100):
+    """MC grid search for deltaH (vamp_Huber.cpp:522-586).
 
     E-step: E_{z ~ N(p1, 1/tau1)}[huber_delta(z, y)] averaged over
     individuals, via `num_mc` shared Gaussian draws; M-step: grid argmin.
-    The reference repeats until the argmin is stable (rel change < 1e-3).
+    The reference's EM_deltaH loop (vamp_Huber.cpp:576-586) repeats E+M
+    until the argmin is stable — but its E-step distribution N(p1, 1/tau1)
+    does not depend on the current delta, so every EM pass evaluates the
+    SAME objective and the argmin is fixed after one pass: a single E+M
+    step is mathematically equivalent to the reference loop (which only
+    re-rolls the MC draws).  Hence no ``delta``/``num_em`` parameters.
     """
     n = jnp.sum(n_mask)
     eps = jax.random.normal(key, (num_mc,) + p1.shape, p1.dtype)
@@ -278,7 +283,7 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
 
         # deltaH MC-EM grid update (vamp_Huber.cpp:259-260)
         key, sub = jax.random.split(state.key)
-        delta = em_deltaH(sub, p1f, tau1, delta, yf, nm, num_mc=cfg.mc_steps)
+        delta = em_deltaH(sub, p1f, tau1, yf, nm, num_mc=cfg.mc_steps)
 
         p2f = ((z1f - beta1 * p1f) / (1.0 - beta1)) * nm
         tau2 = _clamp_gamma(tau1 * (1.0 - beta1) / beta1)

@@ -145,7 +145,10 @@ def test_batched_matvec_matches_single(backend):
     rng = np.random.default_rng(11)
     N, M, B = 130, 40, 3
     codes, y = random_dataset(rng, N, M)
-    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+    # pallas+f64 is rejected since round 4 (no silent downgrade); the
+    # pallas container therefore runs at its native f32
+    dt = jnp.float64 if backend == "xla" else jnp.float32
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=dt,
                                backend=backend)
     X = rng.normal(size=(geno.Mpad, B)) * np.asarray(geno.m_mask)[:, None]
     Z = np.asarray(geno.axm(jnp.asarray(X)))
@@ -191,7 +194,7 @@ def test_pallas_backend_under_mesh():
     codes, y = random_dataset(rng, N, M)
     devs = jax.devices()[:8]
     mesh = jax.sharding.Mesh(np.array(devs), ("m",))
-    g_sh = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+    g_sh = GenoBed.from_arrays(make_bed(codes), y, N=N,
                                backend="pallas", mesh=mesh)
     g_ref = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
                                 backend="xla")
@@ -219,9 +222,9 @@ def test_fused_dual_gram_under_mesh():
     N, M = 130, 40
     codes, y = random_dataset(rng, N, M)
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("m",))
-    g_sh = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+    g_sh = GenoBed.from_arrays(make_bed(codes), y, N=N,
                                backend="pallas", mesh=mesh)
-    g_ref = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
+    g_ref = GenoBed.from_arrays(make_bed(codes), y, N=N,
                                 backend="pallas")
     fn_sh, fn_ref = g_sh.fn_gram_aat(), g_ref.fn_gram_aat()
     assert fn_sh is not None and fn_ref is not None
@@ -245,8 +248,7 @@ def test_no_missing_fast_path():
     codes = rng.choice([0, 2, 3], size=(M, N)).astype(np.uint8)  # no code 1
     y = rng.normal(size=N)
     y[rng.choice(N, 9, replace=False)] = np.nan  # phenotype NAs still exist
-    fast = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
-                               backend="pallas")
+    fast = GenoBed.from_arrays(make_bed(codes), y, N=N, backend="pallas")
     ref = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float64,
                               backend="xla")
     assert fast.geno_complete and ref.geno_complete is True
@@ -376,10 +378,13 @@ def test_fused_gram_matches_composition(Nw, M, B, miss):
 
 
 @pytest.mark.parametrize("miss_geno", [0.0, 0.05])
-def test_fn_gram_matches_two_pass_operator(miss_geno):
+def test_fn_gram_matches_two_pass_operator(miss_geno, monkeypatch):
     """GenoBed.fn_gram (fused Gram wrapper with the mave/msig/scale
     corrections) equals atxm(axm(.)) on both the complete-genotype and
-    missing-genotype paths, and is None on the xla backend."""
+    missing-genotype paths, and is None on the xla backend.  Fused is
+    opt-in since round 4 (GVAMP_FUSED_GRAM=1): the burst study showed the
+    two-pass form wins on v5e (decode-bound)."""
+    monkeypatch.setenv("GVAMP_FUSED_GRAM", "1")
     rng = np.random.default_rng(23)
     N, M = 256, 192
     codes, y = random_dataset(rng, N, M, miss_geno=miss_geno)

