@@ -167,6 +167,8 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             phase_timers=bool(opt.phase_timers), **common)
         if hist and dist.is_main():
             write_scalar_history(opt.out_prefix, hist)
+        if opt.state_evo and hist and dist.is_main():
+            _print_state_evolution(geno, hist, opt.seed)
         if opt.store_pvals:
             _store_pvals_after_infer(opt, geno, state)
         if opt.store_pip:
@@ -321,6 +323,30 @@ def _store_pip(opt, geno, state, tag="", T=0):
     else:
         one(state.r1, state.gam1, state.probs, state.vars,
             f"{opt.out_prefix}{tag}_pip.bin")
+
+
+def _print_state_evolution(geno, hist, seed):
+    """--state-evo diagnostic: per-iteration SE predictions of
+    (alpha1_bar, eta1_bar, gam2_bar) next to the measured values — the
+    live version of the reference's dormant state_evo (vamp.cpp:1376-1411,
+    calc_state_evo=0 at vamp.hpp:38).  Predictions use the prior/gam1
+    carried in the metrics history, so this costs no extra engine passes."""
+    import jax
+
+    from gvamp_tpu.linear import state_evolution
+    from gvamp_tpu.prior import Prior
+
+    print("state evolution (predicted | measured):")
+    for i in range(1, len(hist)):
+        m, mp = hist[i], hist[i - 1]
+        a_bar, eta_bar, gam2_bar = state_evolution(
+            jax.random.fold_in(jax.random.key(seed + 11), i),
+            Prior(m["probs"], m["vars"]), float(m["gam1"]), float(m["rho"]),
+            Prior(mp["probs"], mp["vars"]), float(mp["gam1"]), geno.Mt)
+        print(f"  it {int(m['it'])}: alpha1 {float(a_bar):.6f} | "
+              f"{float(m['alpha1']):.6f}   eta1 {float(eta_bar):.6g} | "
+              f"{float(m['eta1']):.6g}   gam2 {float(gam2_bar):.6g} | "
+              f"{float(m['gam2']):.6g}")
 
 
 def _store_pvals_multi(opt, geno, ys, state):

@@ -90,7 +90,7 @@ def _pick_tm(m: int, prefer: int = _TM) -> int:
     tiles amortize its weight loads); ax gains mildly from tm=1024
     (341 vs 300).  VMEM bounds the atx choice by D (out + digit blocks
     scale with D), handled by the callers."""
-    for t in (2048, 1024, _TM, 256, 128):
+    for t in (8192, 4096, 2048, 1024, _TM, 256, 128):
         if t <= prefer and m % t == 0:
             return t
     return m
@@ -780,9 +780,9 @@ def axm_i8a_pallas(words, W, tnw=0, tm=0):
     Nw, M = words.shape
     B = W.shape[1]
     tnw = tnw or _pick_tnw(Nw, 256)
-    # zT path (D <= _D_ZT_MAX): 776 GB/s at tm=2048 vs 533 at 512;
-    # classic wide path keeps tm <= 1024
-    tm = tm or _pick_tm(M, 2048 if _NDIG * B <= _D_ZT_MAX else 1024)
+    # zT path (D <= _D_ZT_MAX): round-4 sweep: tm=4096 651 GB/s vs 605 at
+    # 2048 (and 533 at 512); classic wide path keeps tm <= 1024
+    tm = tm or _pick_tm(M, 4096 if _NDIG * B <= _D_ZT_MAX else 1024)
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_AXM_A:
         return _chunk_cols(
@@ -1014,339 +1014,6 @@ def gram_i8a_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
       colsum_u.astype(jnp.float32)[None, :],
       na_cols)
     return jnp.transpose(av), sv[0]
-
-
-def _gram_i8a_dec_kernel(nI, B, tm, g_ref, w8t_ref, ws_ref, cu_ref, na_ref,
-                         av_ref, sv_ref, banda, z32, ztf, z8, zs):
-    # decoded-band variant of _gram_i8a_kernel: the band cache holds the
-    # DECODED int8 a-planes (4x the packed bytes) so the transpose side
-    # pays zero SWAR work.  Rationale (round-4 burst study): these kernels
-    # are VPU-decode-bound, not HBM-bound — the packed-cache fused kernel
-    # decodes every word twice (forward + cached transpose) and LOSES to
-    # the two-pass composition; caching the decode itself halves the VPU
-    # work per Gram, which is the actual bottleneck.
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        sv_ref[...] = jnp.zeros(sv_ref.shape, sv_ref.dtype)
-
-    @pl.when(i == 0)
-    def _():
-        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
-
-    # ---- band boundary: fold band i-1, mask, colsum, re-quantize ----
-    @pl.when((j == 0) & (i > 0))
-    def _():
-        ws = ws_ref[0]                      # [B] digit base scales of W^T
-        cu = cu_ref[0]                      # [B] colsum(U) correction
-        na = na_ref[...]                    # [4, B, 4*tnw] per-col NA mask
-        for k in range(4):
-            zf = z32[k].astype(jnp.float32)              # [Dw, 4*tnw]
-            acc = zf[:B] * ws[:, None]
-            s = ws
-            for d in range(1, _NDIG):
-                s = s / 127.0
-                acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
-            acc = (acc - cu[:, None]) * na[k]
-            ztf[k] = acc
-            sv_ref[...] += jnp.sum(acc, axis=1)[None, :]
-        zt = ztf[...]                                    # [4, B, 4*tnw]
-        m = jnp.max(jnp.abs(zt), axis=(0, 2))            # [B]
-        s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
-        zs[...] = s0[None, :]
-        r = zt
-        s = s0
-        for d in range(_NDIG):
-            dig = jnp.round(r / s[None, :, None])
-            z8[:, d * B:(d + 1) * B, :] = dig.astype(jnp.int8)
-            r = r - dig * s[None, :, None]
-            s = s / 127.0
-
-    @pl.when(j == 0)
-    def _():
-        z32[...] = jnp.zeros(z32.shape, z32.dtype)
-
-    # ---- transpose side for band i-1: cached DECODED planes, no SWAR ----
-    @pl.when(i > 0)
-    def _():
-        s0 = zs[0]                                       # [B]
-        out32 = None
-        for k in range(4):
-            a8 = banda[k, :, pl.dslice(j * tm, tm)]      # [4*tnw, tm] int8
-            d = jax.lax.dot_general(
-                z8[k], a8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out32 = d if out32 is None else out32 + d
-        zf = out32.astype(jnp.float32)                   # [Dz, tm]
-        acc = zf[:B] * s0[:, None]
-        s = s0
-        for d in range(1, _NDIG):
-            s = s / 127.0
-            acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
-        av_ref[...] += acc
-
-    # ---- forward side for band i: decode ONCE, dot + cache the planes ----
-    @pl.when(i < nI)
-    def _():
-        g = g_ref[...]
-        w8t = w8t_ref[...]
-        for k in range(4):
-            a_sw, _ = _swar(g, k)
-            a8 = pltpu.bitcast(a_sw, jnp.int8)
-            banda[k, :, pl.dslice(j * tm, tm)] = a8
-            z32[k] += jax.lax.dot_general(
-                w8t, a8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-
-
-def gram_dec_band_bytes(Nw: int, M: int, planes: int = 1) -> int:
-    """VMEM decoded-band cost of the dec-Gram kernels (a-plane = 16 bytes
-    per packed word per tnw row; general path doubles for the b-plane)."""
-    tnw = _pick_dec_tnw(Nw, M, planes)
-    return planes * 16 * tnw * M
-
-
-def _pick_dec_tnw(Nw: int, M: int, planes: int) -> int:
-    """Largest word-band (<= 64) whose DECODED planes fit the VMEM budget."""
-    for t in (64, 32, 16, 8):
-        if Nw % t == 0 and planes * 16 * t * M <= _GRAM_BAND_MAX_BYTES:
-            return t
-    return 8
-
-
-@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
-def gram_i8a_dec_pallas(words, W, na_planar, colsum_u, tnw=0, tm=0):
-    """Decoded-band fused a-only Gram: same contract as gram_i8a_pallas —
-    (av[M, B], sv[B]) with z = na ∘ (A_a W - colsum_u), av = A_a^T z,
-    sv = Σ_n z — but the VMEM band cache holds the DECODED int8 planes, so
-    each packed word is fetched once AND decoded once per Gram call (the
-    packed-cache variant decodes twice; see _gram_i8a_dec_kernel note)."""
-    Nw, M = words.shape
-    B = W.shape[1]
-    tnw = tnw or _pick_dec_tnw(Nw, M, 1)
-    tm = tm or _pick_tm(M, 2048)
-    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
-    if B > _BMAX_AXM_A:
-        def call(lo, hi):
-            na_c = na_planar if na_planar.ndim == 2 else na_planar[:, :, lo:hi]
-            av, sv = gram_i8a_dec_pallas(words, W[:, lo:hi], na_c,
-                                         colsum_u[lo:hi], tnw=tnw, tm=tm)
-            return av, sv
-        return _chunk_cols(call, B, _BMAX_AXM_A, -1)
-    if na_planar.ndim == 2:
-        na_cols = jnp.broadcast_to(
-            na_planar.astype(jnp.float32)[:, None, :], (4, B, 4 * Nw))
-    else:
-        na_cols = jnp.transpose(na_planar.astype(jnp.float32), (0, 2, 1))
-    w8t, ws = _quant_digits(jnp.transpose(W.astype(jnp.float32)), 0)
-    nI = Nw // tnw
-    D = _NDIG * B
-    grid = (nI + 1, M // tm)
-    av, sv = pl.pallas_call(
-        functools.partial(_gram_i8a_dec_kernel, nI, B, tm),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tnw, tm), lambda i, j: (jnp.minimum(i, nI - 1), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, tm), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, B, 4 * tnw),
-                         lambda i, j: (0, 0, jnp.maximum(i - 1, 0)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((B, tm), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, M), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((4, 4 * tnw, M), jnp.int8),   # decoded band cache
-            pltpu.VMEM((4, D, 4 * tnw), jnp.int32),  # z digit products
-            pltpu.VMEM((4, B, 4 * tnw), jnp.float32),  # folded z planes
-            pltpu.VMEM((4, D, 4 * tnw), jnp.int8),   # z digits (vt layout)
-            pltpu.VMEM((1, B), jnp.float32),         # z digit base scales
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(16 * tnw * M * 1.15) + 24 * 1024 * 1024,
-                                 124 * 1024 * 1024)),
-        interpret=_interpret(),
-    )(words, w8t,
-      jnp.transpose(ws.astype(jnp.float32)),
-      colsum_u.astype(jnp.float32)[None, :],
-      na_cols)
-    return jnp.transpose(av), sv[0]
-
-
-def _gram_i8_dec_kernel(nI, B, tm, g_ref, w8t_ref, mu8t_ref, ws_ref, na_ref,
-                        av_ref, bv_ref, banda, bandb, z32, ztf, z8, zs):
-    # general-genotype decoded-band fused Gram: caches BOTH int8 planes
-    # (a and b) so the transpose side pays no SWAR; forward uses the
-    # shared-scale digit pair like _gram_i8_kernel.
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        av_ref[...] = jnp.zeros(av_ref.shape, av_ref.dtype)
-        bv_ref[...] = jnp.zeros(bv_ref.shape, bv_ref.dtype)
-
-    # ---- band boundary: fold band i-1, mask, re-quantize ----
-    @pl.when((j == 0) & (i > 0))
-    def _():
-        ws = ws_ref[0]                      # [B] shared digit base scales
-        na = na_ref[...]                    # [4, B, 4*tnw] per-col NA mask
-        for k in range(4):
-            zf = z32[k].astype(jnp.float32)              # [D, 4*tnw]
-            acc = zf[:B] * ws[:, None]
-            s = ws
-            for d in range(1, _NDIG):
-                s = s / 127.0
-                acc = acc + zf[d * B:(d + 1) * B] * s[:, None]
-            ztf[k] = acc * na[k]
-        zt = ztf[...]                                    # [4, B, 4*tnw]
-        m = jnp.max(jnp.abs(zt), axis=(0, 2))            # [B]
-        s0 = jnp.where(m == 0.0, 1.0, m) / 127.0
-        zs[...] = s0[None, :]
-        r = zt
-        s = s0
-        for d in range(_NDIG):
-            dig = jnp.round(r / s[None, :, None])
-            z8[:, d * B:(d + 1) * B, :] = dig.astype(jnp.int8)
-            r = r - dig * s[None, :, None]
-            s = s / 127.0
-
-    @pl.when(j == 0)
-    def _():
-        z32[...] = jnp.zeros(z32.shape, z32.dtype)
-
-    # ---- transpose side for band i-1: cached DECODED planes, no SWAR ----
-    @pl.when(i > 0)
-    def _():
-        s0 = zs[0]                                       # [B]
-        a32 = None
-        b32 = None
-        for k in range(4):
-            a8 = banda[k, :, pl.dslice(j * tm, tm)]
-            b8 = bandb[k, :, pl.dslice(j * tm, tm)]
-            da = jax.lax.dot_general(
-                z8[k], a8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            db = jax.lax.dot_general(
-                z8[k], b8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            a32 = da if a32 is None else a32 + da
-            b32 = db if b32 is None else b32 + db
-
-        def fold(x32):
-            xf = x32.astype(jnp.float32)                 # [D, tm]
-            acc = xf[:B] * s0[:, None]
-            s = s0
-            for d in range(1, _NDIG):
-                s = s / 127.0
-                acc = acc + xf[d * B:(d + 1) * B] * s[:, None]
-            return acc
-
-        av_ref[...] += fold(a32)
-        bv_ref[...] += fold(b32)
-
-    # ---- forward side for band i: decode ONCE, dots + cache the planes ---
-    @pl.when(i < nI)
-    def _():
-        g = g_ref[...]
-        w8t = w8t_ref[...]
-        mu8t = mu8t_ref[...]
-        for k in range(4):
-            a_sw, b_sw = _swar(g, k)
-            a8 = pltpu.bitcast(a_sw, jnp.int8)
-            b8 = pltpu.bitcast(b_sw, jnp.int8)
-            banda[k, :, pl.dslice(j * tm, tm)] = a8
-            bandb[k, :, pl.dslice(j * tm, tm)] = b8
-            z32[k] += jax.lax.dot_general(
-                w8t, a8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            z32[k] += jax.lax.dot_general(
-                mu8t, b8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("tnw", "tm"))
-def gram_i8_dec_pallas(words, W, U, na_planar, tnw=0, tm=0):
-    """Decoded-band general fused Gram: same contract as gram_i8_pallas —
-    (av[M, B], bv[M, B]) with z = na ∘ (A_a W - A_b U) — with both decoded
-    planes cached in VMEM (one fetch AND one decode per word per call)."""
-    Nw, M = words.shape
-    B = W.shape[1]
-    tnw = tnw or _pick_dec_tnw(Nw, M, 2)
-    tm = tm or _pick_tm(M, 2048)
-    assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
-    if B > _BMAX_AXM:
-        def call(lo, hi):
-            na_c = na_planar if na_planar.ndim == 2 else na_planar[:, :, lo:hi]
-            return gram_i8_dec_pallas(words, W[:, lo:hi], U[:, lo:hi],
-                                      na_c, tnw=tnw, tm=tm)
-        return _chunk_cols(call, B, _BMAX_AXM, -1)
-    if na_planar.ndim == 2:
-        na_cols = jnp.broadcast_to(
-            na_planar.astype(jnp.float32)[:, None, :], (4, B, 4 * Nw))
-    else:
-        na_cols = jnp.transpose(na_planar.astype(jnp.float32), (0, 2, 1))
-    w8t, mu8t, ws = _quant_digits_pair(W, U)
-    nI = Nw // tnw
-    D = _NDIG * B
-    grid = (nI + 1, M // tm)
-    av, bv = pl.pallas_call(
-        functools.partial(_gram_i8_dec_kernel, nI, B, tm),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tnw, tm), lambda i, j: (jnp.minimum(i, nI - 1), j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, tm), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, tm), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, B, 4 * tnw),
-                         lambda i, j: (0, 0, jnp.maximum(i - 1, 0)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((B, tm), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, tm), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, M), jnp.float32),
-            jax.ShapeDtypeStruct((B, M), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((4, 4 * tnw, M), jnp.int8),   # decoded a-band cache
-            pltpu.VMEM((4, 4 * tnw, M), jnp.int8),   # decoded b-band cache
-            pltpu.VMEM((4, D, 4 * tnw), jnp.int32),  # z digit products
-            pltpu.VMEM((4, B, 4 * tnw), jnp.float32),  # folded z planes
-            pltpu.VMEM((4, D, 4 * tnw), jnp.int8),   # z digits (vt layout)
-            pltpu.VMEM((1, B), jnp.float32),         # z digit base scales
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(32 * tnw * M * 1.15) + 24 * 1024 * 1024,
-                                 124 * 1024 * 1024)),
-        interpret=_interpret(),
-    )(words, w8t, mu8t,
-      jnp.transpose(ws.astype(jnp.float32)),
-      na_cols)
-    return jnp.transpose(av), jnp.transpose(bv)
 
 
 def _gram_i8_kernel(nI, B, tm, g_ref, w8t_ref, mu8t_ref, ws_ref, na_ref,
@@ -1895,13 +1562,14 @@ def atxm_i8a_pallas(words, V, tnw=0, tm=0):
     """a-only int8 block transposed matvec: av[M, B]."""
     Nw, M = words.shape
     B = V.shape[2]
-    tnw = tnw or _pick_tnw(Nw, 256)
-    # wide lane tiles feed the streaming-RHS orientation (tile sweep:
-    # tm=2048 610 GB/s vs 470 at 512); scoped VMEM caps the width as D
-    # grows (measured: D=64 with tm=2048 overflows the 16 MB budget in the
-    # two-output kernel; D=8 uses ~5 MB)
+    # round-4 tile sweep (1.68 GB burst): tnw=128 / tm=8192 reaches
+    # 710 GB/s packed vs 611-625 at the round-2 (256, 2048) choice —
+    # wider lane tiles amortize the streaming-RHS weight loads further
+    # and the shallower word-band keeps the block DMA pipelined.  VMEM
+    # caps the width as D grows.
     D_ = _NDIG * B
-    tm = tm or _pick_tm(M, 2048 if D_ <= 16 else (1024 if D_ <= 96 else 512))
+    tnw = tnw or _pick_tnw(Nw, 128 if D_ <= 16 else 256)
+    tm = tm or _pick_tm(M, 8192 if D_ <= 16 else (1024 if D_ <= 96 else 512))
     assert Nw % tnw == 0 and M % tm == 0, (Nw, M, tnw, tm)
     if B > _BMAX_ATXM:
         return _chunk_cols(

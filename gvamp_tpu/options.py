@@ -62,6 +62,13 @@ class Options:
     gamma_damp: float = 1.0
     use_cross_val: int = 0          # live version of the reference's dormant
                                     # cross-validated damping (vamp.hpp:61)
+    state_evo: int = 0              # print per-iteration state-evolution
+                                    # predictions of (alpha1, eta1, gam2)
+                                    # next to the measured values — the live
+                                    # version of the reference's dormant
+                                    # state_evo diagnostic (vamp.cpp:
+                                    # 1376-1411, calc_state_evo=0 at
+                                    # vamp.hpp:38); linear model only
     store_pip: int = 0              # write per-marker posterior inclusion
                                     # probabilities at the final iterate
                                     # (extension; the reference only uses
@@ -130,7 +137,7 @@ class Options:
                      ("--iterations", 1), ("--num-mix-comp", 0), ("--CV", 0),
                      ("--C", 0), ("--EM-max-iter", 2), ("--CG-max-iter", 60),
                      ("--learn-vars", 1), ("--store-pvals", 0),
-                     ("--store-pip", 0),
+                     ("--store-pip", 0), ("--state-evo", 0),
                      ("--use-lmmse-damp", 0), ("--use-XXT-denoiser", 0),
                      ("--use-freeze", 0), ("--init-est", 0), ("--red", 0),
                      ("--use-cross-val", 0),
@@ -230,6 +237,12 @@ class Options:
             fatal("--store-pvals must be 0 (both), 1 (LOO) or 2 (LOCO)")
         if self.store_pip not in (0, 1):
             fatal("--store-pip must be 0 or 1")
+        if self.state_evo not in (0, 1):
+            fatal("--state-evo must be 0 or 1")
+        if self.state_evo and self.model != "linear":
+            fatal("--state-evo is only supported for --model linear "
+                  "(reference state_evo lives in the linear loop, "
+                  "vamp.cpp:1376-1411)")
         if self.red not in (0, 1):
             fatal("--red must be 0 or 1")
         if not (0.0 < self.stab_gamma <= 1.0):

@@ -69,3 +69,38 @@ def test_fused_gram_default_off(monkeypatch):
     monkeypatch.setenv("GVAMP_NO_FUSED_GRAM", "1")
     assert geno.fn_gram() is None
     assert geno.fn_gram_aat() is None
+
+
+def test_onsager_tol_1e6_matches_1e8():
+    """The relaxed probe exit (onsager_tol 1e-6 vs the reference's 1e-8,
+    vamp.cpp:1174-1193) reproduces the alpha2 trajectory far below the
+    probe's own Hutchinson MC noise while saving probe CG iterations."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests_shim import make_bed_bytes
+    from gvamp_tpu import linear, sim
+
+    rng = np.random.default_rng(5)
+    N, M = 1000, 512
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.0)
+    vars_t, probs_t = sim.two_group_prior(M, 25, 0.6)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    g = GenoBed.from_arrays(make_bed_bytes(codes), np.zeros(N), N=N,
+                            standardize_phen=False, backend="pallas")
+    y = sim.simulate_linear_phenotype(g, beta, 2.5, rng)
+    g.set_phen(y)
+
+    runs = {}
+    for tol in (1e-8, 1e-6):
+        cfg = linear.VampConfig(max_iter=5, rho=0.3, gam1_init=1e-8,
+                                gamw_init=2.0, seed=5, onsager_tol=tol,
+                                stop_criteria_thr=0.0)
+        runs[tol] = linear.infer(g, cfg, probs_t, vars_t, verbose=False)
+    a8 = np.array([float(m["alpha2"]) for m in runs[1e-8][2]])
+    a6 = np.array([float(m["alpha2"]) for m in runs[1e-6][2]])
+    np.testing.assert_allclose(a6, a8, rtol=2e-5)
+    np.testing.assert_allclose(runs[1e-6][0], runs[1e-8][0], rtol=0,
+                               atol=1e-4 * np.abs(runs[1e-8][0]).max())
+    p8 = sum(int(m["probe_iters"]) for m in runs[1e-8][2])
+    p6 = sum(int(m["probe_iters"]) for m in runs[1e-6][2])
+    assert p6 <= p8

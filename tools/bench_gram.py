@@ -62,18 +62,12 @@ def correctness():
     av, sv = matvec.gram_i8a_pallas(wc, W, na, cu)
     ok &= check("gram_i8a av", av, matvec.atxm_i8a_pallas(wc, z))
     ok &= check("gram_i8a sv", sv, jnp.sum(z, axis=(0, 1)))
-    avd, svd = matvec.gram_i8a_dec_pallas(wc, W, na, cu)
-    ok &= check("gram_i8a_dec av", avd, matvec.atxm_i8a_pallas(wc, z))
-    ok &= check("gram_i8a_dec sv", svd, jnp.sum(z, axis=(0, 1)))
 
     zm = matvec.axm_i8_pallas(wm, W, U) * na[:, :, None]
     avm, bvm = matvec.gram_i8_pallas(wm, W, U, na)
     am, bm = matvec.atxm_i8_pallas(wm, zm)
     ok &= check("gram_i8 av", avm, am)
     ok &= check("gram_i8 bv", bvm, bm)
-    avd2, bvd2 = matvec.gram_i8_dec_pallas(wm, W, U, na)
-    ok &= check("gram_i8_dec av", avd2, am)
-    ok &= check("gram_i8_dec bv", bvd2, bm)
 
     ok &= check("axm_i8s", matvec.axm_i8s_pallas(wm, W, U),
                 matvec.axm_i8_pallas(wm, W, U))
@@ -147,13 +141,19 @@ def main():
 
     rec("comp a-only (ax+atx)", mk(comp_a), (wc, W, na, cu), streams=2.0)
     rec("gram_i8a", mk(matvec.gram_i8a_pallas, 1), (wc, W, na, cu))
-    rec("gram_i8a_dec", mk(matvec.gram_i8a_dec_pallas, 1), (wc, W, na, cu))
     rec("comp miss (ax+atx)", mk(comp_m), (wm, W, U, na), streams=2.0)
     rec("gram_i8", mk(matvec.gram_i8_pallas, 1), (wm, W, U, na))
-    rec("gram_i8_dec", mk(matvec.gram_i8_dec_pallas, 1), (wm, W, U, na))
     rec("axm_i8 (miss ax)", mk(matvec.axm_i8_pallas, 1), (wm, W, U))
     rec("axm_i8s (shared-acc)", mk(matvec.axm_i8s_pallas, 1), (wm, W, U))
+    def comp_aat_a(w, V, mave, msig2):
+        sv = jnp.sum(V, axis=(0, 1))
+        a2 = matvec.atxm_i8a_pallas(w, V)
+        t = msig2[:, None] * (a2 - mave[:, None] * sv[None, :])
+        za = matvec.axm_i8a_pallas(w, t)
+        return za - jnp.sum(mave[:, None] * t, axis=0)[None, None, :]
+
     rec("comp AAT miss", mk(comp_aat), (wm, V, mave, msig2), streams=2.0)
+    rec("comp AAT a-only", mk(comp_aat_a), (wc, V, mave, msig2), streams=2.0)
     rec("gram_aat_i8", mk(matvec.gram_aat_i8_pallas, 1), (wm, V, mave, msig2))
     rec("gram_aat_i8a", mk(matvec.gram_aat_i8a_pallas, 1),
         (wc, V, mave, msig2))
