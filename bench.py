@@ -146,8 +146,14 @@ def run_config(N, M, k_iters, warm_steps=2, miss=False, use_xxt=False):
         passes = (mult_passes * (max(cg_it, probe_it)
                                  + 1.0 / max(cfg.gram_refresh, 1)) + 1 + 1)
     else:
+        # fold_noise (round 4): on the two-pass routing the noise-EM pass
+        # disappears (resid2/trace_corr via the CG exit Gram identity,
+        # z1 rides the first CG iteration's forward pass); the fused-Gram
+        # routing keeps the explicit wide pass
+        noise_pass = 1 if (fused or not cfg.fold_noise
+                           or os.environ.get("GVAMP_NOISE_PASS") == "1") else 0
         passes = (mult_passes * (max(cg_it, probe_it)
-                                 + 1.0 / max(cfg.gram_refresh, 1)) + 1)
+                                 + 1.0 / max(cfg.gram_refresh, 1)) + noise_pass)
     packed_bytes = lay.n_words * 4 * mpad
     return dict(dt_iter=dt_iter, passes=passes, packed_bytes=packed_bytes,
                 gbs=passes * packed_bytes / dt_iter / 1e9,

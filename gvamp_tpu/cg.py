@@ -30,6 +30,8 @@ class CGResult(NamedTuple):
     r: jax.Array = None   # final residual V - Q mu (exact for ANY mu, so
                           # downstream identities like A x2 = y - gam2 mu - r
                           # hold regardless of convergence)
+    rider_out: jax.Array = None  # A @ rider, captured on the first CG
+                                 # iteration's forward pass (see solve_block)
 
 
 def solve(
@@ -109,6 +111,14 @@ def solve_block(
     r0=None,                  # precomputed V - mult(mu_start): skip the init
                               # mult (callers track the warm start's Gram
                               # product across calls — see linear.py)
+    rider=None,               # [M, R] extra columns whose FORWARD product
+                              # A @ rider is needed by the caller: they ride
+                              # the first CG iteration's wide ax pass (extra
+                              # RHS width, NO extra packed-matrix read) —
+                              # this is how linear.py gets z1 = A x1 without
+                              # the separate noise-EM pass
+    rider_mult=None,          # (P, X) -> (Q P, A X); required with rider
+                              # (cg.make_lmmse_mult_block_rider)
 ) -> CGResult:
     """Batched CG: each column runs its own CG recursion, but every iteration
     costs ONE wide-RHS pass over the packed matrix (axm+atxm) instead of one
@@ -156,8 +166,7 @@ def solve_block(
     def cond(s: S):
         return (s.i < max_iter) & (~jnp.all(s.done))
 
-    def body(s: S):
-        d = mult_block(s.p)
+    def body_with(s: S, d):
         pd = jnp.sum(d * s.p, axis=0)
         alpha = jnp.where(s.done | (pd == 0), 0.0,
                           s.rz / jnp.where(pd == 0, 1.0, pd))
@@ -178,8 +187,21 @@ def solve_block(
         return jax.tree_util.tree_map(
             lambda n, ref: jnp.asarray(n, ref.dtype), out, s)
 
+    def body(s: S):
+        return body_with(s, mult_block(s.p))
+
+    ax_rider = None
+    if rider is not None:
+        # peel iteration 1: identical recursion, but the wide forward pass
+        # also carries the rider columns.  Frozen/converged columns take
+        # alpha = 0 steps, so peeling is exact even if the warm start already
+        # satisfies every exit test (the pass still runs — same cost as the
+        # separate pass it replaces, in the worst case).
+        d0, ax_rider = rider_mult(s0.p, rider)
+        s0 = body_with(s0, d0)
     out = jax.lax.while_loop(cond, body, s0)
-    return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err, r=out.r)
+    return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err, r=out.r,
+                    rider_out=ax_rider)
 
 
 def tracked_warm_start(V, mu0_raw, gmu_raw, tau_now, tau_ref, gam2_cols,
@@ -238,6 +260,20 @@ def make_lmmse_mult_block(axm_fn, atxm_fn, op, tau, gam2, gram_fn=None):
 
     def mult(P):
         return tau * atxm_fn(op, axm_fn(op, P)) + gam2 * P
+
+    return mult
+
+
+def make_lmmse_mult_block_rider(axm_fn, atxm_fn, op, tau, gam2):
+    """Two-pass lmmse mult that additionally returns the forward product of
+    ``rider`` columns: (P, X) -> (tau A^T(A P) + gam2 P, A X).  The riders
+    share the forward pass's packed-matrix read (extra RHS width only); the
+    backward pass reads the matrix for the P columns alone."""
+
+    def mult(P, X):
+        B = P.shape[1]
+        Z = axm_fn(op, jnp.concatenate([P, X], axis=1))
+        return tau * atxm_fn(op, Z[..., :B]) + gam2 * P, Z[..., B:]
 
     return mult
 

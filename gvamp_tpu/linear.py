@@ -25,6 +25,7 @@ while-loop and the EM while-loop stay on device.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -130,6 +131,21 @@ class VampConfig:
                                  # recovers (extension; no reference analog
                                  # — vamp_Huber.cpp:355 / vamp_probit.cpp:571
                                  # leave these unguarded)
+    fold_noise: bool = True      # fold the noise-EM pass into the CG exit:
+                                 # resid2 = <mu, A^T A mu> - 2<mu, A^T y> +
+                                 # |y|^2 and the Hutchinson trace correction
+                                 # <u_j, A^T A q_j> both come from the exit
+                                 # Gram identity mult(mu) = V - r (exact for
+                                 # any mu), and z1 = A x1 rides the first CG
+                                 # iteration's forward pass as an extra RHS
+                                 # column — the separate wide pass over
+                                 # [x2, invq, x1] (reference updateNoisePrec,
+                                 # vamp.cpp:892-927) disappears: 5 -> 4
+                                 # packed-matrix reads per iteration at
+                                 # steady-state cg_it = 2.  Applies to the
+                                 # standard primal two-pass path only (dual
+                                 # mode already gets both for free; red's
+                                 # windowed operator has its own fold).
 
 
 class LinState(NamedTuple):
@@ -322,6 +338,11 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
     axm_fn, atxm_fn = geno.fns_multi()
     gram_fn = geno.fn_gram()
     gram_aat_fn = geno.fn_gram_aat() if cfg.use_xxt else None
+    # noise-EM pass folding (see VampConfig.fold_noise); env kill switch for
+    # A/B benchmarking of the folded vs the explicit-pass form
+    fold_noise = (cfg.fold_noise and not cfg.use_xxt and not cfg.red
+                  and gram_fn is None
+                  and os.environ.get("GVAMP_NOISE_PASS", "0") != "1")
     hold_ax = geno_hold.fns()[0] if geno_hold is not None else None
     if cfg.red:
         # reduced-subset window length: 10% of sample-word rows, tile-aligned
@@ -593,6 +614,13 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 v = gamw * aux.aty + gam2_eff * r2
                 multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, gamw,
                                                  gam2_eff, gram_fn=gram_fn)
+            # fold_noise: z1 = A x1 rides the first CG iteration's forward
+            # pass; resid2/trace_corr come from the exit Gram identity in
+            # phase_noise (two-pass routing only — the fused Gram kernel
+            # never materializes the N-space intermediate)
+            rider = w["x1"][:, None] if fold_noise else None
+            rider_mult = (cg.make_lmmse_mult_block_rider(
+                axm_fn, atxm_fn, op, gamw, gam2_eff) if fold_noise else None)
             V = jnp.concatenate([v[:, None], bern], axis=1)
             mu0 = jnp.concatenate([state.mu_cg[:, None], state.mu_probe], axis=1)
             precond = None
@@ -619,7 +647,25 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                                  modes=(0,) + (1,) * P,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
-                                 precond=precond, r0=r0)
+                                 precond=precond, r0=r0,
+                                 rider=rider, rider_mult=rider_mult)
+            if fold_noise:
+                # exit Gram identity: gamw * A^T A mu = V - r - gam2 * mu,
+                # EXACT for any mu (CG recursion invariant) — converged or
+                # not, these equal what the explicit wide pass would compute
+                # for the same mu/invq.  M-length dot products only.
+                mu0 = sol.mu[:, 0]
+                quad = (jnp.sum(mu0 * V[:, 0]) - jnp.sum(mu0 * sol.r[:, 0])
+                        - gam2_eff * jnp.sum(jnp.square(mu0))) / gamw
+                resid2_id = jnp.maximum(
+                    quad - 2.0 * jnp.sum(mu0 * aux.aty) + w["l2y"], 0.0)
+                tr = (jnp.sum(bern * bern, axis=0)
+                      - jnp.sum(bern * sol.r[:, 1:], axis=0)
+                      - gam2_eff * jnp.sum(bern * sol.mu[:, 1:], axis=0)) / gamw
+                trace_corr_id = Mt * jnp.mean(tr)
+                w = dict(w)
+                w.update(z1_rider=sol.rider_out[..., 0],
+                         resid2_id=resid2_id, trace_corr_id=trace_corr_id)
             x2 = sol.mu[:, 0] * m_mask
             invq = sol.mu[:, 1:]
             mu_cg_new, mu_cg_n_new = sol.mu[:, 0], state.mu_cg_n
@@ -683,6 +729,13 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             Zw = axm_w(op, jnp.concatenate([invq, aux.bern], axis=1), sbw)
             trace_corr = jnp.mean(
                 jnp.sum(Zw[..., :P] * Zw[..., P:], axis=(0, 1))) * Mt
+        elif fold_noise:
+            # everything already fell out of the CG exit (phase_lmmse):
+            # resid2/trace_corr via the Gram identity, z1 via the rider
+            # column — NO packed pass in this phase
+            z1 = w["z1_rider"]
+            resid2 = w["resid2_id"]
+            trace_corr = w["trace_corr_id"]
         else:
             # one wide pass computes A x2, A invq_j AND the deferred
             # z1 = A x1; the trace correction uses
@@ -698,7 +751,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
 
         # train metrics (err_measures ind=1 after denoise, ind=2 after LMMSE)
         R2_1 = 1.0 - jnp.sum(jnp.square(y - z1)) / w["l2y"]
-        R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2)) / w["l2y"]
+        R2_2 = 1.0 - resid2 / w["l2y"] if fold_noise and not cfg.use_xxt \
+            else 1.0 - jnp.sum(jnp.square(y - ax2)) / w["l2y"]
 
         w = dict(w)
         w.update(gamw_new=gamw_new, R2_1=R2_1, R2_2=R2_2, z1=z1)

@@ -104,3 +104,75 @@ def test_onsager_tol_1e6_matches_1e8():
     p8 = sum(int(m["probe_iters"]) for m in runs[1e-8][2])
     p6 = sum(int(m["probe_iters"]) for m in runs[1e-6][2])
     assert p6 <= p8
+
+
+def test_fold_noise_matches_explicit_pass():
+    """fold_noise=True (resid2/trace_corr via the CG exit Gram identity,
+    z1 via the first-iteration rider column) reproduces the explicit
+    noise-EM wide pass (reference updateNoisePrec, vamp.cpp:892-927)
+    trajectory-for-trajectory: the identity gamw*A^T A mu = V - r - gam2*mu
+    is exact for ANY mu, so only fp round-off differs."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests_shim import make_bed_bytes
+    from gvamp_tpu import linear, sim
+
+    rng = np.random.default_rng(11)
+    N, M = 800, 384
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.02)
+    vars_t, probs_t = sim.two_group_prior(M, 20, 0.6)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    g = GenoBed.from_arrays(make_bed_bytes(codes), np.zeros(N), N=N,
+                            standardize_phen=False, backend="pallas")
+    y = sim.simulate_linear_phenotype(g, beta, 2.5, rng)
+    g.set_phen(y)
+
+    runs = {}
+    for fold in (False, True):
+        cfg = linear.VampConfig(max_iter=6, rho=0.3, gam1_init=1e-8,
+                                gamw_init=2.0, seed=3, fold_noise=fold,
+                                stop_criteria_thr=0.0)
+        runs[fold] = linear.infer(g, cfg, probs_t, vars_t, verbose=False)
+    for key in ("gamw", "R2_train_1", "R2_train_2", "alpha2", "gam1"):
+        a = np.array([float(m[key]) for m in runs[False][2]])
+        b = np.array([float(m[key]) for m in runs[True][2]])
+        np.testing.assert_allclose(b, a, rtol=5e-4, err_msg=key)
+    np.testing.assert_allclose(runs[True][0], runs[False][0], rtol=0,
+                               atol=1e-4 * np.abs(runs[False][0]).max())
+
+
+def test_cg_rider_forward_product():
+    """solve_block's rider columns return the exact forward product A@X and
+    leave the solve itself bit-identical to the rider-free call."""
+    from gvamp_tpu import cg
+
+    rng = np.random.default_rng(7)
+    Mdim, Ndim, B, R = 96, 64, 2, 1
+    A = jnp.asarray(rng.normal(size=(Ndim, Mdim)), jnp.float64)
+    tau, gam2 = 0.7, 0.3
+
+    def axm(op, P):
+        return A @ P
+
+    def atxm(op, Z):
+        return A.T @ Z
+
+    multb = cg.make_lmmse_mult_block(axm, atxm, None, tau, gam2)
+    rmult = cg.make_lmmse_mult_block_rider(axm, atxm, None, tau, gam2)
+    V = jnp.asarray(rng.normal(size=(Mdim, B)), jnp.float64)
+    X = jnp.asarray(rng.normal(size=(Mdim, R)), jnp.float64)
+    mu0 = jnp.zeros_like(V)
+    diag = cg.jacobi_diag(tau, gam2, float(Ndim))
+
+    plain = cg.solve_block(multb, V, mu0, diag, gam2, 40, modes=(0, 1))
+    rode = cg.solve_block(multb, V, mu0, diag, gam2, 40, modes=(0, 1),
+                          rider=X, rider_mult=rmult)
+    # the concatenated forward matmul changes XLA's accumulation order, so
+    # "identical" means fp-identical at the compute dtype (f32 here), not
+    # bit-identical
+    np.testing.assert_allclose(np.asarray(rode.mu), np.asarray(plain.mu),
+                               rtol=3e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rode.iters),
+                                  np.asarray(plain.iters))
+    np.testing.assert_allclose(np.asarray(rode.rider_out), np.asarray(A @ X),
+                               rtol=3e-5, atol=1e-6)
