@@ -18,6 +18,7 @@ damping, and stopping; traits that converge freeze while the rest continue.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -327,6 +328,11 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
     cols_t = np.arange(T)
     cols_tp = np.repeat(np.arange(T), P_)
     cols_all = np.concatenate([cols_t, cols_tp])
+    # fold the noise-EM pass into the CG exit identities, exactly like the
+    # single-trait engine (linear.VampConfig.fold_noise): two-pass routing
+    # only, env kill switch for A/B
+    fold_noise = (cfg.fold_noise and gram_fn is None
+                  and os.environ.get("GVAMP_NOISE_PASS", "0") != "1")
 
     g1_t = jax.vmap(g1, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
     g1d_t = jax.vmap(g1d, in_axes=(1, 0, Prior(0, 0)), out_axes=1)
@@ -445,11 +451,24 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
             mu0, r0 = cg.tracked_warm_start(
                 V, mu0, state.gmu, tau_cols[None, :], tau_ref,
                 gam2_cols[None, :], it, cfg.gram_refresh, multb)
+        # fold_noise: the T z1 = A_t x1_t columns ride the first CG
+        # iteration's forward pass (see linear.py); no extra packed read
+        rider = x1 if fold_noise else None
+
+        def rider_mult(Pk, X):
+            Z = axm_fn(op, jnp.concatenate([Pk, X], axis=1),
+                       np.concatenate([cols_all, cols_t]))
+            B = Pk.shape[1]
+            return (tau_cols[None, :] * atxm_fn(op, Z[..., :B], cols_all)
+                    + gam2_cols[None, :] * Pk), Z[..., B:]
+
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
-                             precond=precond, r0=r0)
+                             precond=precond, r0=r0,
+                             rider=rider,
+                             rider_mult=rider_mult if fold_noise else None)
         gmu_new = cg.gram_from_exit(V, sol, tau_cols[None, :],
                                     gam2_cols[None, :])
         x2 = sol.mu[:, :T] * m_mask[:, None]
@@ -467,18 +486,36 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
         r1 = ((eta2[None, :] * x2 - gam2[None, :] * r2)
               / gam1_new[None, :]) * m_mask[:, None]
 
-        # noise precision per trait (updateNoisePrec, vamp.cpp:892-927);
-        # the deferred z1 = A x1 rides the same wide pass
-        Z2 = axm_fn(op, jnp.concatenate([x2, invq, x1], axis=1),
-                    np.concatenate([cols_all, cols_t]))
-        ax2 = Z2[..., :T]
-        z1 = Z2[..., T + T * P_:]
-        resid2 = jnp.sum(jnp.square(ax2 - y), axis=(0, 1))
-        tc = jnp.sum(aux.z_bern * Z2[..., T:T + T * P_], axis=(0, 1))
-        trace_corr = tc.reshape(T, P_).mean(axis=1) * Mt
+        # noise precision per trait (updateNoisePrec, vamp.cpp:892-927)
+        if fold_noise:
+            # resid2/trace_corr via the CG exit Gram identity (exact for any
+            # mu: tau*A^T A mu = V - r - gam2*mu), z1 via the rider columns —
+            # NO packed pass here (see linear.py phase_noise)
+            z1 = sol.rider_out
+            muT, rT = sol.mu[:, :T], sol.r[:, :T]
+            quad_t = (jnp.sum(muT * V[:, :T], axis=0)
+                      - jnp.sum(muT * rT, axis=0)
+                      - gam2_eff * jnp.sum(jnp.square(muT), axis=0)) / gamw
+            resid2 = jnp.maximum(
+                quad_t - 2.0 * jnp.sum(muT * aux.aty, axis=0) + l2y, 0.0)
+            trq = (jnp.sum(jnp.square(bern_tp), axis=0)
+                   - jnp.sum(bern_tp * sol.r[:, T:], axis=0)
+                   - gam2_cols[T:] * jnp.sum(bern_tp * invq, axis=0)) \
+                / tau_cols[T:]
+            trace_corr = trq.reshape(T, P_).mean(axis=1) * Mt
+            R2_2 = 1.0 - resid2 / l2y
+        else:
+            # one wide pass computes A x2, A invq AND the deferred z1 = A x1
+            Z2 = axm_fn(op, jnp.concatenate([x2, invq, x1], axis=1),
+                        np.concatenate([cols_all, cols_t]))
+            ax2 = Z2[..., :T]
+            z1 = Z2[..., T + T * P_:]
+            resid2 = jnp.sum(jnp.square(ax2 - y), axis=(0, 1))
+            tc = jnp.sum(aux.z_bern * Z2[..., T:T + T * P_], axis=(0, 1))
+            trace_corr = tc.reshape(T, P_).mean(axis=1) * Mt
+            R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2), axis=(0, 1)) / l2y
         gamw_new = N / (resid2 + trace_corr)
         R2_1 = 1.0 - jnp.sum(jnp.square(y - z1), axis=(0, 1)) / l2y
-        R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2), axis=(0, 1)) / l2y
 
         rel_change = jnp.sqrt(
             jnp.sum(jnp.square(x1_prev - x1), axis=0) /

@@ -386,3 +386,25 @@ def test_multi_zmodel_stab_gamma_identity():
             want = old ** (1 - s) * np.asarray(hs[1.0][1][k], float) ** s
             np.testing.assert_allclose(np.asarray(hs[s][1][k], float), want,
                                        rtol=1e-8)
+
+
+def test_multi_fold_noise_matches_explicit_pass():
+    """Multi-trait fold_noise (per-trait resid2/trace_corr via the CG exit
+    Gram identity, z1 via first-iteration rider columns) reproduces the
+    explicit noise-EM wide pass trajectory-for-trajectory."""
+    geno, codes, ys, betas, priors = _build()
+    probs_t, vars_t = priors[0]
+    runs = {}
+    for fold in (False, True):
+        cfg = linear.VampConfig(max_iter=5, rho=0.3, gam1_init=1e-8,
+                                gamw_init=2.0, seed=4, fold_noise=fold,
+                                stop_criteria_thr=0.0)
+        mp = multi.MultiPhen.build(geno, ys, standardize=False)
+        runs[fold] = multi.infer(mp, cfg, probs_t, vars_t, verbose=False)
+    for key in ("gamw", "R2_train_1", "R2_train_2", "alpha2", "gam1"):
+        a = np.array([np.asarray(m[key]) for m in runs[False][2]])
+        b = np.array([np.asarray(m[key]) for m in runs[True][2]])
+        np.testing.assert_allclose(b, a, rtol=5e-6, err_msg=key)
+    np.testing.assert_allclose(np.asarray(runs[True][0]),
+                               np.asarray(runs[False][0]), rtol=0,
+                               atol=1e-7 * np.abs(runs[False][0]).max())
