@@ -32,6 +32,9 @@ class CGResult(NamedTuple):
                           # hold regardless of convergence)
     rider_out: jax.Array = None  # A @ rider, captured on the first CG
                                  # iteration's forward pass (see solve_block)
+    zmu: jax.Array = None        # tracked forward product A @ mu[:, 0] at
+                                 # exit (fwd_mult tracking: zmu += alpha_0 *
+                                 # A p_0 each iteration, zero extra reads)
 
 
 def solve(
@@ -119,6 +122,17 @@ def solve_block(
                               # the separate noise-EM pass
     rider_mult=None,          # (P, X) -> (Q P, A X); required with rider
                               # (cg.make_lmmse_mult_block_rider)
+    fwd_mult=None,            # (P) -> (Q P, A P): replaces mult_block and
+                              # tracks the forward product of solution
+                              # column 0 across iterations (zmu += alpha_0 *
+                              # A p_0, the CG recursion applied in N-space) —
+                              # this is how the z-model engines (probit/
+                              # Huber) get z2 = A x2 without the separate
+                              # post-solve forward pass
+    zmu0=None,                # A @ mu_start[:, 0]; required with fwd_mult
+                              # (zeros for a zero start; callers carry it
+                              # across iterations like the tracked Gram
+                              # product — see tracked_warm_start_fwd)
 ) -> CGResult:
     """Batched CG: each column runs its own CG recursion, but every iteration
     costs ONE wide-RHS pass over the packed matrix (axm+atxm) instead of one
@@ -146,6 +160,11 @@ def solve_block(
     norm_v2 = jnp.sum(jnp.square(V), axis=0)  # [B]
     norm_v = jnp.sqrt(jnp.where(norm_v2 == 0, 1.0, norm_v2))
 
+    assert not (rider is not None and fwd_mult is not None), \
+        "rider and fwd_mult tracking are mutually exclusive"
+    if fwd_mult is not None and zmu0 is None:
+        raise ValueError("fwd_mult tracking requires zmu0 = A @ mu_start[:, 0]")
+
     class S(NamedTuple):
         i: jax.Array
         mu: jax.Array         # [M, B]
@@ -157,16 +176,18 @@ def solve_block(
         rel_err: jax.Array    # [B]
         done: jax.Array       # bool[B]
         iters: jax.Array      # int[B] per-column iteration counts
+        zmu: jax.Array        # tracked A @ mu[:, 0] (dummy scalar when off)
 
     s0 = S(jnp.asarray(0), mu_start, r0, z0, z0,
            jnp.sum(r0 * z0, axis=0), jnp.zeros((B,), dt),
            jnp.full((B,), jnp.inf, dt), jnp.zeros((B,), bool),
-           jnp.zeros((B,), jnp.int32))
+           jnp.zeros((B,), jnp.int32),
+           zmu0 if fwd_mult is not None else jnp.zeros((), dt))
 
     def cond(s: S):
         return (s.i < max_iter) & (~jnp.all(s.done))
 
-    def body_with(s: S, d):
+    def body_with(s: S, d, ap=None):
         pd = jnp.sum(d * s.p, axis=0)
         alpha = jnp.where(s.done | (pd == 0), 0.0,
                           s.rz / jnp.where(pd == 0, 1.0, pd))
@@ -182,12 +203,15 @@ def solve_block(
         rel_err = jnp.sqrt(jnp.sum(jnp.square(r), axis=0)) / norm_v
         done = s.done | jnp.where(modes == 1, ons_rel < onsager_tol,
                                   rel_err < err_tol)
+        zmu = s.zmu if ap is None else s.zmu + alpha[0] * ap[..., 0]
         out = S(s.i + 1, mu, r, z, p, rz_new, ons, rel_err, done,
-                s.iters + (~s.done).astype(jnp.int32))
+                s.iters + (~s.done).astype(jnp.int32), zmu)
         return jax.tree_util.tree_map(
             lambda n, ref: jnp.asarray(n, ref.dtype), out, s)
 
     def body(s: S):
+        if fwd_mult is not None:
+            return body_with(s, *fwd_mult(s.p))
         return body_with(s, mult_block(s.p))
 
     ax_rider = None
@@ -201,7 +225,8 @@ def solve_block(
         s0 = body_with(s0, d0)
     out = jax.lax.while_loop(cond, body, s0)
     return CGResult(mu=out.mu, iters=out.iters, rel_err=out.rel_err, r=out.r,
-                    rider_out=ax_rider)
+                    rider_out=ax_rider,
+                    zmu=out.zmu if fwd_mult is not None else None)
 
 
 def tracked_warm_start(V, mu0_raw, gmu_raw, tau_now, tau_ref, gam2_cols,
@@ -234,6 +259,35 @@ def tracked_warm_start(V, mu0_raw, gmu_raw, tau_now, tau_ref, gam2_cols,
     return mu0, r0
 
 
+def tracked_warm_start_fwd(V, mu0_raw, gmu_raw, zmu_raw, tau_now, tau_ref,
+                           gam2_cols, it, refresh, multb_fwd):
+    """tracked_warm_start plus the carried forward product zmu = A mu0[:, 0]
+    (the z-model engines' z2 tracking): same guards, and the refresh-tick
+    true init mult ALSO refreshes zmu from its forward half, so the tracked
+    z2 drift resets on the same schedule as the Gram product's.
+
+    Returns (mu0, r0, zmu0).
+    """
+    finite = (jnp.all(jnp.isfinite(mu0_raw)) & jnp.all(jnp.isfinite(gmu_raw))
+              & jnp.all(jnp.isfinite(zmu_raw)))
+    mu0 = jnp.where(finite, mu0_raw, jnp.zeros_like(mu0_raw))
+    zero = jnp.all(mu0 == 0)
+    gmu = jnp.where(finite & ~zero, gmu_raw, jnp.zeros_like(gmu_raw))
+    zmu = jnp.where(finite & ~zero, zmu_raw, jnp.zeros_like(zmu_raw))
+    stale = jnp.any((tau_ref <= 0) | (tau_now > 4.0 * tau_ref))
+    cold = jnp.all(gmu == 0) & jnp.any(mu0 != 0)
+    need_mult = ((it % refresh == 0) | cold | stale) & ~zero
+
+    def true_mult():
+        qp, ap = multb_fwd(mu0)
+        return V - qp, ap[..., 0]
+
+    r0, zmu0 = jax.lax.cond(
+        need_mult, true_mult,
+        lambda: (V - (tau_now * gmu + gam2_cols * mu0), zmu))
+    return mu0, r0, zmu0
+
+
 def gram_from_exit(V, sol, tau_now, gam2_cols):
     """Recover the pure Gram product of ``sol.mu`` from the CG exit
     residual: mult(mu) = V - r, so gram(mu) = (V - r - gam2*mu)/tau.
@@ -260,6 +314,18 @@ def make_lmmse_mult_block(axm_fn, atxm_fn, op, tau, gam2, gram_fn=None):
 
     def mult(P):
         return tau * atxm_fn(op, axm_fn(op, P)) + gam2 * P
+
+    return mult
+
+
+def make_lmmse_mult_block_fwd(axm_fn, atxm_fn, op, tau, gam2):
+    """Two-pass lmmse mult exposing the forward intermediate:
+    P -> (tau A^T(A P) + gam2 P, A P).  Used with solve_block's fwd_mult
+    tracking so z2 = A x2 falls out of the CG recursion itself."""
+
+    def mult(P):
+        Z = axm_fn(op, P)
+        return tau * atxm_fn(op, Z) + gam2 * P, Z
 
     return mult
 

@@ -22,6 +22,7 @@ Semantics notes (parity with the reference):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -314,6 +315,13 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
     gram_fn = geno.fn_gram()
+    # z2 = A x2 tracked through the CG recursion (zmu += alpha_0 * A p_0,
+    # cg.solve_block fwd_mult) instead of a separate post-solve forward
+    # pass: 6 -> 5 packed reads/iteration at steady-state cg_it = 2.
+    # Two-pass routing only; same master switch + env kill switch as the
+    # linear engine's noise-pass fold (VampConfig.fold_noise).
+    track_z2 = (cfg.fold_noise and gram_fn is None
+                and os.environ.get("GVAMP_NOISE_PASS", "0") != "1")
     pv = cfg.probit_var
 
     def phase_denoise_x(state: ProbitState, aux: ProbitAux):
@@ -427,23 +435,32 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         if cfg.deflate_k > 0:
             precond = cg.make_deflated_precond(
                 aux.defl[0], aux.defl[1], tau2, gam2, diag)
+        fwd_mult = (cg.make_lmmse_mult_block_fwd(axm_fn, atxm_fn, op, tau2,
+                                                 gam2) if track_z2 else None)
         if cfg.gram_refresh > 1:
             # warm-start from the previous LMMSE/probe solutions with the
             # tracked Gram product (linear.py gmu): the init residual is
             # elementwise algebra except on refresh ticks, so the warm
             # start costs no packed pass (the reference zero-starts here,
             # vamp_probit.cpp:507)
-            mu0, r0 = cg.tracked_warm_start(
-                V, jnp.concatenate([state.mu_cg[:, None], state.mu_probe],
-                                   axis=1),
-                state.gmu, tau2, state.tau_gmu, gam2, it,
-                cfg.gram_refresh, multb)
+            mu0_raw = jnp.concatenate([state.mu_cg[:, None], state.mu_probe],
+                                      axis=1)
+            if track_z2:
+                mu0, r0, zmu0 = cg.tracked_warm_start_fwd(
+                    V, mu0_raw, state.gmu, state.z2, tau2, state.tau_gmu,
+                    gam2, it, cfg.gram_refresh, fwd_mult)
+            else:
+                mu0, r0 = cg.tracked_warm_start(
+                    V, mu0_raw, state.gmu, tau2, state.tau_gmu, gam2, it,
+                    cfg.gram_refresh, multb)
+                zmu0 = None
             sol = cg.solve_block(multb, V, mu0, diag, gam2,
                                  cfg.cg_max_iter,
                                  modes=(0,) + (1,) * aux.bern.shape[1],
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
-                                 precond=precond, r0=r0)
+                                 precond=precond, r0=r0,
+                                 fwd_mult=fwd_mult, zmu0=zmu0)
             gmu_new = cg.gram_from_exit(V, sol, tau2, gam2)
         else:
             sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
@@ -451,7 +468,10 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
                                  modes=(0,) + (1,) * aux.bern.shape[1],
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
-                                 precond=precond, start_zero=True)
+                                 precond=precond, start_zero=True,
+                                 fwd_mult=fwd_mult,
+                                 zmu0=(jnp.zeros_like(state.z2)
+                                       if track_z2 else None))
             gmu_new = jnp.zeros_like(sol.mu)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
@@ -479,6 +499,8 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         w.update(x2=x2, alpha2=alpha2, gam2=gam2, r1=r1, gam1_new=gam1_new,
                  cg_iters=sol.iters[0], mu_cg=sol.mu[:, 0],
                  mu_probe=sol.mu[:, 1:], gmu=gmu_new, tau_gmu=tau2)
+        if track_z2:
+            w.update(z2_tracked=sol.zmu)
         return w
 
     def phase_lmmse_z(w, state: ProbitState, aux: ProbitAux):
@@ -494,7 +516,10 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         nb = state.p2.shape[-1]
 
         # ---- LMMSE z (vamp_probit.cpp:567-614) -----------------------------
-        z2 = ax_fn(op, x2)
+        # z2 = A x2: tracked through the CG recursion when track_z2 (exact
+        # same quantity, CG-recursion fp drift, refresh-reset), else the
+        # explicit forward pass
+        z2 = w["z2_tracked"] if track_z2 else ax_fn(op, x2)
         z2f = z2.reshape(-1)
         beta2 = Mt / N * (1.0 - alpha2)
         zeta2 = tau2 / beta2

@@ -14,6 +14,8 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,6 +216,10 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
     ax_fn, atx_fn = geno.fns()
     axm_fn, atxm_fn = geno.fns_multi()
     gram_fn = geno.fn_gram()
+    # z2 = A x2 tracked through the CG recursion (see probit.py /
+    # cg.solve_block fwd_mult): 6 -> 5 packed reads/iteration
+    track_z2 = (cfg.fold_noise and gram_fn is None
+                and os.environ.get("GVAMP_NOISE_PASS", "0") != "1")
 
     def phase_denoise_x(state: RobustState, aux: RobustAux):
         m_mask = aux.m_mask
@@ -309,21 +315,30 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         if cfg.deflate_k > 0:
             precond = cg.make_deflated_precond(
                 aux.defl[0], aux.defl[1], tau2, gam2, diag)
+        fwd_mult = (cg.make_lmmse_mult_block_fwd(axm_fn, atxm_fn, op, tau2,
+                                                 gam2) if track_z2 else None)
         if cfg.gram_refresh > 1:
             # warm-start with the tracked Gram product (linear.py gmu):
             # the init residual costs no packed pass off refresh ticks
             # (the reference zero-starts here, vamp_Huber.cpp:313)
-            mu0, r0 = cg.tracked_warm_start(
-                V, jnp.concatenate([state.mu_cg[:, None], state.mu_probe],
-                                   axis=1),
-                state.gmu, tau2, state.tau_gmu, gam2, it,
-                cfg.gram_refresh, multb)
+            mu0_raw = jnp.concatenate([state.mu_cg[:, None], state.mu_probe],
+                                      axis=1)
+            if track_z2:
+                mu0, r0, zmu0 = cg.tracked_warm_start_fwd(
+                    V, mu0_raw, state.gmu, state.z2, tau2, state.tau_gmu,
+                    gam2, it, cfg.gram_refresh, fwd_mult)
+            else:
+                mu0, r0 = cg.tracked_warm_start(
+                    V, mu0_raw, state.gmu, tau2, state.tau_gmu, gam2, it,
+                    cfg.gram_refresh, multb)
+                zmu0 = None
             sol = cg.solve_block(multb, V, mu0, diag, gam2,
                                  cfg.cg_max_iter,
                                  modes=(0,) + (1,) * aux.bern.shape[1],
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
-                                 precond=precond, r0=r0)
+                                 precond=precond, r0=r0,
+                                 fwd_mult=fwd_mult, zmu0=zmu0)
             gmu_new = cg.gram_from_exit(V, sol, tau2, gam2)
         else:
             sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
@@ -331,7 +346,10 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
                                  modes=(0,) + (1,) * aux.bern.shape[1],
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
-                                 precond=precond, start_zero=True)
+                                 precond=precond, start_zero=True,
+                                 fwd_mult=fwd_mult,
+                                 zmu0=(jnp.zeros_like(state.z2)
+                                       if track_z2 else None))
             gmu_new = jnp.zeros_like(sol.mu)
         x2 = sol.mu[:, 0] * m_mask
         alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
@@ -359,6 +377,8 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         w.update(x2=x2, alpha2=alpha2, gam2=gam2, r1=r1, gam1_new=gam1_new,
                  cg_iters=sol.iters[0], mu_cg=sol.mu[:, 0],
                  mu_probe=sol.mu[:, 1:], gmu=gmu_new, tau_gmu=tau2)
+        if track_z2:
+            w.update(z2_tracked=sol.zmu)
         return w
 
     def phase_lmmse_z(w, state: RobustState, aux: RobustAux):
@@ -374,7 +394,8 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         nb = state.p2.shape[-1]
 
         # ---- LMMSE z (vamp_Huber.cpp:368-412) ------------------------------
-        z2 = ax_fn(op, x2)
+        # z2 = A x2: tracked through the CG recursion when track_z2
+        z2 = w["z2_tracked"] if track_z2 else ax_fn(op, x2)
         z2f = z2.reshape(-1)
         beta2 = Mt / N * (1.0 - alpha2)
         zeta2 = tau2 / beta2

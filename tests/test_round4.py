@@ -176,3 +176,61 @@ def test_cg_rider_forward_product():
                                   np.asarray(plain.iters))
     np.testing.assert_allclose(np.asarray(rode.rider_out), np.asarray(A @ X),
                                rtol=3e-5, atol=1e-6)
+
+
+def _zmodel_ab(module, cfg_cls, phen_fn, iters=10):
+    """Shared A/B harness: run a z-model engine with z2 tracked through the
+    CG recursion (fold_noise=True) vs the explicit post-solve forward pass,
+    and return both metric histories."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tests_shim import make_bed_bytes
+    from gvamp_tpu import sim
+
+    rng = np.random.default_rng(19)
+    N, M = 600, 256
+    codes = sim.random_genotypes(rng, M, N, miss_rate=0.01)
+    vars_t, probs_t = sim.two_group_prior(M, 16, 0.6)
+    beta = sim.simulate_mixture(rng, M, vars_t, probs_t)
+    g = GenoBed.from_arrays(make_bed_bytes(codes), np.zeros(N), N=N,
+                            standardize_phen=False, dtype=jnp.float64)
+    g.set_phen(phen_fn(g, beta, rng))
+    outs = {}
+    for fold in (False, True):
+        cfg = cfg_cls(max_iter=iters, rho=0.3, seed=2, fold_noise=fold,
+                      stop_criteria_thr=0.0)
+        outs[fold] = module.infer(g, cfg, probs_t, vars_t, verbose=False)
+    return outs
+
+
+def test_probit_z2_tracking_matches_explicit():
+    """Tracked z2 (zmu += alpha_0 A p_0 through the CG; refresh-reset with
+    the Gram product) reproduces the explicit z2 = A x2 pass trajectory
+    across a gram_refresh tick (10 its > refresh=8)."""
+    from gvamp_tpu import probit, sim
+
+    outs = _zmodel_ab(
+        probit, probit.ProbitConfig,
+        lambda g, b, rng: sim.simulate_probit_phenotype(g, b, 1.0, rng))
+    for key in ("gam1", "tau1", "alpha2", "beta1"):
+        a = np.array([float(m[key]) for m in outs[False][2]])
+        b = np.array([float(m[key]) for m in outs[True][2]])
+        np.testing.assert_allclose(b, a, rtol=1e-6, err_msg=key)
+    np.testing.assert_allclose(np.asarray(outs[True][0]),
+                               np.asarray(outs[False][0]), rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_huber_z2_tracking_matches_explicit():
+    from gvamp_tpu import robust, sim
+
+    def phen(g, b, rng):
+        xpad = g.pad_m(b * np.sqrt(g.N))
+        z = np.asarray(g.deplanarize(g.ax(xpad)))[:g.N]
+        return z + rng.standard_t(3.0, g.N) * 0.5
+
+    outs = _zmodel_ab(robust, robust.RobustConfig, phen, iters=6)
+    for key in ("gam1", "tau1", "alpha2", "beta1", "deltaH"):
+        a = np.array([float(m[key]) for m in outs[False][2]])
+        b = np.array([float(m[key]) for m in outs[True][2]])
+        np.testing.assert_allclose(b, a, rtol=1e-6, err_msg=key)
