@@ -133,6 +133,23 @@ def solve_block(
                               # (zeros for a zero start; callers carry it
                               # across iterations like the tracked Gram
                               # product — see tracked_warm_start_fwd)
+    plateau: int = 0,         # stagnation exit, windowed: every `plateau`
+                              # iterations, a still-running column must have
+                              # improved its BEST relative residual by at
+                              # least 30% since the last window boundary or
+                              # it freezes.  A sustained per-iteration rate
+                              # of 0.97 (apparent condition number ~2e4+,
+                              # >400 iterations to converge) fails the
+                              # window; the engines' converging solves run
+                              # at rates <= ~0.5 and clear it by orders of
+                              # magnitude.  Best-so-far tracking makes the
+                              # test immune to CG's residual-norm
+                              # oscillation, and the fp floor needs no
+                              # special case (a floored best stops
+                              # improving).  0 = off (reference behavior:
+                              # ill-conditioned z-model solves burn the full
+                              # budget producing an iterate no better than
+                              # the windowed one, vamp_Huber.cpp:313).
 ) -> CGResult:
     """Batched CG: each column runs its own CG recursion, but every iteration
     costs ONE wide-RHS pass over the packed matrix (axm+atxm) instead of one
@@ -177,12 +194,21 @@ def solve_block(
         done: jax.Array       # bool[B]
         iters: jax.Array      # int[B] per-column iteration counts
         zmu: jax.Array        # tracked A @ mu[:, 0] (dummy scalar when off)
+        best: jax.Array       # [B] best rel_err so far (plateau tracking)
+        win_best: jax.Array   # [B] best at the last window boundary
 
+    # win_best starts at inf so the FIRST window boundary only records a
+    # baseline and never fires: CG routinely makes zero residual-norm
+    # progress for a dozen iterations on a perfectly convergent solve (the
+    # spectrum-discovery transient) — earliest possible plateau exit is
+    # therefore 2*plateau iterations
+    rel0 = jnp.sqrt(jnp.sum(jnp.square(r0), axis=0)) / norm_v
     s0 = S(jnp.asarray(0), mu_start, r0, z0, z0,
            jnp.sum(r0 * z0, axis=0), jnp.zeros((B,), dt),
            jnp.full((B,), jnp.inf, dt), jnp.zeros((B,), bool),
            jnp.zeros((B,), jnp.int32),
-           zmu0 if fwd_mult is not None else jnp.zeros((), dt))
+           zmu0 if fwd_mult is not None else jnp.zeros((), dt),
+           rel0, jnp.full((B,), jnp.inf, dt))
 
     def cond(s: S):
         return (s.i < max_iter) & (~jnp.all(s.done))
@@ -203,9 +229,15 @@ def solve_block(
         rel_err = jnp.sqrt(jnp.sum(jnp.square(r), axis=0)) / norm_v
         done = s.done | jnp.where(modes == 1, ons_rel < onsager_tol,
                                   rel_err < err_tol)
+        best = jnp.minimum(s.best, rel_err)
+        win_best = s.win_best
+        if plateau > 0:
+            boundary = (s.i + 1) % plateau == 0
+            done = done | (boundary & (best > 0.7 * s.win_best))
+            win_best = jnp.where(boundary, best, s.win_best)
         zmu = s.zmu if ap is None else s.zmu + alpha[0] * ap[..., 0]
         out = S(s.i + 1, mu, r, z, p, rz_new, ons, rel_err, done,
-                s.iters + (~s.done).astype(jnp.int32), zmu)
+                s.iters + (~s.done).astype(jnp.int32), zmu, best, win_best)
         return jax.tree_util.tree_map(
             lambda n, ref: jnp.asarray(n, ref.dtype), out, s)
 

@@ -99,7 +99,7 @@ def _common_cfg(opt: Options, gam1, default_gam1, gamw=None):
         em_max_iter=opt.EM_max_iter, em_err_thr=opt.EM_err_thr,
         cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
         seed=opt.seed, deflate_k=opt.deflate_k,
-        deflate_iters=opt.deflate_iters,
+        deflate_iters=opt.deflate_iters, cg_plateau=opt.cg_plateau,
         # consumed by the z-model engines only; options.check rejects a
         # non-default value for --model linear
         stab_gamma=opt.stab_gamma,

@@ -131,6 +131,16 @@ class VampConfig:
                                  # recovers (extension; no reference analog
                                  # — vamp_Huber.cpp:355 / vamp_probit.cpp:571
                                  # leave these unguarded)
+    cg_plateau: int = 12         # CG stagnation exit: freeze a column after
+                                 # this many consecutive CG iterations
+                                 # without >=1% relative-residual
+                                 # improvement (cg.solve_block plateau;
+                                 # 0 = reference behavior, burn the full
+                                 # budget).  Only fires on ill-conditioned
+                                 # solves (z-model tau2 explosions) where
+                                 # the max_iter iterate is no better than
+                                 # the plateaued one — converging solves
+                                 # never trigger it.
     fold_noise: bool = True      # fold the noise-EM pass into the CG exit:
                                  # resid2 = <mu, A^T A mu> - 2<mu, A^T y> +
                                  # |y|^2 and the Hutchinson trace correction
@@ -565,7 +575,8 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             sol = cg.solve_block(mult_aat_b, V_n, mu0_n, diag_n, gam2_eff,
                                  cfg.cg_max_iter, modes=(0,) + (1,) * P,
                                  err_tol=cfg.cg_err_tol_xxt,
-                                 onsager_tol=cfg.onsager_tol, r0=r0_n)
+                                 onsager_tol=cfg.onsager_tol,
+                                 plateau=cfg.cg_plateau, r0=r0_n)
             if cfg.gram_refresh > 1:
                 w = dict(w)
                 w.update(gmu_n=cg.gram_from_exit(V_n, sol, gamw, gam2_eff)
@@ -647,6 +658,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                                  modes=(0,) + (1,) * P,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
+                                 plateau=cfg.cg_plateau,
                                  precond=precond, r0=r0,
                                  rider=rider, rider_mult=rider_mult)
             if fold_noise:

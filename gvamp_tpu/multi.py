@@ -466,6 +466,7 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
                              cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
+                                 plateau=cfg.cg_plateau,
                              precond=precond, r0=r0,
                              rider=rider,
                              rider_mult=rider_mult if fold_noise else None)
@@ -832,6 +833,7 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
                              modes=(0,) * T + (1,) * (T * P_),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
+                                 plateau=cfg.cg_plateau,
                              precond=precond, r0=r0)
         gmu_new = cg.gram_from_exit(V, sol, tau_cols[None, :],
                                     gam2_cols[None, :])

@@ -80,6 +80,13 @@ class Options:
                                     # Rescues late-iteration precision
                                     # collapse at small N (extension; see
                                     # linear.VampConfig.stab_gamma)
+    cg_plateau: int = 12            # CG stagnation exit: freeze a column
+                                    # after this many consecutive CG
+                                    # iterations without >=1% residual
+                                    # improvement; 0 = reference behavior
+                                    # (burn the full --CG-max-iter budget on
+                                    # ill-conditioned solves).  See
+                                    # linear.VampConfig.cg_plateau
     # extensions beyond the reference CLI:
     type_data: str = "bed"          # bed | meth (reference data ctor arg,
                                     # data.hpp:93; meth = raw-double matrix
@@ -144,7 +151,7 @@ class Options:
                      ("--seed", 1), ("--devices", 0), ("--dump-every", 1),
                      ("--sync-every", 1), ("--phase-timers", 0),
                      ("--deflate-k", 0),
-                     ("--deflate-iters", 8),
+                     ("--deflate-iters", 8), ("--cg-plateau", 12),
                      ("--distributed", 0), ("--n-processes", 0),
                      ("--process-id", -1),
                      ("--verbosity", 1)]:
@@ -247,6 +254,8 @@ class Options:
             fatal("--red must be 0 or 1")
         if not (0.0 < self.stab_gamma <= 1.0):
             fatal("--stab-gamma must be in (0, 1]")
+        if self.cg_plateau < 0:
+            fatal("--cg-plateau must be >= 0 (0 disables the exit)")
         if self.stab_gamma != 1.0 and self.model == "linear":
             # the linear engine has its own stabilizers (--use-lmmse-damp,
             # --gamma-damp, --use-cross-val); reject rather than silently

@@ -459,6 +459,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
                                  modes=(0,) + (1,) * aux.bern.shape[1],
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
+                                 plateau=cfg.cg_plateau,
                                  precond=precond, r0=r0,
                                  fwd_mult=fwd_mult, zmu0=zmu0)
             gmu_new = cg.gram_from_exit(V, sol, tau2, gam2)
@@ -468,6 +469,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
                                  modes=(0,) + (1,) * aux.bern.shape[1],
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
+                                 plateau=cfg.cg_plateau,
                                  precond=precond, start_zero=True,
                                  fwd_mult=fwd_mult,
                                  zmu0=(jnp.zeros_like(state.z2)

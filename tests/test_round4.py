@@ -234,3 +234,45 @@ def test_huber_z2_tracking_matches_explicit():
         a = np.array([float(m[key]) for m in outs[False][2]])
         b = np.array([float(m[key]) for m in outs[True][2]])
         np.testing.assert_allclose(b, a, rtol=1e-6, err_msg=key)
+
+
+def test_cg_plateau_exit():
+    """The stagnation exit freezes columns that stop improving (an
+    ill-conditioned operator at a tolerance below its reachable residual)
+    and never fires on a converging solve."""
+    from gvamp_tpu import cg
+
+    rng = np.random.default_rng(3)
+    Mdim, Ndim = 128, 96
+    A = jnp.asarray(rng.normal(size=(Ndim, Mdim)), jnp.float64)
+
+    def axm(op, P):
+        return A @ P
+
+    def atxm(op, Z):
+        return A.T @ Z
+
+    V = jnp.asarray(rng.normal(size=(Mdim, 1)), jnp.float64)
+    mu0 = jnp.zeros_like(V)
+
+    # singular operator (M > N => A^T A rank-deficient), tiny gam2, and an
+    # err_tol below the reachable residual: classic stagnation
+    tau, gam2 = 1e6, 1e-8
+    multb = cg.make_lmmse_mult_block(axm, atxm, None, tau, gam2)
+    diag = cg.jacobi_diag(tau, gam2, float(Ndim))
+    stuck = cg.solve_block(multb, V, mu0, diag, gam2, 500, modes=(0,),
+                           err_tol=1e-300, plateau=12)
+    assert int(stuck.iters[0]) < 500
+
+    # converging solve at the production tolerance (the engines all use
+    # err_tol=1e-5): plateau on/off produce identical results — the exit
+    # never fires before the residual test does
+    tau, gam2 = 1.0, 0.5
+    multb = cg.make_lmmse_mult_block(axm, atxm, None, tau, gam2)
+    diag = cg.jacobi_diag(tau, gam2, float(Ndim))
+    a = cg.solve_block(multb, V, mu0, diag, gam2, 200, modes=(0,),
+                       err_tol=1e-5, plateau=0)
+    b = cg.solve_block(multb, V, mu0, diag, gam2, 200, modes=(0,),
+                       err_tol=1e-5, plateau=12)
+    np.testing.assert_array_equal(np.asarray(a.mu), np.asarray(b.mu))
+    np.testing.assert_array_equal(np.asarray(a.iters), np.asarray(b.iters))
