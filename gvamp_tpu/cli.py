@@ -773,6 +773,16 @@ def mode_predict(opt: Options, single: bool = False):
                                   geno.M, geno.S)
         zs.append(geno.deplanarize(geno.ax(geno.pad_m(est * sqn)))[: geno.N])
     zs = np.stack(zs, axis=1)  # [N, n_iters]
+    if opt.predict_format == "matrix":
+        # one CSV, row per test individual, column per iteration — the
+        # batched alternative to the reference's file-per-individual quirk
+        np.savetxt(f"{opt.out_prefix}_predict_matrix.csv", zs, delimiter=",")
+        return
+    # reference-faithful: N_test files (main_real.cpp:538-545)
+    if geno.N > 10000:
+        print(f"WARNING: --predict-format per-individual writes {geno.N} "
+              "files (reference main_real.cpp:538-545 behavior); use "
+              "--predict-format matrix for one CSV", flush=True)
     for i in range(geno.N):
         vecio.write_txt(f"{opt.out_prefix}_predict_{i}.csv", zs[i])
 

@@ -91,6 +91,13 @@ class Options:
     type_data: str = "bed"          # bed | meth (reference data ctor arg,
                                     # data.hpp:93; meth = raw-double matrix
                                     # at --bed-file)
+    predict_format: str = "matrix"  # predict-mode output: "matrix" = ONE
+                                    # <out>_predict_matrix.csv with a row per
+                                    # test individual (columns = iterations);
+                                    # "per-individual" = the reference's
+                                    # file-per-individual behavior
+                                    # (main_real.cpp:538-545 — N_test files;
+                                    # 400k files at biobank scale)
     sim_model: str = "default"      # sim run-mode recipe: default (sim.cpp),
                                     # realistic, heavy-tails, probit
     dtype: str = "float32"          # compute dtype (reference: f64 only)
@@ -169,6 +176,8 @@ class Options:
         flag("--test-iter-range", type=lambda s: [int(x) for x in s.split(",")],
              default=[-1, -1])
         flag("--type-data", default="bed", choices=["bed", "meth"])
+        flag("--predict-format", default="matrix",
+             choices=["matrix", "per-individual"])
         flag("--sim-model", default="default",
              choices=["default", "realistic", "heavy-tails", "probit"])
         flag("--dtype", default="float32", choices=["float32", "float64"])

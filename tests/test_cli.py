@@ -128,6 +128,28 @@ def test_predict_single_mode(dataset):
     assert np.corrcoef(z[: ds["N"]], ds["y"])[0, 1] > 0.6
 
 
+def test_predict_matrix_mode(dataset):
+    # predict mode with --predict-format matrix: ONE CSV [N, n_iters]
+    # instead of the reference's file-per-individual (main_real.cpp:538-545)
+    ds = dataset
+    for it in (3, 4):
+        est = vecio.read_bin_shard(str(ds["dir"] / f"run1_it_{it}.bin"),
+                                   ds["M"], 0)
+        vecio.write_bin_shard(str(ds["dir"] / f"gtemp_{it}_{it}_gibbs_est.bin"),
+                              est, 0)
+    cli.main([
+        "--run-mode", "predict", "--bed-file-test", ds["bed"],
+        "--N-test", str(ds["N"]), "--Mt-test", str(ds["M"]),
+        "--estimate-file", str(ds["dir"] / "gtemp_3_3_gibbs_est.bin"),
+        "--test-iter-range", "3,4", "--dtype", "float64",
+        "--predict-format", "matrix",
+        "--out-dir", str(ds["dir"]), "--out-name", "pm"])
+    zs = np.loadtxt(ds["dir"] / "pm_predict_matrix.csv", delimiter=",")
+    assert zs.shape == (ds["N"], 2)
+    assert np.corrcoef(zs[:, 1], ds["y"])[0, 1] > 0.6
+    assert not os.path.exists(ds["dir"] / "pm_predict_0.csv")
+
+
 def test_sim_mode(dataset):
     ds = dataset
     cli.main([
