@@ -89,30 +89,65 @@ def _marker_stats_kernel(words, na_planar, nonas, alpha_scale, block=512, use64=
     sufficient sums S_a = sum a*mask, S_b = sum b*mask, S_aa = sum a^2*mask;
     then mave = S_a/S_b and var = (S_aa - S_a^2/S_b) / (nonas-1), matching the
     reference's two-pass loop (data.cpp:446-483) algebraically.
+
+    The reference accumulates these in double.  In the default f32 engine
+    dtype the N axis is split into chunks whose partial sums combine with
+    compensated two-sum (matvec.two_sum): the (hi, lo) pairs make the sums
+    1-ulp accurate at ANY N before the mave/sumsqr algebra, instead of the
+    plain-f32 ~N*eps worst-case drift at biobank scale.  The remaining error
+    is the final-subtraction cancellation, bounded by eps * mean^2/var per
+    marker — pinned against an np.float64 oracle at N=327,680 in
+    tests/test_pvals.py.
     """
     dt = jnp.float64 if use64 else jnp.float32
     Nw, M = words.shape
     na = na_planar.astype(dt)  # [4, Nb]
+    Nb = na.shape[1]
+    nc = matvec.nb_chunk(Nb)
+    C = Nb // nc
 
     def body(i, acc):
-        sa, sb, saa = acc
+        sah, sal, sbh, sbl, qh_, ql_ = acc
         blk = jax.lax.dynamic_slice(words, (0, i * block), (Nw, block))
         a, b = matvec.decode_planar_dense(blk, dt)  # [4, Nb, block]
         am = a * na[:, :, None]
         bm = b * na[:, :, None]
-        sa = jax.lax.dynamic_update_slice(sa, jnp.sum(am, axis=(0, 1)), (i * block,))
-        sb = jax.lax.dynamic_update_slice(sb, jnp.sum(bm, axis=(0, 1)), (i * block,))
-        saa = jax.lax.dynamic_update_slice(saa, jnp.sum(a * am, axis=(0, 1)), (i * block,))
-        return sa, sb, saa
+        pa = jnp.sum(am.reshape(4, C, nc, block), axis=(0, 2))   # [C, block]
+        pb = jnp.sum(bm.reshape(4, C, nc, block), axis=(0, 2))
+        pq = jnp.sum((a * am).reshape(4, C, nc, block), axis=(0, 2))
+
+        def fold(carry, part):
+            (ah, al), (bh, bl), (ch, cl) = carry
+            xa, xb, xq = part
+            ah, al = matvec.two_sum(ah, al, xa)
+            bh, bl = matvec.two_sum(bh, bl, xb)
+            ch, cl = matvec.two_sum(ch, cl, xq)
+            return ((ah, al), (bh, bl), (ch, cl)), None
+
+        z = jnp.zeros((block,), dt)
+        ((ah, al), (bh, bl), (ch, cl)), _ = jax.lax.scan(
+            fold, ((z, z), (z, z), (z, z)), (pa, pb, pq))
+        j = i * block
+        return (jax.lax.dynamic_update_slice(sah, ah, (j,)),
+                jax.lax.dynamic_update_slice(sal, al, (j,)),
+                jax.lax.dynamic_update_slice(sbh, bh, (j,)),
+                jax.lax.dynamic_update_slice(sbl, bl, (j,)),
+                jax.lax.dynamic_update_slice(qh_, ch, (j,)),
+                jax.lax.dynamic_update_slice(ql_, cl, (j,)))
 
     # derive the init carry from `words` so its shard_map varying-axis set
     # matches the body output (zeros alone would be replicated-typed)
     zeros = (words[0, :] * np.uint32(0)).astype(dt)
-    sa, sb, saa = jax.lax.fori_loop(0, M // block, body, (zeros, zeros, zeros))
+    sah, sal, sbh, sbl, qh, ql = jax.lax.fori_loop(
+        0, M // block, body, (zeros,) * 6)
+    sa = sah + sal       # correctly-rounded sums (lo absorbs the drift)
+    sb = sbh + sbl
     mave = jnp.where(sb != 0, sa / jnp.where(sb == 0, 1.0, sb), 0.0)
-    sumsqr = saa - mave * sa  # = sum (a-mave)^2 * b * na
+    # sumsqr = S_aa - mave*S_a with the lo corrections applied AFTER the
+    # cancelling hi subtraction (the hi terms carry the magnitude)
+    sumsqr = (qh - mave * sah) + (ql - mave * sal)
     sd = jnp.sqrt(sumsqr / (nonas - 1.0))
-    msig = jnp.where(sumsqr != 0, 1.0 / jnp.power(jnp.where(sumsqr == 0, 1.0, sd), alpha_scale), 1.0)
+    msig = jnp.where(sumsqr > 0, 1.0 / jnp.power(jnp.where(sumsqr <= 0, 1.0, sd), alpha_scale), 1.0)
     return mave, msig
 
 

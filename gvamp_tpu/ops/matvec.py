@@ -132,6 +132,26 @@ def _split_hi_lo(x: jax.Array, axis: int) -> jax.Array:
     return jnp.concatenate([hi, mid, lo], axis=axis)
 
 
+def two_sum(hi, lo, p):
+    """Compensated accumulation (Knuth two-sum): (hi, lo) += p with the
+    rounding error of the hi update captured exactly in lo.  hi + lo folded
+    at higher precision recovers the f64-grade sum — the TPU-native stand-in
+    for the reference's all-double sufficient-statistic accumulators
+    (data.cpp:446-483, 1108-1226)."""
+    s = hi + p
+    bp = s - hi
+    err = (hi - (s - bp)) + (p - bp)
+    return s, lo + err
+
+
+def nb_chunk(Nb: int, target: int = 8192) -> int:
+    """Largest chunk length <= target dividing Nb (PlanarLayout guarantees
+    Nb is a multiple of 128) — the N-axis split for compensated moments."""
+    q = Nb // 128
+    d = max(dd for dd in range(1, min(q, target // 128) + 1) if q % dd == 0)
+    return 128 * d
+
+
 # --------------------------------------------------------------------------
 # XLA reference path (CPU tests / small data; materializes the decode)
 # --------------------------------------------------------------------------

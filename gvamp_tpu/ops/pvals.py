@@ -24,6 +24,13 @@ Student-t survival function (scipy.special.betainc — the double-precision
 analog of the reference's boost students_t, utilities.cpp:321-334) cost
 nothing, while the default f32 device dtype would flush two-sided p-values
 below ~1e-38 to zero — fatal for biobank GWAS where top hits reach 1e-100s.
+
+The device moments themselves are f64-grade at any N (the reference's
+all-double accumulation, data.cpp:1108-1226): ``_moments`` splits the N
+axis into chunks, contracts each chunk in f32 at precision HIGHEST, and
+combines chunk partials with compensated two-sum — the (hi, lo) pairs fold
+to float64 on host, so biobank-scale sums never see the plain-f32
+~sqrt(N)*eps loss (pinned at N=327,680 in tests/test_pvals.py).
 """
 
 from __future__ import annotations
@@ -39,32 +46,72 @@ from gvamp_tpu.ops import matvec
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def _moments(words, vecs, na, block=256):
-    """One blocked decode pass.
+    """One blocked decode pass with f64-grade N-axis accumulation.
 
-    vecs: f[V, 4, Nb] contraction vectors. Returns
-    (av f[V, M], bv f[V, M], aa_na f[M]) with av[v] = sum a * vecs[v] etc.
-    and aa_na = sum a^2 * na.
+    vecs: f[V, 4, Nb] contraction vectors. Returns six arrays
+    (av_hi, av_lo, bv_hi, bv_lo, aa_hi, aa_lo) with hi+lo (folded in host
+    float64 by :func:`_fold64`) = sum a * vecs[v], sum b * vecs[v], and
+    sum a^2 * na.
+
+    The reference accumulates every p-value moment in double
+    (data.cpp:1108-1226).  In the default f32 engine dtype a plain einsum
+    over N ~ 327k samples loses ~sqrt(N)*eps ~ 1e-4 relative (worse on TPU,
+    where default-precision f32 einsums use bf16 multiplies).  Here:
+    within-chunk products/sums run in f32 at precision HIGHEST (true f32
+    multiplies), the N axis is split into <=8192-slot chunks whose partials
+    are accumulated across chunks with compensated two-sum — error
+    ~ eps/sqrt(C) relative, pinned at production N by tests/test_pvals.py.
     """
     Nw, M = words.shape
     dt = vecs.dtype
-    V = vecs.shape[0]
+    V, _, Nb = vecs.shape
+    nc = matvec.nb_chunk(Nb)
+    C = Nb // nc
+    hp = jax.lax.Precision.HIGHEST
+    vc = vecs.reshape(V, 4, C, nc)
+    nac = na.reshape(4, C, nc)
 
     def body(i, acc):
-        av, bv, aa = acc
+        avh, avl, bvh, bvl, aah, aal = acc
         blk = jax.lax.dynamic_slice(words, (0, i * block), (Nw, block))
         a, b = matvec.decode_planar_dense(blk, dt)  # [4, Nb, blk]
-        av = jax.lax.dynamic_update_slice(
-            av, jnp.einsum("knm,vkn->vm", a, vecs), (0, i * block))
-        bv = jax.lax.dynamic_update_slice(
-            bv, jnp.einsum("knm,vkn->vm", b, vecs), (0, i * block))
-        aa = jax.lax.dynamic_update_slice(
-            aa, jnp.einsum("knm,kn->m", a * a, na), (i * block,))
-        return av, bv, aa
+        ac = a.reshape(4, C, nc, block)
+        bc = b.reshape(4, C, nc, block)
+        pav = jnp.einsum("kcnm,vkcn->cvm", ac, vc, precision=hp)
+        pbv = jnp.einsum("kcnm,vkcn->cvm", bc, vc, precision=hp)
+        paa = jnp.einsum("kcnm,kcn->cm", ac * ac, nac, precision=hp)
+
+        def fold(carry, part):
+            (ah, al), (bh, bl), (qh, ql) = carry
+            pa, pb, pq = part
+            ah, al = matvec.two_sum(ah, al, pa)
+            bh, bl = matvec.two_sum(bh, bl, pb)
+            qh, ql = matvec.two_sum(qh, ql, pq)
+            return ((ah, al), (bh, bl), (qh, ql)), None
+
+        zv = jnp.zeros((V, block), dt)
+        zm = jnp.zeros((block,), dt)
+        ((ah, al), (bh, bl), (qh, ql)), _ = jax.lax.scan(
+            fold, ((zv, zv), (zv, zv), (zm, zm)), (pav, pbv, paa))
+        j = i * block
+        return (jax.lax.dynamic_update_slice(avh, ah, (0, j)),
+                jax.lax.dynamic_update_slice(avl, al, (0, j)),
+                jax.lax.dynamic_update_slice(bvh, bh, (0, j)),
+                jax.lax.dynamic_update_slice(bvl, bl, (0, j)),
+                jax.lax.dynamic_update_slice(aah, qh, (j,)),
+                jax.lax.dynamic_update_slice(aal, ql, (j,)))
 
     zrow = (words[0, :] * np.uint32(0)).astype(dt)
     z2 = jnp.broadcast_to(zrow, (V, M))
-    av, bv, aa = jax.lax.fori_loop(0, M // block, body, (z2, z2, zrow))
-    return av, bv, aa
+    return jax.lax.fori_loop(0, M // block, body,
+                             (z2, z2, z2, z2, zrow, zrow))
+
+
+def _fold64(hi, lo) -> np.ndarray:
+    """Host float64 fold of a compensated (hi, lo) device pair."""
+    from gvamp_tpu import dist
+    return (dist.to_numpy(hi).astype(np.float64)
+            + dist.to_numpy(lo).astype(np.float64))
 
 
 def _student_t_sf2_np(t: np.ndarray, df: np.ndarray) -> np.ndarray:
@@ -97,14 +144,12 @@ def _reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n):
     return np.where(np.isfinite(t), p, 1.0)
 
 
-def _shared_stats(geno, av0, bv0, aa_na):
-    """(sumx, sumsqx, b_na) in host f64 from the na-contraction moments."""
+def _shared_stats(geno, a_na, b_na, aa):
+    """(sumx, sumsqx, b_na) in host f64 from the na-contraction moments
+    (all inputs already folded to np.float64 by :func:`_fold64`)."""
     from gvamp_tpu import dist
     mave = dist.to_numpy(geno.mave).astype(np.float64)
     msig = dist.to_numpy(geno.msig).astype(np.float64)
-    a_na = dist.to_numpy(av0).astype(np.float64)
-    b_na = dist.to_numpy(bv0).astype(np.float64)
-    aa = dist.to_numpy(aa_na).astype(np.float64)
     sumx = msig * (a_na - mave * b_na)
     sumsqx = msig**2 * (aa - 2 * mave * a_na + mave**2 * b_na)
     return sumx, sumsqx, b_na, mave, msig
@@ -127,11 +172,12 @@ def loo_pvals_multi(geno, z1s_planar, x1s_internal):
     ycs = [(y - z1s_planar[..., e]) * na for e in range(E)]
     vecs = jnp.stack([na.astype(geno.dtype)]
                      + [v for yc in ycs for v in (yc, yc * yc)])
-    av, bv, aa_na = _moments(geno.words, vecs, na.astype(geno.dtype),
-                             block=block)
-    sumx, sumsqx, b_na, mave, msig = _shared_stats(geno, av[0], bv[0], aa_na)
-    avh = dist.to_numpy(av).astype(np.float64)
-    bvh = dist.to_numpy(bv).astype(np.float64)
+    av_hi, av_lo, bv_hi, bv_lo, aa_hi, aa_lo = _moments(
+        geno.words, vecs, na.astype(geno.dtype), block=block)
+    avh = _fold64(av_hi, av_lo)
+    bvh = _fold64(bv_hi, bv_lo)
+    sumx, sumsqx, b_na, mave, msig = _shared_stats(
+        geno, avh[0], bvh[0], _fold64(aa_hi, aa_lo))
     x1h = dist.to_numpy(x1s_internal).astype(np.float64)
     out = np.ones((E, geno.M), dtype=np.float64)
     for e in range(E):
@@ -196,11 +242,12 @@ def loco_pvals(geno, z1_planar, x1_internal, chroms, predictor_cb=None):
     ycs = [(ym + y_chroms[..., j]) * na for j in range(len(present))]
     vecs = jnp.stack([na.astype(geno.dtype)]
                      + [v for yc in ycs for v in (yc, yc * yc)])
-    av, bv, aa_na = _moments(geno.words, vecs, na.astype(geno.dtype),
-                             block=block)
-    sumx, sumsqx, b_na, mave, msig = _shared_stats(geno, av[0], bv[0], aa_na)
-    avh = dist.to_numpy(av).astype(np.float64)
-    bvh = dist.to_numpy(bv).astype(np.float64)
+    av_hi, av_lo, bv_hi, bv_lo, aa_hi, aa_lo = _moments(
+        geno.words, vecs, na.astype(geno.dtype), block=block)
+    avh = _fold64(av_hi, av_lo)
+    bvh = _fold64(bv_hi, bv_lo)
+    sumx, sumsqx, b_na, mave, msig = _shared_stats(
+        geno, avh[0], bvh[0], _fold64(aa_hi, aa_lo))
     s = dist.to_numpy(x1_internal).astype(np.float64) / np.sqrt(geno.N)
 
     for j, ch in enumerate(present):

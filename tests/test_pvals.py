@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 import scipy.stats as st
 
 from gvamp_tpu.data import GenoBed
@@ -127,6 +128,52 @@ def test_loo_pvals_f64_with_f32_containers():
     r = st.linregress(value, oracle.y)
     assert np.isclose(np.log10(p[0]), np.log10(r.pvalue), atol=0.02), \
         (p[0], r.pvalue)
+
+
+@pytest.mark.slow
+def test_moments_and_stats_f64_grade_at_biobank_N():
+    """f32-container device moments match an all-np.float64 oracle at
+    PRODUCTION N (VERDICT r4 missing #2): the reference accumulates every
+    p-value / marker-stat moment in double (data.cpp:446-483, 1108-1226);
+    our compensated chunked accumulation must hold at N = 327,680, not just
+    the fast tier's N = 4,000.  Includes near-constant dosage-2 markers
+    (mean^2/var ~ 2000, the msig cancellation worst case) and a phenotype
+    with nonzero mean (large y-moment sums relative to their variance)."""
+    rng = np.random.default_rng(42)
+    N, M = 327_680, 64
+    # dosage-2 frequency: 4 near-constant markers + common markers
+    f2 = np.concatenate([np.full(4, 0.999), rng.uniform(0.05, 0.95, M - 4)])
+    u = rng.random((M, N))
+    codes = np.where(u < f2[:, None], 0,
+                     np.where(u < (f2 + (1 - f2) / 2)[:, None], 2, 3)
+                     ).astype(np.uint8)
+    codes[rng.random((M, N)) < 0.01] = 1          # sparse missing genotypes
+    y = rng.normal(2.0, 3.0, size=N)
+    y[rng.random(N) < 0.02] = np.nan              # sparse missing phenotypes
+    oracle = DenseOracle(codes, y)
+    geno = GenoBed.from_arrays(make_bed(codes), y, N=N, dtype=jnp.float32)
+
+    # ---- marker statistics (compensated f32 vs f64 oracle)
+    mave = np.asarray(geno.mave)[:M]
+    msig = np.asarray(geno.msig)[:M]
+    np.testing.assert_allclose(mave, oracle.mave, rtol=2e-6, atol=1e-7)
+    # near-constant markers pay the documented eps*mean^2/var cancellation
+    np.testing.assert_allclose(msig[:4], oracle.msig[:4], rtol=5e-4)
+    np.testing.assert_allclose(msig[4:], oracle.msig[4:], rtol=2e-5)
+
+    # ---- LOO p-values at x1 = 0 (plain per-marker regression on y)
+    p32 = pv.loo_pvals(geno, jnp.zeros_like(geno.y_planar),
+                       jnp.zeros(geno.Mpad))
+    # f64 oracle of the same sufficient statistics
+    mask = oracle.b * oracle.na[None, :]
+    value = (oracle.a - oracle.mave[:, None]) * oracle.msig[:, None] * mask
+    n = mask.sum(1)
+    sumx, sumsqx = value.sum(1), (value**2).sum(1)
+    sumxy = value @ oracle.y
+    sumy = mask @ oracle.y
+    sumsqy = mask @ (oracle.y**2)
+    p64 = pv._reg1d_pvals(sumx, sumsqx, sumxy, sumy, sumsqy, n)
+    np.testing.assert_allclose(np.log10(p32), np.log10(p64), atol=2e-3)
 
 
 def test_loo_pvals_multi_matches_per_estimate_loop():
