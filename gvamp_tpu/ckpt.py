@@ -134,7 +134,12 @@ def load_state(path: str, state_cls):
         if "mu_cg" in missing:  # probit/robust pre-warm-start checkpoints
             vals["mu_cg"] = jnp.zeros_like(x1)
         if "mu_probe" in missing:
-            n_probes = int(meta.get("cfg", {}).get("n_probes", 1))
+            c = meta.get("cfg", {})
+            n_probes = int(c.get("n_probes", 1))
+            # SLQ runs carry ZERO probe columns (linear.probe_cols); old
+            # checkpoints without the use_slq key predate SLQ -> probe path
+            if bool(c.get("use_slq", False)) and not bool(c.get("red", False)):
+                n_probes = 0
             # multi-trait states ([Mp, T] x1) carry T*P probe columns
             n_cols = n_probes * (x1.shape[1] if x1.ndim == 2 else 1)
             vals["mu_probe"] = jnp.zeros((x1.shape[0], n_cols), x1.dtype)

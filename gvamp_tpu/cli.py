@@ -100,6 +100,7 @@ def _common_cfg(opt: Options, gam1, default_gam1, gamw=None):
         cg_max_iter=opt.CG_max_iter, learn_vars=bool(opt.learn_vars),
         seed=opt.seed, deflate_k=opt.deflate_k,
         deflate_iters=opt.deflate_iters, cg_plateau=opt.cg_plateau,
+        use_slq=bool(opt.use_slq), slq_k=opt.slq_k,
         # consumed by the z-model engines only; options.check rejects a
         # non-default value for --model linear
         stab_gamma=opt.stab_gamma,

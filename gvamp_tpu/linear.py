@@ -141,6 +141,31 @@ class VampConfig:
                                  # the max_iter iterate is no better than
                                  # the plateaued one — converging solves
                                  # never trigger it.
+    use_slq: bool = True         # Onsager alpha2 + the noise-EM trace from
+                                 # stochastic Lanczos quadrature (slq.py)
+                                 # instead of per-iteration probe CG columns:
+                                 # the Gram operator A^T A is FIXED for the
+                                 # whole run and the probe RHS is fixed
+                                 # (g2d_onsager, vamp.cpp:871-889), so ONE
+                                 # k-step Lanczos pass at setup (slq_k wide
+                                 # passes, amortized over the run) makes
+                                 # u^T (tau G + gam2 I)^{-1} u and
+                                 # u^T G (tau G + gam2 I)^{-1} u O(k) vector
+                                 # math for ANY (tau, gam2) trajectory.  The
+                                 # block CG then carries ONLY the LMMSE
+                                 # column — probes set the block-CG pass
+                                 # count at production shapes (ROOFLINE.md
+                                 # round 4), so steady-state passes drop.
+                                 # The k-node Gauss rule equals what CG-k
+                                 # from the same start vector would produce:
+                                 # strictly tighter than the probe CG's
+                                 # early exit.  Same deterministic u
+                                 # (make_bern_probe) — the Hutchinson MC
+                                 # error is unchanged.  red mode keeps
+                                 # probes (its operator re-draws per
+                                 # iteration).  Equality vs the probe path
+                                 # is pinned in tests/test_slq_engines.py.
+    slq_k: int = 32              # Lanczos steps (quadrature nodes)
     fold_noise: bool = True      # fold the noise-EM pass into the CG exit:
                                  # resid2 = <mu, A^T A mu> - 2<mu, A^T y> +
                                  # |y|^2 and the Hutchinson trace correction
@@ -156,6 +181,14 @@ class VampConfig:
                                  # standard primal two-pass path only (dual
                                  # mode already gets both for free; red's
                                  # windowed operator has its own fold).
+
+
+def probe_cols(cfg: VampConfig) -> int:
+    """Onsager probe COLUMNS riding the block CG: zero when SLQ supplies the
+    trace quadratures (cfg.use_slq); red mode keeps the probe columns — its
+    windowed operator re-draws every iteration, invalidating a fixed-Gram
+    Lanczos basis."""
+    return 0 if (cfg.use_slq and not cfg.red) else cfg.n_probes
 
 
 class LinState(NamedTuple):
@@ -214,8 +247,8 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         z1=jnp.zeros_like(geno.y_planar),
         mu_cg=zeros_m,
         mu_cg_n=jnp.zeros_like(geno.y_planar),
-        mu_probe=jnp.zeros((Mp, cfg.n_probes), dt),
-        mu_probe_n=jnp.zeros(geno.y_planar.shape + (cfg.n_probes,), dt),
+        mu_probe=jnp.zeros((Mp, probe_cols(cfg)), dt),
+        mu_probe_n=jnp.zeros(geno.y_planar.shape + (probe_cols(cfg),), dt),
         gam1=jnp.asarray(cfg.gam1_init if gam1 is None else gam1, dt),
         gam2=jnp.asarray(0.0, dt),
         gamw=jnp.asarray(cfg.gamw_init if gamw is None else gamw, dt),
@@ -225,8 +258,8 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         probs=jnp.asarray(probs, dt),
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
         cv_r2=jnp.asarray(-1.0, dt),
-        gmu=jnp.zeros((Mp, 1 + cfg.n_probes), dt),
-        gmu_n=jnp.zeros(geno.y_planar.shape + (1 + cfg.n_probes,), dt),
+        gmu=jnp.zeros((Mp, 1 + probe_cols(cfg)), dt),
+        gmu_n=jnp.zeros(geno.y_planar.shape + (1 + probe_cols(cfg),), dt),
     )
 
 
@@ -261,6 +294,9 @@ class Aux(NamedTuple):
     xxt_diag_base: jax.Array  # sum_m A_planar^2 per slot (XXT preconditioner)
     hold: object          # HoldAux (cross-val) or None
     defl: object          # (V [Mpad, k], lam [k]) deflation basis or None
+    slq: object = None    # slq.SlqBasis of the fixed Gram (A^T A primal /
+                          # A A^T dual) in the probes' Krylov spaces, or None
+                          # when cfg.use_slq is off / red mode
 
 
 class HoldAux(NamedTuple):
@@ -314,12 +350,44 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
         defl = cg.top_eigs(mult_ata, geno.Mpad, cfg.deflate_k,
                            jax.random.fold_in(jax.random.key(cfg.seed), 7),
                            n_iter=cfg.deflate_iters, dtype=geno.dtype)
+    z_bern = geno.axm(bern)
+    slq_basis = None
+    if cfg.use_slq and not cfg.red:
+        # one-time Lanczos pass over the FIXED Gram in the probes' Krylov
+        # spaces (cfg.slq_k wide passes, amortized over the run); the
+        # [k, n, P] working basis is freed on return — only the O(k)
+        # (nodes, weights) quadratures persist.  See VampConfig.use_slq.
+        from gvamp_tpu import slq as _slq
+        axm_fn, atxm_fn = geno.fns_multi()
+        op = geno.op
+        if cfg.use_xxt:
+            # dual/N-space basis over G_N = A A^T started at z_u = A u: the
+            # Woodbury form alpha2 = 1 - gamw <z_u, Q_N^{-1} z_u> (see
+            # phase_lmmse) is a quadrature of f(lam) = 1/(gamw lam + gam2)
+            nb4 = int(np.prod(geno.y_planar.shape))
+            gaat = geno.fn_gram_aat()
+
+            def mult_n(U):
+                Up = U.reshape((4, nb4 // 4, U.shape[1]))
+                out = (gaat(op, Up) if gaat is not None
+                       else axm_fn(op, atxm_fn(op, Up)))
+                return out.reshape(U.shape)
+
+            slq_basis = jax.jit(
+                lambda U: _slq.build(mult_n, U, cfg.slq_k)
+            )(z_bern.reshape(nb4, cfg.n_probes))
+        else:
+            gram0 = geno.fn_gram()
+            mult_m = ((lambda U: gram0(op, U)) if gram0 is not None
+                      else (lambda U: atxm_fn(op, axm_fn(op, U))))
+            slq_basis = jax.jit(
+                lambda U: _slq.build(mult_m, U, cfg.slq_k))(bern)
     return Aux(
         op=geno.op,
         y=geno.filter_pheno(),
         bern=bern,
         aty=geno.atx(geno.filter_pheno()),
-        z_bern=geno.axm(bern),
+        z_bern=z_bern,
         # freeze: 1 = pinned coordinate, excluded from the Onsager sum and
         # damping (vamp.cpp:207-209,308,353)
         frz=geno.pad_m(freeze) if freeze is not None else jnp.zeros_like(m_mask),
@@ -329,6 +397,7 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
         xxt_diag_base=xxt_diag_base,
         hold=hold,
         defl=defl,
+        slq=slq_basis,
     )
 
 
@@ -353,6 +422,13 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
     fold_noise = (cfg.fold_noise and not cfg.use_xxt and not cfg.red
                   and gram_fn is None
                   and os.environ.get("GVAMP_NOISE_PASS", "0") != "1")
+    # SLQ trace quadratures (VampConfig.use_slq): the block CG carries only
+    # the LMMSE column; alpha2 and the noise-EM trace correction come from
+    # aux.slq.  red mode keeps the probe columns (windowed operator).
+    slq_on = cfg.use_slq and not cfg.red
+    P_cg = probe_cols(cfg)
+    if slq_on:
+        from gvamp_tpu import slq as _slq
     hold_ax = geno_hold.fns()[0] if geno_hold is not None else None
     if cfg.red:
         # reduced-subset window length: 10% of sample-word rows, tile-aligned
@@ -546,10 +622,11 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             v_n = y - Vr[..., 0]
             z1 = Vr[..., 1]
             z_bern_f = aux.z_bern.reshape(nb4, P)
-            V_n = jnp.concatenate([v_n.reshape(nb4, 1), z_bern_f], axis=1)
+            V_n = jnp.concatenate(
+                [v_n.reshape(nb4, 1), z_bern_f[:, :P_cg]], axis=1)
             mu0_n = jnp.concatenate(
                 [state.mu_cg_n.reshape(nb4, 1),
-                 state.mu_probe_n.reshape(nb4, P)], axis=1)
+                 state.mu_probe_n.reshape(nb4, P_cg)], axis=1)
 
             # gamma_damp: the damped gam2_eff builds Q_N (the whole dual
             # LMMSE block), exactly like the primal branch below
@@ -570,21 +647,28 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 # carries A A^T mu0_n (exact at the previous exit) — same
                 # shared guarded helper as the primal path
                 mu0_n, r0_n = cg.tracked_warm_start(
-                    V_n, mu0_n, state.gmu_n.reshape(nb4, 1 + P), gamw, gamw,
+                    V_n, mu0_n, state.gmu_n.reshape(nb4, 1 + P_cg), gamw, gamw,
                     gam2_eff, it, cfg.gram_refresh, mult_aat_b)
             sol = cg.solve_block(mult_aat_b, V_n, mu0_n, diag_n, gam2_eff,
-                                 cfg.cg_max_iter, modes=(0,) + (1,) * P,
+                                 cfg.cg_max_iter, modes=(0,) + (1,) * P_cg,
                                  err_tol=cfg.cg_err_tol_xxt,
                                  onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau, r0=r0_n)
             if cfg.gram_refresh > 1:
                 w = dict(w)
                 w.update(gmu_n=cg.gram_from_exit(V_n, sol, gamw, gam2_eff)
-                         .reshape(y.shape + (1 + P,)))
+                         .reshape(y.shape + (1 + P_cg,)))
             sol0 = sol.mu[:, 0]
             x2 = (gamw * atx_fn(op, sol0.reshape(y.shape)) + r2) * m_mask
-            alpha2 = jnp.mean(1.0 - gamw * jnp.sum(z_bern_f * sol.mu[:, 1:],
-                                                   axis=0))
+            if slq_on:
+                # Woodbury + SLQ: alpha2 = 1 - gamw <z_u, Q_N^{-1} z_u>
+                # with the quadrature on the dual basis (aux.slq over A A^T
+                # started at z_u) — no probe columns in the dual CG
+                alpha2 = jnp.mean(
+                    1.0 - gamw * _slq.quad_inv(aux.slq, gamw, gam2_eff))
+            else:
+                alpha2 = jnp.mean(1.0 - gamw * jnp.sum(
+                    z_bern_f * sol.mu[:, 1:], axis=0))
             # A x2 = y - gam2 s0 - r_cg0 EXACTLY for the returned s0 (the
             # identity folds the whole noise-EM matvec pass away, and the
             # trace correction is free: Mt (1 - alpha2) / gamw)
@@ -592,9 +676,10 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                              + sol.r[:, 0]).reshape(y.shape)
             invq = state.mu_probe      # unused in dual mode (kept in state)
             mu_cg_new, mu_cg_n_new = state.mu_cg, sol0.reshape(y.shape)
-            mu_probe_n_new = sol.mu[:, 1:].reshape(y.shape + (P,))
+            mu_probe_n_new = sol.mu[:, 1:].reshape(y.shape + (P_cg,))
             cg_iters, cg_rel_err = sol.iters[0], sol.rel_err[0]
-            probe_iters = jnp.max(sol.iters[1:])
+            probe_iters = (jnp.asarray(0, jnp.int32) if slq_on
+                           else jnp.max(sol.iters[1:]))
             w = dict(w)
             w.update(ax2_exact=ax2_exact, z1=z1)
         else:
@@ -632,7 +717,7 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             rider = w["x1"][:, None] if fold_noise else None
             rider_mult = (cg.make_lmmse_mult_block_rider(
                 axm_fn, atxm_fn, op, gamw, gam2_eff) if fold_noise else None)
-            V = jnp.concatenate([v[:, None], bern], axis=1)
+            V = jnp.concatenate([v[:, None], bern[:, :P_cg]], axis=1)
             mu0 = jnp.concatenate([state.mu_cg[:, None], state.mu_probe], axis=1)
             precond = None
             if cfg.deflate_k > 0 and not cfg.red:
@@ -655,12 +740,20 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                     V, mu0, state.gmu, gamw, gamw, gam2_eff, it,
                     cfg.gram_refresh, multb)
             sol = cg.solve_block(multb, V, mu0, diag, gam2_eff, cfg.cg_max_iter,
-                                 modes=(0,) + (1,) * P,
+                                 modes=(0,) + (1,) * P_cg,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau,
                                  precond=precond, r0=r0,
                                  rider=rider, rider_mult=rider_mult)
+            if slq_on:
+                # noise-EM trace correction Mt <u, G Q^{-1} u> as a
+                # quadrature of f(lam) = lam/(gamw lam + gam2) on the fixed
+                # Gram's Lanczos basis — zero probe columns, zero passes
+                # (updateNoisePrec, vamp.cpp:907-916)
+                w = dict(w)
+                w.update(trace_corr_id=Mt * jnp.mean(
+                    _slq.quad_ratio(aux.slq, gamw, gam2_eff)))
             if fold_noise:
                 # exit Gram identity: gamw * A^T A mu = V - r - gam2 * mu,
                 # EXACT for any mu (CG recursion invariant) — converged or
@@ -671,26 +764,34 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                         - gam2_eff * jnp.sum(jnp.square(mu0))) / gamw
                 resid2_id = jnp.maximum(
                     quad - 2.0 * jnp.sum(mu0 * aux.aty) + w["l2y"], 0.0)
-                tr = (jnp.sum(bern * bern, axis=0)
-                      - jnp.sum(bern * sol.r[:, 1:], axis=0)
-                      - gam2_eff * jnp.sum(bern * sol.mu[:, 1:], axis=0)) / gamw
-                trace_corr_id = Mt * jnp.mean(tr)
                 w = dict(w)
-                w.update(z1_rider=sol.rider_out[..., 0],
-                         resid2_id=resid2_id, trace_corr_id=trace_corr_id)
+                w.update(z1_rider=sol.rider_out[..., 0], resid2_id=resid2_id)
+                if not slq_on:
+                    tr = (jnp.sum(bern * bern, axis=0)
+                          - jnp.sum(bern * sol.r[:, 1:], axis=0)
+                          - gam2_eff * jnp.sum(bern * sol.mu[:, 1:], axis=0)
+                          ) / gamw
+                    w.update(trace_corr_id=Mt * jnp.mean(tr))
             x2 = sol.mu[:, 0] * m_mask
             invq = sol.mu[:, 1:]
             mu_cg_new, mu_cg_n_new = sol.mu[:, 0], state.mu_cg_n
             cg_iters, cg_rel_err = sol.iters[0], sol.rel_err[0]
-            probe_iters = jnp.max(sol.iters[1:])
+            probe_iters = (jnp.asarray(0, jnp.int32) if slq_on
+                           else jnp.max(sol.iters[1:]))
             if not cfg.red:
                 # carry A^T A mu for the NEXT iteration's init residual:
                 # mult(mu) = V - r at exit (CG invariant) — guarded divide
                 # via the shared helper, no extra pass
                 w = dict(w)
                 w.update(gmu=cg.gram_from_exit(V, sol, gamw, gam2_eff))
-            # Hutchinson trace: alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>
-            alpha2 = gam2_eff * jnp.mean(jnp.sum(bern * invq, axis=0))
+            # Onsager alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>: the SLQ
+            # quadrature of f(lam) = 1/(gamw lam + gam2) (same deterministic
+            # u_j, g2d_onsager vamp.cpp:871-889) or the probe-CG Hutchinson
+            if slq_on:
+                alpha2 = gam2_eff * jnp.mean(
+                    _slq.quad_inv(aux.slq, gamw, gam2_eff))
+            else:
+                alpha2 = gam2_eff * jnp.mean(jnp.sum(bern * invq, axis=0))
         eta2 = gam2 / alpha2
 
         # gam2 re-estimate (vamp.cpp:691-693)
@@ -751,14 +852,19 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
         else:
             # one wide pass computes A x2, A invq_j AND the deferred
             # z1 = A x1; the trace correction uses
-            # <u_j, A^T A q_j> = <A u_j, A q_j>, A u_j precomputed in aux
+            # <u_j, A^T A q_j> = <A u_j, A q_j>, A u_j precomputed in aux —
+            # or the SLQ quadrature (phase_lmmse) when there are no probe
+            # columns to forward
             Z2 = axm_fn(op, jnp.concatenate(
                 [x2[:, None], invq, w["x1"][:, None]], axis=1))
             ax2 = Z2[..., 0]
             z1 = Z2[..., -1]
             resid2 = jnp.sum(jnp.square(ax2 - y))
-            trace_corr = jnp.mean(
-                jnp.sum(aux.z_bern * Z2[..., 1:-1], axis=(0, 1))) * Mt
+            if slq_on:
+                trace_corr = w["trace_corr_id"]
+            else:
+                trace_corr = jnp.mean(
+                    jnp.sum(aux.z_bern * Z2[..., 1:-1], axis=(0, 1))) * Mt
         gamw_new = N / (resid2 + trace_corr)
 
         # train metrics (err_measures ind=1 after denoise, ind=2 after LMMSE)

@@ -28,7 +28,8 @@ from jax.sharding import PartitionSpec as P
 
 from gvamp_tpu import cg
 from gvamp_tpu.data import GenoBed
-from gvamp_tpu.linear import VampConfig, _cast_like, _clamp_gamma, geo_damp
+from gvamp_tpu.linear import (VampConfig, _cast_like, _clamp_gamma,
+                              geo_damp, probe_cols)
 from gvamp_tpu.ops import matvec
 from gvamp_tpu.prior import Prior, g1, g1d, update_prior
 
@@ -257,14 +258,14 @@ def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
     return MultiState(
         it=jnp.asarray(0), x1=zeros, x2=zeros, r1=zeros, r2=zeros,
         z1=jnp.zeros_like(mp.y), mu_cg=zeros,
-        mu_probe=jnp.zeros((Mp, T * cfg.n_probes), dt),
+        mu_probe=jnp.zeros((Mp, T * probe_cols(cfg)), dt),
         gam1=jnp.full((T,), cfg.gam1_init, dt),
         gam2=jnp.zeros((T,), dt), gamw=jnp.full((T,), cfg.gamw_init, dt),
         eta1=jnp.zeros((T,), dt), eta2=jnp.zeros((T,), dt),
         alpha1=jnp.zeros((T,), dt), alpha2=jnp.zeros((T,), dt),
         rho=jnp.full((T,), cfg.rho, dt),
         probs=probs_t, vars=vars_t, stopped=jnp.zeros((T,), bool),
-        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt),
+        gmu=jnp.zeros((Mp, T * (1 + probe_cols(cfg))), dt),
         tau_gmu=jnp.zeros((T,), dt))
 
 
@@ -276,6 +277,12 @@ class MultiAux(NamedTuple):
     z_bern: jax.Array   # [4, Nb, T*P] per-trait A_t @ probes
     m_mask: jax.Array
     defl: object = None  # (V [Mpad, k], lam [k]) shared deflation basis
+    slq: object = None   # slq.SlqBasis with T*P columns: probe j under
+                         # trait t's OWN Gram A_t^T A_t (per-trait
+                         # standardization + NA support) — slq.lanczos_block
+                         # runs C independent columnwise Krylov spaces, so
+                         # one setup serves every trait exactly
+                         # (linear.VampConfig.use_slq)
 
 
 def _make_defl(mp: MultiPhen, cfg):
@@ -300,6 +307,26 @@ def _make_defl(mp: MultiPhen, cfg):
                         n_iter=cfg.deflate_iters, dtype=mp.geno.dtype)
 
 
+def _make_slq(mp: MultiPhen, cfg, bern) -> "object":
+    """T*P-column Lanczos quadrature: probe j in trait t's Krylov space
+    under trait t's own Gram (one setup pass block, linear.VampConfig
+    .use_slq)."""
+    if not cfg.use_slq:
+        return None
+    from gvamp_tpu import slq as _slq
+    axm_fn, atxm_fn = mp.fns()
+    op = mp.op
+    T, P_ = mp.T, cfg.n_probes
+    cols_tp = np.repeat(np.arange(T), P_)
+    gram0 = mp.fn_gram()
+    if gram0 is not None:
+        mult = lambda U: gram0(op, U, cols_tp)
+    else:
+        mult = lambda U: atxm_fn(op, axm_fn(op, U, cols_tp), cols_tp)
+    bern_tp = jnp.tile(bern, (1, T))
+    return jax.jit(lambda U: _slq.build(mult, U, cfg.slq_k))(bern_tp)
+
+
 def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:
     from gvamp_tpu.linear import make_bern_probe
 
@@ -314,7 +341,8 @@ def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:
     bern_tp = jnp.tile(bern, (1, T))  # [Mpad, T*P] (probe j of trait t)
     z_bern = axm_fn(mp.op, bern_tp, cols_tp)
     return MultiAux(op=mp.op, y=yf, bern=bern, aty=aty, z_bern=z_bern,
-                    m_mask=mp.geno.m_mask, defl=_make_defl(mp, cfg))
+                    m_mask=mp.geno.m_mask, defl=_make_defl(mp, cfg),
+                    slq=_make_slq(mp, cfg, bern))
 
 
 def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
@@ -327,7 +355,14 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
     gram_fn = mp.fn_gram()
     cols_t = np.arange(T)
     cols_tp = np.repeat(np.arange(T), P_)
-    cols_all = np.concatenate([cols_t, cols_tp])
+    # SLQ (linear.VampConfig.use_slq): zero probe COLUMNS ride the CG; the
+    # quadratures use the full T*P probe basis in aux.slq
+    slq_on = cfg.use_slq and not cfg.red
+    P_cg = probe_cols(cfg)
+    cols_tpc = np.repeat(np.arange(T), P_cg)
+    cols_all = np.concatenate([cols_t, cols_tpc])
+    if slq_on:
+        from gvamp_tpu import slq as _slq
     # fold the noise-EM pass into the CG exit identities, exactly like the
     # single-trait engine (linear.VampConfig.fold_noise): two-pass routing
     # only, env kill switch for A/B
@@ -420,8 +455,8 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
         # (reference --gamma-damp, vamp.cpp:553-554, 642-643)
         gamw = state.gamw
         gam2_eff = gam2 * cfg.gamma_damp
-        tau_cols = jnp.concatenate([gamw, gamw[cols_tp]])
-        gam2_cols = jnp.concatenate([gam2_eff, gam2_eff[cols_tp]])
+        tau_cols = jnp.concatenate([gamw, gamw[cols_tpc]])
+        gam2_cols = jnp.concatenate([gam2_eff, gam2_eff[cols_tpc]])
         diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
 
         def multb(Pk):
@@ -434,7 +469,7 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
                     + gam2_cols[None, :] * Pk)
 
         v = gamw[None, :] * aux.aty + gam2_eff[None, :] * r2
-        bern_tp = jnp.tile(bern, (1, T))
+        bern_tp = jnp.tile(bern[:, :P_cg], (1, T))
         V = jnp.concatenate([v, bern_tp], axis=1)
         mu0 = jnp.concatenate([state.mu_cg, state.mu_probe], axis=1)
         precond = None
@@ -447,7 +482,7 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
             # in cg.tracked_warm_start): the init residual is elementwise
             # algebra except on refresh ticks
             tau_ref = jnp.concatenate([state.tau_gmu,
-                                       state.tau_gmu[cols_tp]])[None, :]
+                                       state.tau_gmu[cols_tpc]])[None, :]
             mu0, r0 = cg.tracked_warm_start(
                 V, mu0, state.gmu, tau_cols[None, :], tau_ref,
                 gam2_cols[None, :], it, cfg.gram_refresh, multb)
@@ -463,7 +498,8 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
                     + gam2_cols[None, :] * Pk), Z[..., B:]
 
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
-                             cfg.cg_max_iter, modes=(0,) * T + (1,) * (T * P_),
+                             cfg.cg_max_iter,
+                             modes=(0,) * T + (1,) * (T * P_cg),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau,
@@ -476,8 +512,13 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
         invq = sol.mu[:, T:]
         x2 = jnp.where(live[None, :], x2, state.x2)
 
-        # per-trait Hutchinson trace
-        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
+        # per-trait Onsager alpha2: SLQ quadrature per (trait, probe) column
+        # on the T*P-column basis, or the probe-CG Hutchinson trace
+        if slq_on:
+            quad = _slq.quad_inv(aux.slq, gamw[cols_tp],
+                                 gam2_eff[cols_tp]).reshape(T, P_).mean(axis=1)
+        else:
+            quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
         alpha2 = gam2_eff * quad
         eta2 = gam2 / alpha2
         l2_x2r2 = jnp.sum(jnp.square((x2 - r2) * m_mask[:, None]), axis=0)
@@ -499,21 +540,32 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
                       - gam2_eff * jnp.sum(jnp.square(muT), axis=0)) / gamw
             resid2 = jnp.maximum(
                 quad_t - 2.0 * jnp.sum(muT * aux.aty, axis=0) + l2y, 0.0)
-            trq = (jnp.sum(jnp.square(bern_tp), axis=0)
-                   - jnp.sum(bern_tp * sol.r[:, T:], axis=0)
-                   - gam2_cols[T:] * jnp.sum(bern_tp * invq, axis=0)) \
-                / tau_cols[T:]
-            trace_corr = trq.reshape(T, P_).mean(axis=1) * Mt
+            if slq_on:
+                trace_corr = _slq.quad_ratio(
+                    aux.slq, gamw[cols_tp], gam2_eff[cols_tp]
+                ).reshape(T, P_).mean(axis=1) * Mt
+            else:
+                trq = (jnp.sum(jnp.square(bern_tp), axis=0)
+                       - jnp.sum(bern_tp * sol.r[:, T:], axis=0)
+                       - gam2_cols[T:] * jnp.sum(bern_tp * invq, axis=0)) \
+                    / tau_cols[T:]
+                trace_corr = trq.reshape(T, P_).mean(axis=1) * Mt
             R2_2 = 1.0 - resid2 / l2y
         else:
             # one wide pass computes A x2, A invq AND the deferred z1 = A x1
             Z2 = axm_fn(op, jnp.concatenate([x2, invq, x1], axis=1),
                         np.concatenate([cols_all, cols_t]))
             ax2 = Z2[..., :T]
-            z1 = Z2[..., T + T * P_:]
+            z1 = Z2[..., T + T * P_cg:]
             resid2 = jnp.sum(jnp.square(ax2 - y), axis=(0, 1))
-            tc = jnp.sum(aux.z_bern * Z2[..., T:T + T * P_], axis=(0, 1))
-            trace_corr = tc.reshape(T, P_).mean(axis=1) * Mt
+            if slq_on:
+                trace_corr = _slq.quad_ratio(
+                    aux.slq, gamw[cols_tp], gam2_eff[cols_tp]
+                ).reshape(T, P_).mean(axis=1) * Mt
+            else:
+                tc = jnp.sum(aux.z_bern * Z2[..., T:T + T * P_],
+                             axis=(0, 1))
+                trace_corr = tc.reshape(T, P_).mean(axis=1) * Mt
             R2_2 = 1.0 - jnp.sum(jnp.square(y - ax2), axis=(0, 1)) / l2y
         gamw_new = N / (resid2 + trace_corr)
         R2_1 = 1.0 - jnp.sum(jnp.square(y - z1), axis=(0, 1)) / l2y
@@ -525,7 +577,7 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
                                    & (rel_change < cfg.stop_criteria_thr))
 
         # freeze all trailing state of stopped traits
-        live_tp = live[np.asarray(cols_tp)]
+        live_tp = live[np.asarray(cols_tpc)]
         new_state = MultiState(
             it=it, x1=x1, x2=x2,
             r1=jnp.where(live[None, :], r1, state.r1), r2=r2,
@@ -699,7 +751,7 @@ def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
     return ProbitMultiState(
         it=jnp.asarray(0), x1=zeros, x2=zeros, r1=zeros, r2=zeros,
         z1=zn, z2=zn, p1=zn, p2=zn,
-        mu_probe=jnp.zeros((Mp, T * cfg.n_probes), dt),
+        mu_probe=jnp.zeros((Mp, T * probe_cols(cfg)), dt),
         gam1=jnp.full((T,), cfg.gam1_init, dt),
         gam2=jnp.zeros((T,), dt),
         tau1=jnp.full((T,), cfg.gam1_init, dt),
@@ -711,7 +763,7 @@ def init_probit_state(mp: MultiPhen, cfg, probs, vars_user,
         cov_eff=jnp.zeros((max(n_cov, 1), T), dt),
         stopped=jnp.zeros((T,), bool),
         mu_cg=jnp.zeros((Mp, T), dt),
-        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt),
+        gmu=jnp.zeros((Mp, T * (1 + probe_cols(cfg))), dt),
         tau_gmu=jnp.zeros((T,), dt))
 
 
@@ -788,15 +840,21 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
     gram_fn = mp.fn_gram()
     cols_t = np.arange(T)
     cols_tp = np.repeat(np.arange(T), P_)
-    cols_all = np.concatenate([cols_t, cols_tp])
+    slq_on = cfg.use_slq and not cfg.red
+    P_cg = probe_cols(cfg)
+    cols_tpc = np.repeat(np.arange(T), P_cg)
+    cols_all = np.concatenate([cols_t, cols_tpc])
+    if slq_on:
+        from gvamp_tpu import slq as _slq
 
     def lmmse(op, aux_bern, state_mu_probe, m_mask, it, p2f, tau2, gam2, r2,
-              defl=None, gmu=None, state_mu_cg=None, tau_gmu=None):
+              defl=None, gmu=None, state_mu_cg=None, tau_gmu=None,
+              slq_basis=None):
         nb = mp.y.shape[1]
         v = tau2[None, :] * atxm_fn(op, p2f.reshape(4, nb, T), cols_t) \
             + gam2[None, :] * r2
-        tau_cols = jnp.concatenate([tau2, tau2[cols_tp]])
-        gam2_cols = jnp.concatenate([gam2, gam2[cols_tp]])
+        tau_cols = jnp.concatenate([tau2, tau2[cols_tpc]])
+        gam2_cols = jnp.concatenate([gam2, gam2[cols_tpc]])
         diag_cols = (tau_cols * (N - 1.0) / N + gam2_cols)[None, :]
 
         def multb(Pk):
@@ -808,7 +866,7 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
                     * atxm_fn(op, axm_fn(op, Pk, cols_all), cols_all)
                     + gam2_cols[None, :] * Pk)
 
-        bern_tp = jnp.tile(aux_bern, (1, T))
+        bern_tp = jnp.tile(aux_bern[:, :P_cg], (1, T))
         V = jnp.concatenate([v, bern_tp], axis=1)
         warm = gmu is not None and cfg.gram_refresh > 1
         mu_cg0 = (state_mu_cg if warm and state_mu_cg is not None
@@ -824,13 +882,13 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
             # tracked Gram product (linear.py gmu; guards in
             # cg.tracked_warm_start): the init residual is elementwise
             # algebra except on refresh ticks
-            tau_ref = jnp.concatenate([tau_gmu, tau_gmu[cols_tp]])[None, :]
+            tau_ref = jnp.concatenate([tau_gmu, tau_gmu[cols_tpc]])[None, :]
             mu0, r0 = cg.tracked_warm_start(
                 V, mu0, gmu, tau_cols[None, :], tau_ref,
                 gam2_cols[None, :], it, cfg.gram_refresh, multb)
         sol = cg.solve_block(multb, V, mu0, diag_cols, gam2_cols,
                              cfg.cg_max_iter,
-                             modes=(0,) * T + (1,) * (T * P_),
+                             modes=(0,) * T + (1,) * (T * P_cg),
                              err_tol=cfg.cg_err_tol,
                              onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau,
@@ -839,7 +897,13 @@ def _make_zmodel_lmmse(mp: MultiPhen, cfg, axm_fn, atxm_fn):
                                     gam2_cols[None, :])
         x2 = sol.mu[:, :T] * m_mask[:, None]
         invq = sol.mu[:, T:]
-        quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
+        if slq_on:
+            # per-(trait, probe) SLQ quadrature at this iteration's
+            # (tau2_t, gam2_t) shifts (linear.VampConfig.use_slq)
+            quad = _slq.quad_inv(slq_basis, tau2[cols_tp],
+                                 gam2[cols_tp]).reshape(T, P_).mean(axis=1)
+        else:
+            quad = jnp.sum(bern_tp * invq, axis=0).reshape(T, P_).mean(axis=1)
         alpha2 = gam2 * quad
         eps1 = 100.0 * jnp.finfo(dt).eps
         alpha2 = jnp.clip(alpha2, 1e-11, 1.0 - eps1)
@@ -871,8 +935,7 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
     pv = cfg.probit_var
     axm_fn, atxm_fn = mp.fns()
     cols_t = np.arange(T)
-    cols_tp = np.repeat(np.arange(T), P_)
-    cols_all = np.concatenate([cols_t, cols_tp])
+    cols_tpc = np.repeat(np.arange(T), probe_cols(cfg))
 
     denoise_x = _make_x_denoiser(mp, cfg)
     lmmse_z = _make_zmodel_lmmse(mp, cfg, axm_fn, atxm_fn)
@@ -931,7 +994,8 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
          gmu_new) = \
             lmmse_z(op, aux.bern, state.mu_probe, m_mask, it, p2f, tau2,
                     gam2, r2, defl=aux.defl, gmu=state.gmu,
-                    state_mu_cg=state.mu_cg, tau_gmu=state.tau_gmu)
+                    state_mu_cg=state.mu_cg, tau_gmu=state.tau_gmu,
+                    slq_basis=aux.slq)
         tau2_solve = tau2  # the tau the Gram product was stored at
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
@@ -951,7 +1015,7 @@ def make_probit_step(mp: MultiPhen, cfg, n_cov: int = 0, jit: bool = True):
             jnp.maximum(jnp.sum(jnp.square(x1_prev), axis=0), 1e-30))
         stopped = state.stopped | ((it > 1)
                                    & (rel_change < cfg.stop_criteria_thr))
-        live_tp = live[np.asarray(cols_tp)]
+        live_tp = live[np.asarray(cols_tpc)]
 
         def keep(new, old, mask):
             return jnp.where(mask, new, old)
@@ -995,6 +1059,7 @@ class ProbitMultiAux(NamedTuple):
     Z: jax.Array
     m_mask: jax.Array
     defl: object = None
+    slq: object = None   # T*P-column SlqBasis (see MultiAux.slq) or None
 
 
 def make_probit_aux(mp: MultiPhen, cfg) -> ProbitMultiAux:
@@ -1005,10 +1070,12 @@ def make_probit_aux(mp: MultiPhen, cfg) -> ProbitMultiAux:
     nb = geno.layout.n_bytes
     Z = (geno.covs_planar().reshape(4 * nb, C) if C > 0
          else jnp.zeros((4 * nb, 1), geno.dtype))
+    bern = make_bern_probe(geno, cfg.seed, cfg.n_probes)
     return ProbitMultiAux(
         op=mp.op, y=mp.filter_pheno(), n_mask=geno.n_mask_planar,
-        bern=make_bern_probe(geno, cfg.seed, cfg.n_probes),
-        Z=Z, m_mask=geno.m_mask, defl=_make_defl(mp, cfg))
+        bern=bern,
+        Z=Z, m_mask=geno.m_mask, defl=_make_defl(mp, cfg),
+        slq=_make_slq(mp, cfg, bern))
 
 
 def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
@@ -1077,7 +1144,7 @@ def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
     return HuberMultiState(
         it=jnp.asarray(0), x1=zeros, x2=zeros, r1=zeros, r2=zeros,
         z1=zn, z2=zn, p1=zn, p2=zn,
-        mu_probe=jnp.zeros((Mp, T * cfg.n_probes), dt),
+        mu_probe=jnp.zeros((Mp, T * probe_cols(cfg)), dt),
         gam1=jnp.full((T,), cfg.gam1_init, dt),
         gam2=jnp.zeros((T,), dt),
         tau1=jnp.full((T,), cfg.gam1_init, dt),
@@ -1090,7 +1157,7 @@ def init_huber_state(mp: MultiPhen, cfg, probs, vars_user) -> HuberMultiState:
         key=jax.random.key(cfg.seed + 2),
         stopped=jnp.zeros((T,), bool),
         mu_cg=jnp.zeros((Mp, T), dt),
-        gmu=jnp.zeros((Mp, T * (1 + cfg.n_probes)), dt),
+        gmu=jnp.zeros((Mp, T * (1 + probe_cols(cfg))), dt),
         tau_gmu=jnp.zeros((T,), dt))
 
 
@@ -1104,8 +1171,7 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
     P_ = cfg.n_probes
     axm_fn, atxm_fn = mp.fns()
     cols_t = np.arange(T)
-    cols_tp = np.repeat(np.arange(T), P_)
-    cols_all = np.concatenate([cols_t, cols_tp])
+    cols_tpc = np.repeat(np.arange(T), probe_cols(cfg))
 
     denoise_x = _make_x_denoiser(mp, cfg)
     lmmse_z = _make_zmodel_lmmse(mp, cfg, axm_fn, atxm_fn)
@@ -1156,7 +1222,8 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
                                         m_mask, it, p2f, tau2, gam2, r2,
                                         defl=aux.defl, gmu=state.gmu,
                                         state_mu_cg=state.mu_cg,
-                                        tau_gmu=state.tau_gmu)
+                                        tau_gmu=state.tau_gmu,
+                                        slq_basis=aux.slq)
         tau2_solve = tau2  # the tau the Gram product was stored at
         zeta2 = tau2 / beta2
         l2z2p2 = jnp.sum(jnp.square(z2f - p2f) * nmf[:, None], axis=0)
@@ -1176,7 +1243,7 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
             jnp.maximum(jnp.sum(jnp.square(x1_prev), axis=0), 1e-30))
         stopped = state.stopped | ((it > 1)
                                    & (rel_change < cfg.stop_criteria_thr))
-        live_tp = live[np.asarray(cols_tp)]
+        live_tp = live[np.asarray(cols_tpc)]
 
         new_state = HuberMultiState(
             it=it, x1=x1,

@@ -116,6 +116,16 @@ class Options:
                                     # operator (0 = off; ~256 cuts CG
                                     # iterations ~4x on LD-structured data)
     deflate_iters: int = 8          # block power-iteration steps
+    use_slq: int = 1                # Onsager alpha2 + noise-EM trace from
+                                    # stochastic Lanczos quadrature on the
+                                    # fixed Gram (one slq-k-pass setup,
+                                    # amortized) instead of per-iteration
+                                    # probe CG columns; 0 = probe columns
+                                    # (reference g2d_onsager structure,
+                                    # vamp.cpp:871-889).  Ignored under
+                                    # --red (windowed operator).  See
+                                    # linear.VampConfig.use_slq
+    slq_k: int = 32                 # Lanczos steps (quadrature nodes)
     checkpoint: str = ""            # full-state checkpoint path ("" = off)
     resume: str = ""                # resume from a full-state checkpoint
     verbosity: int = 1
@@ -159,6 +169,7 @@ class Options:
                      ("--sync-every", 1), ("--phase-timers", 0),
                      ("--deflate-k", 0),
                      ("--deflate-iters", 8), ("--cg-plateau", 12),
+                     ("--use-slq", 1), ("--slq-k", 32),
                      ("--distributed", 0), ("--n-processes", 0),
                      ("--process-id", -1),
                      ("--verbosity", 1)]:
@@ -265,6 +276,8 @@ class Options:
             fatal("--stab-gamma must be in (0, 1]")
         if self.cg_plateau < 0:
             fatal("--cg-plateau must be >= 0 (0 disables the exit)")
+        if self.use_slq and self.slq_k < 2:
+            fatal("--slq-k must be >= 2 (quadrature nodes)")
         if self.stab_gamma != 1.0 and self.model == "linear":
             # the linear engine has its own stabilizers (--use-lmmse-damp,
             # --gamma-damp, --use-cross-val); reject rather than silently

@@ -32,6 +32,7 @@ import numpy as np
 from gvamp_tpu import cg
 from gvamp_tpu.linear import (VampConfig, _cast_like, _clamp_gamma, geo_damp,
                               make_bern_probe)
+from gvamp_tpu.linear import probe_cols as linear_probe_cols
 from gvamp_tpu.ops.special import normal_logcdf, phi_over_Phi
 from gvamp_tpu.prior import GAMMA_MIN, Prior, g1, g1d, update_prior
 
@@ -247,6 +248,10 @@ class ProbitAux(NamedTuple):
     Z: jax.Array          # covariates planar-dense [Nplanar, C]
     ts: jax.Array         # true signal * sqrt(N) (zeros if absent)
     defl: object          # (V, lam) CG deflation basis or None
+    slq: object = None    # slq.SlqBasis of the fixed Gram A^T A (or None):
+                          # the same basis serves EVERY (tau2, gam2) the
+                          # z-model trajectory visits (linear.VampConfig
+                          # .use_slq)
 
 
 def init_state(geno, cfg: ProbitConfig, probs, vars_user, key=None) -> ProbitState:
@@ -268,10 +273,29 @@ def init_state(geno, cfg: ProbitConfig, probs, vars_user, key=None) -> ProbitSta
         probs=jnp.asarray(probs, dt),
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
         cov_eff=jnp.zeros((max(C, 1),), dt),
-        mu_cg=zeros_m, mu_probe=jnp.zeros((Mp, cfg.n_probes), dt),
-        gmu=jnp.zeros((Mp, 1 + cfg.n_probes), dt),
+        mu_cg=zeros_m,
+        mu_probe=jnp.zeros((Mp, linear_probe_cols(cfg)), dt),
+        gmu=jnp.zeros((Mp, 1 + linear_probe_cols(cfg)), dt),
         tau_gmu=jnp.asarray(0.0, dt),
     )
+
+
+def _gram_mult(geno):
+    """Shared fixed-Gram operator Pk -> A^T A Pk (deflation + SLQ setup)."""
+    axm_fn, atxm_fn = geno.fns_multi()
+    op = geno.op
+    gram0 = geno.fn_gram()
+    if gram0 is not None:
+        return lambda Pk: gram0(op, Pk)
+    return lambda Pk: atxm_fn(op, axm_fn(op, Pk))
+
+
+def make_slq_basis(geno, cfg, bern):
+    """One-time Lanczos quadrature of the fixed marker-space Gram in the
+    probes' Krylov spaces (linear.VampConfig.use_slq)."""
+    from gvamp_tpu import slq as _slq
+    mult = _gram_mult(geno)
+    return jax.jit(lambda U: _slq.build(mult, U, cfg.slq_k))(bern)
 
 
 def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
@@ -284,23 +308,19 @@ def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
     defl = None
     if cfg.deflate_k > 0:
         from gvamp_tpu import cg as _cg
-        axm_fn, atxm_fn = geno.fns_multi()
-        op = geno.op
-        gram0 = geno.fn_gram()
-        if gram0 is not None:
-            mult_ata = jax.jit(lambda Pk: gram0(op, Pk))
-        else:
-            mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
-        defl = _cg.top_eigs(mult_ata, geno.Mpad, cfg.deflate_k,
+        defl = _cg.top_eigs(jax.jit(_gram_mult(geno)), geno.Mpad,
+                            cfg.deflate_k,
                             jax.random.fold_in(jax.random.key(cfg.seed), 7),
                             n_iter=cfg.deflate_iters, dtype=geno.dtype)
+    bern = make_bern_probe(geno, cfg.seed, cfg.n_probes)
     return ProbitAux(
         op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
-        bern=make_bern_probe(geno, cfg.seed, cfg.n_probes),
+        bern=bern,
         m_mask=geno.m_mask, Z=Z,
         ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
            else jnp.zeros((geno.Mpad,), geno.dtype),
         defl=defl,
+        slq=make_slq_basis(geno, cfg, bern) if cfg.use_slq else None,
     )
 
 
@@ -322,6 +342,15 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
     # linear engine's noise-pass fold (VampConfig.fold_noise).
     track_z2 = (cfg.fold_noise and gram_fn is None
                 and os.environ.get("GVAMP_NOISE_PASS", "0") != "1")
+    # SLQ Onsager (linear.VampConfig.use_slq): the block CG carries only the
+    # LMMSE column; alpha2 = gam2 <u, (tau2 G + gam2 I)^{-1} u> is an O(k)
+    # quadrature on the fixed Gram basis for ANY (tau2, gam2) — exactly the
+    # z-model trajectories whose tau2 swings would otherwise drive the probe
+    # columns through ill-conditioned solves
+    slq_on = cfg.use_slq and not cfg.red
+    P_cg = linear_probe_cols(cfg)
+    if slq_on:
+        from gvamp_tpu import slq as _slq
     pv = cfg.probit_var
 
     def phase_denoise_x(state: ProbitState, aux: ProbitAux):
@@ -430,7 +459,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, tau2, gam2,
                                          gram_fn=gram_fn)
         diag = cg.jacobi_diag(tau2, gam2, N)
-        V = jnp.concatenate([v[:, None], aux.bern], axis=1)
+        V = jnp.concatenate([v[:, None], aux.bern[:, :P_cg]], axis=1)
         precond = None
         if cfg.deflate_k > 0:
             precond = cg.make_deflated_precond(
@@ -456,7 +485,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
                 zmu0 = None
             sol = cg.solve_block(multb, V, mu0, diag, gam2,
                                  cfg.cg_max_iter,
-                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 modes=(0,) + (1,) * P_cg,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau,
@@ -466,7 +495,7 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
         else:
             sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
                                  cfg.cg_max_iter,
-                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 modes=(0,) + (1,) * P_cg,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau,
@@ -476,7 +505,14 @@ def make_step(geno, cfg: ProbitConfig, n_cov: int = 0, with_truth: bool = False,
                                        if track_z2 else None))
             gmu_new = jnp.zeros_like(sol.mu)
         x2 = sol.mu[:, 0] * m_mask
-        alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
+        if slq_on:
+            # SLQ quadrature of f(lam) = 1/(tau2 lam + gam2) on the
+            # fixed Gram basis (same deterministic u; g2d_onsager,
+            # vamp.cpp:871-889)
+            alpha2 = gam2 * jnp.mean(_slq.quad_inv(aux.slq, tau2, gam2))
+        else:
+            alpha2 = gam2 * jnp.mean(
+                jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
         # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
         # probe quadform can hit 1 when gam2 dominates the spectrum, which
         # NaNs gam1 = gam2(1-alpha2)/alpha2 and the r1 division — a latent

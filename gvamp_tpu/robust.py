@@ -23,6 +23,7 @@ import numpy as np
 from gvamp_tpu import cg
 from gvamp_tpu.linear import (VampConfig, _cast_like, _clamp_gamma, geo_damp,
                               make_bern_probe)
+from gvamp_tpu.linear import probe_cols as linear_probe_cols
 from gvamp_tpu.prior import GAMMA_MIN, Prior, g1, g1d, update_prior
 
 # deltaH M-step grid (vamp_Huber.cpp:259)
@@ -158,6 +159,10 @@ class RobustAux(NamedTuple):
     m_mask: jax.Array
     ts: jax.Array
     defl: object          # (V, lam) CG deflation basis or None
+    slq: object = None    # slq.SlqBasis of the fixed Gram A^T A or None
+                          # (linear.VampConfig.use_slq) — one basis serves
+                          # the whole tau2 trajectory, including Huber's
+                          # orders-of-magnitude swings
 
 
 def init_state(geno, cfg: RobustConfig, probs, vars_user) -> RobustState:
@@ -175,33 +180,31 @@ def init_state(geno, cfg: RobustConfig, probs, vars_user) -> RobustState:
         probs=jnp.asarray(probs, dt),
         vars=jnp.asarray(np.asarray(vars_user) * geno.N, dt),
         key=jax.random.key(cfg.seed + 2),
-        mu_cg=zeros_m, mu_probe=jnp.zeros((Mp, cfg.n_probes), dt),
-        gmu=jnp.zeros((Mp, 1 + cfg.n_probes), dt),
+        mu_cg=zeros_m,
+        mu_probe=jnp.zeros((Mp, linear_probe_cols(cfg)), dt),
+        gmu=jnp.zeros((Mp, 1 + linear_probe_cols(cfg)), dt),
         tau_gmu=jnp.asarray(0.0, dt),
     )
 
 
 def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
+    from gvamp_tpu.probit import _gram_mult, make_slq_basis
     defl = None
     if cfg.deflate_k > 0:
         from gvamp_tpu import cg as _cg
-        axm_fn, atxm_fn = geno.fns_multi()
-        op = geno.op
-        gram0 = geno.fn_gram()
-        if gram0 is not None:
-            mult_ata = jax.jit(lambda Pk: gram0(op, Pk))
-        else:
-            mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
-        defl = _cg.top_eigs(mult_ata, geno.Mpad, cfg.deflate_k,
+        defl = _cg.top_eigs(jax.jit(_gram_mult(geno)), geno.Mpad,
+                            cfg.deflate_k,
                             jax.random.fold_in(jax.random.key(cfg.seed), 7),
                             n_iter=cfg.deflate_iters, dtype=geno.dtype)
+    bern = make_bern_probe(geno, cfg.seed, cfg.n_probes)
     return RobustAux(
         op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
-        bern=make_bern_probe(geno, cfg.seed, cfg.n_probes),
+        bern=bern,
         m_mask=geno.m_mask,
         ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
            else jnp.zeros((geno.Mpad,), geno.dtype),
         defl=defl,
+        slq=make_slq_basis(geno, cfg, bern) if cfg.use_slq else None,
     )
 
 
@@ -220,6 +223,12 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
     # cg.solve_block fwd_mult): 6 -> 5 packed reads/iteration
     track_z2 = (cfg.fold_noise and gram_fn is None
                 and os.environ.get("GVAMP_NOISE_PASS", "0") != "1")
+    # SLQ Onsager (linear.VampConfig.use_slq; see probit.py) — ONE fixed-Gram
+    # Lanczos basis serves every (tau2, gam2) the Huber trajectory visits
+    slq_on = cfg.use_slq and not cfg.red
+    P_cg = linear_probe_cols(cfg)
+    if slq_on:
+        from gvamp_tpu import slq as _slq
 
     def phase_denoise_x(state: RobustState, aux: RobustAux):
         m_mask = aux.m_mask
@@ -310,7 +319,7 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         multb = cg.make_lmmse_mult_block(axm_fn, atxm_fn, op, tau2, gam2,
                                          gram_fn=gram_fn)
         diag = cg.jacobi_diag(tau2, gam2, N)
-        V = jnp.concatenate([v[:, None], aux.bern], axis=1)
+        V = jnp.concatenate([v[:, None], aux.bern[:, :P_cg]], axis=1)
         precond = None
         if cfg.deflate_k > 0:
             precond = cg.make_deflated_precond(
@@ -334,7 +343,7 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
                 zmu0 = None
             sol = cg.solve_block(multb, V, mu0, diag, gam2,
                                  cfg.cg_max_iter,
-                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 modes=(0,) + (1,) * P_cg,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau,
@@ -344,7 +353,7 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
         else:
             sol = cg.solve_block(multb, V, jnp.zeros_like(V), diag, gam2,
                                  cfg.cg_max_iter,
-                                 modes=(0,) + (1,) * aux.bern.shape[1],
+                                 modes=(0,) + (1,) * P_cg,
                                  err_tol=cfg.cg_err_tol,
                                  onsager_tol=cfg.onsager_tol,
                                  plateau=cfg.cg_plateau,
@@ -354,7 +363,14 @@ def make_step(geno, cfg: RobustConfig, with_truth: bool = False,
                                        if track_z2 else None))
             gmu_new = jnp.zeros_like(sol.mu)
         x2 = sol.mu[:, 0] * m_mask
-        alpha2 = gam2 * jnp.mean(jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
+        if slq_on:
+            # SLQ quadrature of f(lam) = 1/(tau2 lam + gam2) on the
+            # fixed Gram basis (same deterministic u; g2d_onsager,
+            # vamp.cpp:871-889)
+            alpha2 = gam2 * jnp.mean(_slq.quad_inv(aux.slq, tau2, gam2))
+        else:
+            alpha2 = gam2 * jnp.mean(
+                jnp.sum(aux.bern * sol.mu[:, 1:], axis=0))
         # alpha2 in (0, 1) mathematically (Q >= gam2 I); fp noise in the
         # probe quadform can hit 1 when gam2 dominates the spectrum, which
         # NaNs gam1 = gam2(1-alpha2)/alpha2 and the r1 division — a latent

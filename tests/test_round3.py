@@ -582,7 +582,7 @@ def test_load_state_backfills_multi_warm_start_fields(tmp_path):
     save_state(ck, OldState(), it=1, model="linear", T=T,
                cfg=dataclasses.asdict(cfg))
     loaded, _ = load_state(ck, multi.MultiState)
-    P = cfg.n_probes
+    P = linear.probe_cols(cfg)  # 0 under the SLQ default, n_probes else
     assert np.asarray(loaded.mu_probe).shape == (geno.Mpad, T * P)
     assert np.asarray(loaded.gmu).shape == (geno.Mpad, T * (1 + P))
     assert np.asarray(loaded.tau_gmu).shape == (T,)

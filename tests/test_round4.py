@@ -197,8 +197,14 @@ def _zmodel_ab(module, cfg_cls, phen_fn, iters=10):
     g.set_phen(phen_fn(g, beta, rng))
     outs = {}
     for fold in (False, True):
+        # use_slq=False isolates the variable under test (z2 tracking): on
+        # the probe path both arms share the probe-CG alpha2, keeping the
+        # 1e-6 A/B bound meaningful even on the Huber collapse trajectory,
+        # where the SLQ alpha2 = f(tau2) faithfully amplifies the arms'
+        # z2 fp drift (SLQ-vs-probe equality is tested separately in
+        # test_slq_engines.py)
         cfg = cfg_cls(max_iter=iters, rho=0.3, seed=2, fold_noise=fold,
-                      stop_criteria_thr=0.0)
+                      stop_criteria_thr=0.0, use_slq=False)
         outs[fold] = module.infer(g, cfg, probs_t, vars_t, verbose=False)
     return outs
 
