@@ -391,30 +391,45 @@ def jacobi_diag(tau, gam2, N):
     return tau * (N - 1.0) / N + gam2
 
 
-def top_eigs(mult_ata, m: int, k: int, key, n_iter: int = 8, dtype=None):
+def top_eigs(mult_ata, m: int, k: int, key, n_iter: int = 8, dtype=None,
+             op=None):
     """Top-k eigenpairs of the FIXED Gram operator S = A^T A by orthogonal
     (block power) iteration — k columns ride each wide pass, so the whole
     factorization costs ~n_iter wide passes, amortized over every CG solve
     of the run (S's eigenvectors never change; only the scalars tau/gam2 in
     Q = tau S + gam2 I do).
 
+    With ``op`` given, ``mult_ata(op, V)`` is used and the operator pytree
+    enters the jitted program as an ARGUMENT — a closed-over packed matrix
+    would be captured as a jaxpr constant and (on remote-attached devices)
+    shipped wholesale to the compile server.
+
     Returns (V [m, k] orthonormal, lam [k]).
     """
+    import functools
+
     import jax
 
     dtype = dtype or jnp.float32
-    V = jax.random.normal(key, (m, k), dtype)
-    V, _ = jnp.linalg.qr(V)
+    V0 = jax.random.normal(key, (m, k), dtype)
 
-    def body(_, V):
-        W = mult_ata(V)
-        V, _ = jnp.linalg.qr(W)
-        return V
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(op_, V, n_it):
+        mult = (mult_ata if op is None
+                else functools.partial(mult_ata, op_))
+        V, _ = jnp.linalg.qr(V)
 
-    V = jax.lax.fori_loop(0, n_iter, body, V)
-    W = mult_ata(V)
-    lam = jnp.sum(V * W, axis=0)
-    return V, lam
+        def body(_, V):
+            W = mult(V)
+            V, _ = jnp.linalg.qr(W)
+            return V
+
+        V = jax.lax.fori_loop(0, n_it, body, V)
+        W = mult(V)
+        lam = jnp.sum(V * W, axis=0)
+        return V, lam
+
+    return run(op, V0, n_iter)
 
 
 def make_deflated_precond(V, lam, tau, gam2, diag):

@@ -340,16 +340,11 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
     # deflation basis would not match the windowed operator (phase_lmmse
     # skips it there), so skip the top_eigs setup cost entirely
     if cfg.deflate_k > 0 and not cfg.red:
-        axm_fn, atxm_fn = geno.fns_multi()
-        op = geno.op
-        gram_fn0 = geno.fn_gram()
-        if gram_fn0 is not None:
-            mult_ata = jax.jit(lambda Pk: gram_fn0(op, Pk))
-        else:
-            mult_ata = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk)))
-        defl = cg.top_eigs(mult_ata, geno.Mpad, cfg.deflate_k,
+        from gvamp_tpu.probit import _gram_mult
+        defl = cg.top_eigs(_gram_mult(geno), geno.Mpad, cfg.deflate_k,
                            jax.random.fold_in(jax.random.key(cfg.seed), 7),
-                           n_iter=cfg.deflate_iters, dtype=geno.dtype)
+                           n_iter=cfg.deflate_iters, dtype=geno.dtype,
+                           op=geno.op)
     z_bern = geno.axm(bern)
     slq_basis = None
     if cfg.use_slq and not cfg.red:
@@ -357,9 +352,11 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
         # spaces (cfg.slq_k wide passes, amortized over the run); the
         # [k, n, P] working basis is freed on return — only the O(k)
         # (nodes, weights) quadratures persist.  See VampConfig.use_slq.
+        # The operator pytree is a jit ARGUMENT, never a closure constant
+        # (a closed-over packed matrix would ship to the remote compile
+        # server wholesale — 10.74 GB at config B).
         from gvamp_tpu import slq as _slq
         axm_fn, atxm_fn = geno.fns_multi()
-        op = geno.op
         if cfg.use_xxt:
             # dual/N-space basis over G_N = A A^T started at z_u = A u: the
             # Woodbury form alpha2 = 1 - gamw <z_u, Q_N^{-1} z_u> (see
@@ -367,21 +364,20 @@ def make_aux(geno, cfg: VampConfig, freeze=None, true_signal=None,
             nb4 = int(np.prod(geno.y_planar.shape))
             gaat = geno.fn_gram_aat()
 
-            def mult_n(U):
-                Up = U.reshape((4, nb4 // 4, U.shape[1]))
-                out = (gaat(op, Up) if gaat is not None
-                       else axm_fn(op, atxm_fn(op, Up)))
-                return out.reshape(U.shape)
+            def build_n(op_, U):
+                def mult_n(X):
+                    Xp = X.reshape((4, nb4 // 4, X.shape[1]))
+                    out = (gaat(op_, Xp) if gaat is not None
+                           else axm_fn(op_, atxm_fn(op_, Xp)))
+                    return out.reshape(X.shape)
 
-            slq_basis = jax.jit(
-                lambda U: _slq.build(mult_n, U, cfg.slq_k)
-            )(z_bern.reshape(nb4, cfg.n_probes))
+                return _slq.build(mult_n, U, cfg.slq_k)
+
+            slq_basis = jax.jit(build_n)(
+                geno.op, z_bern.reshape(nb4, cfg.n_probes))
         else:
-            gram0 = geno.fn_gram()
-            mult_m = ((lambda U: gram0(op, U)) if gram0 is not None
-                      else (lambda U: atxm_fn(op, axm_fn(op, U))))
-            slq_basis = jax.jit(
-                lambda U: _slq.build(mult_m, U, cfg.slq_k))(bern)
+            from gvamp_tpu.probit import make_slq_basis
+            slq_basis = make_slq_basis(geno, cfg, bern)
     return Aux(
         op=geno.op,
         y=geno.filter_pheno(),

@@ -295,16 +295,17 @@ def _make_defl(mp: MultiPhen, cfg):
         return None
     from gvamp_tpu import cg as _cg
     axm_fn, atxm_fn = mp.fns()
-    op = mp.op
     cols0 = np.zeros(cfg.deflate_k, dtype=int)
     gram0 = mp.fn_gram()
+    # op passed as a jit ARGUMENT (jaxpr-constant hazard, cg.top_eigs)
     if gram0 is not None:
-        mult = jax.jit(lambda Pk: gram0(op, Pk, cols0))
+        mult = lambda op_, Pk: gram0(op_, Pk, cols0)
     else:
-        mult = jax.jit(lambda Pk: atxm_fn(op, axm_fn(op, Pk, cols0), cols0))
+        mult = lambda op_, Pk: atxm_fn(op_, axm_fn(op_, Pk, cols0), cols0)
     return _cg.top_eigs(mult, mp.geno.Mpad, cfg.deflate_k,
                         jax.random.fold_in(jax.random.key(cfg.seed), 7),
-                        n_iter=cfg.deflate_iters, dtype=mp.geno.dtype)
+                        n_iter=cfg.deflate_iters, dtype=mp.geno.dtype,
+                        op=mp.op)
 
 
 def _make_slq(mp: MultiPhen, cfg, bern) -> "object":
@@ -315,16 +316,20 @@ def _make_slq(mp: MultiPhen, cfg, bern) -> "object":
         return None
     from gvamp_tpu import slq as _slq
     axm_fn, atxm_fn = mp.fns()
-    op = mp.op
     T, P_ = mp.T, cfg.n_probes
     cols_tp = np.repeat(np.arange(T), P_)
     gram0 = mp.fn_gram()
-    if gram0 is not None:
-        mult = lambda U: gram0(op, U, cols_tp)
-    else:
-        mult = lambda U: atxm_fn(op, axm_fn(op, U, cols_tp), cols_tp)
+
+    # op as a jit ARGUMENT (jaxpr-constant hazard, cg.top_eigs)
+    def build(op_, U):
+        if gram0 is not None:
+            mult = lambda X: gram0(op_, X, cols_tp)
+        else:
+            mult = lambda X: atxm_fn(op_, axm_fn(op_, X, cols_tp), cols_tp)
+        return _slq.build(mult, U, cfg.slq_k)
+
     bern_tp = jnp.tile(bern, (1, T))
-    return jax.jit(lambda U: _slq.build(mult, U, cfg.slq_k))(bern_tp)
+    return jax.jit(build)(mp.op, bern_tp)
 
 
 def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:

@@ -281,21 +281,29 @@ def init_state(geno, cfg: ProbitConfig, probs, vars_user, key=None) -> ProbitSta
 
 
 def _gram_mult(geno):
-    """Shared fixed-Gram operator Pk -> A^T A Pk (deflation + SLQ setup)."""
+    """Shared fixed-Gram operator (op, Pk) -> A^T A Pk (deflation + SLQ
+    setup).  The operator pytree stays an ARGUMENT of the jitted program —
+    closing over it would capture the packed matrix as a jaxpr constant
+    and ship it wholesale to a remote compile server (cg.top_eigs)."""
     axm_fn, atxm_fn = geno.fns_multi()
-    op = geno.op
     gram0 = geno.fn_gram()
     if gram0 is not None:
-        return lambda Pk: gram0(op, Pk)
-    return lambda Pk: atxm_fn(op, axm_fn(op, Pk))
+        return gram0
+    return lambda op_, Pk: atxm_fn(op_, axm_fn(op_, Pk))
 
 
 def make_slq_basis(geno, cfg, bern):
     """One-time Lanczos quadrature of the fixed marker-space Gram in the
     probes' Krylov spaces (linear.VampConfig.use_slq)."""
+    import functools
+
     from gvamp_tpu import slq as _slq
     mult = _gram_mult(geno)
-    return jax.jit(lambda U: _slq.build(mult, U, cfg.slq_k))(bern)
+
+    def build(op_, U):
+        return _slq.build(functools.partial(mult, op_), U, cfg.slq_k)
+
+    return jax.jit(build)(geno.op, bern)
 
 
 def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
@@ -308,10 +316,11 @@ def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
     defl = None
     if cfg.deflate_k > 0:
         from gvamp_tpu import cg as _cg
-        defl = _cg.top_eigs(jax.jit(_gram_mult(geno)), geno.Mpad,
+        defl = _cg.top_eigs(_gram_mult(geno), geno.Mpad,
                             cfg.deflate_k,
                             jax.random.fold_in(jax.random.key(cfg.seed), 7),
-                            n_iter=cfg.deflate_iters, dtype=geno.dtype)
+                            n_iter=cfg.deflate_iters, dtype=geno.dtype,
+                            op=geno.op)
     bern = make_bern_probe(geno, cfg.seed, cfg.n_probes)
     return ProbitAux(
         op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,

@@ -192,10 +192,11 @@ def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
     defl = None
     if cfg.deflate_k > 0:
         from gvamp_tpu import cg as _cg
-        defl = _cg.top_eigs(jax.jit(_gram_mult(geno)), geno.Mpad,
+        defl = _cg.top_eigs(_gram_mult(geno), geno.Mpad,
                             cfg.deflate_k,
                             jax.random.fold_in(jax.random.key(cfg.seed), 7),
-                            n_iter=cfg.deflate_iters, dtype=geno.dtype)
+                            n_iter=cfg.deflate_iters, dtype=geno.dtype,
+                            op=geno.op)
     bern = make_bern_probe(geno, cfg.seed, cfg.n_probes)
     return RobustAux(
         op=geno.op, y=geno.filter_pheno(), n_mask=geno.n_mask_planar,
