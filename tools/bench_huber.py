@@ -64,6 +64,10 @@ def main():
         "slq_d256": dict(deflate_k=256),
         "slq_p6": dict(cg_plateau=6),
         "slq_d256_p6": dict(deflate_k=256, cg_plateau=6),
+        # the supported throughput mode: --stab-gamma bounds the tau1/gam1
+        # log-steps, keeping the LMMSE operator conditioned (an extension;
+        # reference dynamics = 1.0)
+        "slq_sg09": dict(stab_gamma=0.9),
     }
     sel = os.environ.get("HUBER_CONFIGS", "")
     if sel:

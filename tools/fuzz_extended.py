@@ -58,7 +58,9 @@ def run_trial(seed):
     h2 = float(rng.uniform(0.2, 0.95))
     sync_every = int(rng.choice([1, 1, 3, 4]))
     gram_refresh = int(rng.choice([1, 8, 3]))
-    deflate_k = int(rng.choice([0, 0, 0, 4])) if model == "linear" else 0
+    # deflation is engine-agnostic since the op-argument fix (round 5)
+    deflate_k = int(rng.choice([0, 0, 0, 4])) \
+        if not model.startswith("multi") or rng.random() < 0.3 else 0
     n_probes = int(rng.choice([1, 1, 2]))
     use_xxt = bool(model == "linear" and M > N and rng.random() < 0.7)
     red = bool(model == "linear" and not use_xxt and N >= 640
@@ -66,15 +68,23 @@ def run_trial(seed):
     learn_vars = bool(rng.random() < 0.5)
     T = int(rng.integers(2, 5)) if model.startswith("multi") else 1
     max_iter = int(rng.integers(4, 8))
+    use_slq = bool(rng.random() < 0.7)           # SLQ default vs probe path
+    slq_k = int(rng.choice([8, 16, 32]))
+    cg_plateau = int(rng.choice([12, 12, 0, 6]))  # incl. red x plateau
+    fold_noise = bool(rng.random() < 0.8)         # fold kill-switch A/B
+    resume_mid = bool(rng.random() < 0.25 and max_iter >= 5)
     cfgd = dict(max_iter=max_iter, rho=0.25, gam1_init=1e-8,
                 gram_refresh=gram_refresh, n_probes=n_probes,
-                learn_vars=learn_vars, stop_criteria_thr=0.0)
+                learn_vars=learn_vars, stop_criteria_thr=0.0,
+                use_slq=use_slq, slq_k=slq_k, cg_plateau=cg_plateau,
+                fold_noise=fold_noise, deflate_k=deflate_k)
 
     desc = (f"seed={seed} N={N} M={M} miss={miss} model={model} "
             f"dt={'f32' if dtype == jnp.float32 else 'f64'} h2={h2:.2f} "
             f"sync={sync_every} gr={gram_refresh} defl={deflate_k} "
             f"P={n_probes} xxt={use_xxt} red={red} lv={learn_vars} T={T} "
-            f"it={max_iter}")
+            f"it={max_iter} slq={int(use_slq)}k{slq_k} plat={cg_plateau} "
+            f"fold={int(fold_noise)} resume={int(resume_mid)}")
 
     codes = sim.random_genotypes(rng, M, N, miss_rate=miss)
     geno = GenoBed.from_arrays(make_bed(codes), np.zeros(N), N=N,
@@ -96,33 +106,58 @@ def run_trial(seed):
              for _ in range(max(T, 1))]
     ys = [phen(base, b, rng) for b in betas]
 
+    def drive(run_fn, cfg_cls, target, state_cls, extra=None):
+        """Run the engine; with resume_mid, split the run at max_iter//2
+        through a full save_state/load_state file round-trip (the --resume
+        surface) and continue to the full budget."""
+        kw = dict(cfgd)
+        if extra:
+            kw.update(extra)
+        if resume_mid:
+            import dataclasses
+            import tempfile
+
+            from gvamp_tpu import ckpt
+
+            cfg1 = cfg_cls(**{**kw, "max_iter": max_iter // 2})
+            _, st1, _ = run_fn(target, cfg1, probs_t, vars_t,
+                               verbose=False, sync_every=sync_every)
+            with tempfile.TemporaryDirectory() as td:
+                path = os.path.join(td, "fuzz_ck.npz")
+                ckpt.save_state(path, st1, it=max_iter // 2, model=model,
+                                cfg=dataclasses.asdict(cfg1))
+                loaded, _ = ckpt.load_state(path, state_cls)
+            return run_fn(target, cfg_cls(**kw), probs_t, vars_t,
+                          verbose=False, sync_every=sync_every,
+                          resume_state=loaded)
+        return run_fn(target, cfg_cls(**kw), probs_t, vars_t,
+                      verbose=False, sync_every=sync_every)
+
     if model.startswith("multi"):
         mp = multi.MultiPhen.build(geno, ys,
                                    standardize=(base != "bin_class"))
-        eng = {"multi-linear": (multi.infer, linear.VampConfig),
-               "multi-probit": (multi.infer_probit, probit.ProbitConfig),
-               "multi-robust": (multi.infer_huber, robust.RobustConfig)}[model]
-        run, cfg_cls = eng
-        x, state, hist = run(mp, cfg_cls(**cfgd), probs_t, vars_t,
-                             verbose=False, sync_every=sync_every)
+        eng = {"multi-linear": (multi.infer, linear.VampConfig,
+                                multi.MultiState),
+               "multi-probit": (multi.infer_probit, probit.ProbitConfig,
+                                multi.ProbitMultiState),
+               "multi-robust": (multi.infer_huber, robust.RobustConfig,
+                                multi.HuberMultiState)}[model]
+        run, cfg_cls, st_cls = eng
+        x, state, hist = drive(run, cfg_cls, mp, st_cls)
         corr = min((_corr(x[:, t], betas[t]) for t in range(T)),
                    default=1.0)
     else:
         geno.set_phen(ys[0])
         if model == "linear":
-            cfg = linear.VampConfig(use_xxt=use_xxt, red=red,
-                                    deflate_k=deflate_k, **cfgd)
-            x, state, hist = linear.infer(geno, cfg, probs_t, vars_t,
-                                          verbose=False,
-                                          sync_every=sync_every)
+            x, state, hist = drive(linear.infer, linear.VampConfig, geno,
+                                   linear.LinState,
+                                   extra=dict(use_xxt=use_xxt, red=red))
         elif model == "bin_class":
-            x, state, hist = probit.infer(geno, probit.ProbitConfig(**cfgd),
-                                          probs_t, vars_t, verbose=False,
-                                          sync_every=sync_every)
+            x, state, hist = drive(probit.infer, probit.ProbitConfig, geno,
+                                   probit.ProbitState)
         else:
-            x, state, hist = robust.infer(geno, robust.RobustConfig(**cfgd),
-                                          probs_t, vars_t, verbose=False,
-                                          sync_every=sync_every)
+            x, state, hist = drive(robust.infer, robust.RobustConfig, geno,
+                                   robust.RobustState)
         corr = _corr(x, betas[0])
 
     bad = []
