@@ -74,9 +74,12 @@ def main():
             row["traj_dev"] = 0.0
         else:
             # max relative deviation of the corr trajectory vs tol=1e-5
-            dev = float(np.max(np.abs(traj["corr_x1"] - ref_traj["corr_x1"])
-                               / np.maximum(np.abs(ref_traj["corr_x1"]),
-                                            1e-12)))
+            # (it-1 has x1 = 0 -> corr NaN for every tol; compare where
+            # the reference trajectory is finite)
+            ok = np.isfinite(ref_traj["corr_x1"])
+            dev = float(np.max(
+                np.abs(traj["corr_x1"][ok] - ref_traj["corr_x1"][ok])
+                / np.maximum(np.abs(ref_traj["corr_x1"][ok]), 1e-12)))
             row["traj_dev"] = round(dev, 8)
         out[f"tol_{tol:g}"] = row
         print(f"# tol={tol:g}: corr={row['corr']:.6f} gamw={row['gamw']} "
