@@ -80,14 +80,15 @@ class VampConfig:
     gam1_init: float = 1e-6     # main_real.cpp:66
     gamw_init: float = 2.0      # main_real.cpp:69-73 (h2 == -1)
     cg_err_tol: float = 1e-5
-    onsager_tol: float = 1e-6    # probe-column quadform exit.  The reference
-                                 # uses 1e-8 (vamp.cpp:1174-1193) — far below
-                                 # the probe's own O(1/sqrt(Mt)) Hutchinson MC
-                                 # noise.  1e-6 reproduces alpha2 to 6 decimals
-                                 # (round-4 study, test_round4) while cutting
-                                 # ~1 CG iteration/VAMP iteration; probes set
-                                 # the block-CG pass count at production
-                                 # shapes, so this is a direct pass saving.
+    onsager_tol: float = 1e-6    # probe-column quadform exit — only active
+                                 # on the probe path (use_slq=False or red
+                                 # mode).  The reference uses 1e-8
+                                 # (vamp.cpp:1174-1193) — far below the
+                                 # probe's own O(1/sqrt(Mt)) Hutchinson MC
+                                 # noise; 1e-6 reproduces alpha2 to 6
+                                 # decimals (round-4 study, test_round4).
+                                 # With SLQ (default) there are no probe
+                                 # columns to exit.
     n_probes: int = 1            # Onsager trace probes (reference uses 1;
                                  # extra probes ride the same block-CG pass)
     gamma_damp: float = 1.0      # gam2 damping inside the LMMSE block

@@ -473,11 +473,15 @@ def test_aat_gram_kernels_match_composition():
     (105, 130, 130, 0.0, 0.15, 9),    # square, phen NAs only
 ])
 def test_gram_operators_randomized_shapes(seed, N, M, miss_geno,
-                                          miss_phen, B):
+                                          miss_phen, B, monkeypatch):
     """Seeded odd-shape sweep: the fused primal and dual Gram operators
     must equal their two-pass compositions through the full data-layer
     padding/standardization stack (the parametrized kernel tests use
-    round tile-multiple shapes only)."""
+    round tile-multiple shapes only).  The primal fused Gram defaulted to
+    OFF in round 4 (it loses on hardware, fn_gram) — force it on here:
+    the kernels stay available behind GVAMP_FUSED_GRAM=1 and must remain
+    correct."""
+    monkeypatch.setenv("GVAMP_FUSED_GRAM", "1")
     rng = np.random.default_rng(seed)
     codes, y = random_dataset(rng, N, M, miss_geno=miss_geno,
                               miss_phen=miss_phen)
@@ -503,11 +507,13 @@ def test_gram_operators_randomized_shapes(seed, N, M, miss_geno,
 
 
 @pytest.mark.slow
-def test_multi_gram_per_column_randomized():
+def test_multi_gram_per_column_randomized(monkeypatch):
     """MultiPhen.fn_gram with a trait-mixing column map equals the
-    two-pass per-column operator (odd sizes, per-trait NA patterns)."""
+    two-pass per-column operator (odd sizes, per-trait NA patterns).
+    Forced on via GVAMP_FUSED_GRAM=1 (default-off since round 4)."""
     from gvamp_tpu import multi, sim
 
+    monkeypatch.setenv("GVAMP_FUSED_GRAM", "1")
     rng = np.random.default_rng(44)
     N, M, T, P = 201, 155, 3, 2
     codes = sim.random_genotypes(rng, M, N, miss_rate=0.04)
