@@ -30,7 +30,7 @@ import numpy as np
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 102400
 M = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-T = 8
+T = int(os.environ.get("BENCH_T", 8))
 
 
 def time_scan(init_fn, aux_fn, step_fn, scan_fn, warm=2):
