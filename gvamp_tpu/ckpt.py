@@ -134,12 +134,19 @@ def load_state(path: str, state_cls):
         if "mu_cg" in missing:  # probit/robust pre-warm-start checkpoints
             vals["mu_cg"] = jnp.zeros_like(x1)
         if "mu_probe" in missing:
+            from types import SimpleNamespace
+
+            from gvamp_tpu.linear import probe_cols
+
             c = meta.get("cfg", {})
-            n_probes = int(c.get("n_probes", 1))
-            # SLQ runs carry ZERO probe columns (linear.probe_cols); old
-            # checkpoints without the use_slq key predate SLQ -> probe path
-            if bool(c.get("use_slq", False)) and not bool(c.get("red", False)):
-                n_probes = 0
+            # probe-column policy from the CHECKPOINT's own config (old
+            # checkpoints without the use_slq key predate SLQ -> probe
+            # path); cli._resume_run applies the same default so the
+            # resumed engine expects matching shapes
+            n_probes = probe_cols(SimpleNamespace(
+                use_slq=bool(c.get("use_slq", False)),
+                red=bool(c.get("red", False)),
+                n_probes=int(c.get("n_probes", 1))))
             # multi-trait states ([Mp, T] x1) carry T*P probe columns
             n_cols = n_probes * (x1.shape[1] if x1.ndim == 2 else 1)
             vals["mu_probe"] = jnp.zeros((x1.shape[0], n_cols), x1.dtype)

@@ -472,6 +472,13 @@ def _resume_run(opt: Options):
             f" pass the same --model to resume (got {opt.model})")
     geno = _load_geno(opt)
     cfg_d = dict(meta.get("cfg", {}))
+    if cfg_d:
+        # pre-SLQ checkpoints (round <= 4) predate the use_slq field: their
+        # states carry n_probes probe columns, so the resumed config must
+        # keep the probe path — resume restores the EXACT original
+        # configuration, and the new default (use_slq=True) would shrink
+        # mu_probe/gmu to zero columns and break the state shapes
+        cfg_d.setdefault("use_slq", False)
     probs, vars_user = _prior(opt, geno)
     start_it = int(meta.get("it", 0))
     cfg_d["max_iter"] = start_it + opt.iterations

@@ -192,6 +192,22 @@ def probe_cols(cfg: VampConfig) -> int:
     return 0 if (cfg.use_slq and not cfg.red) else cfg.n_probes
 
 
+def _check_resume_probe_cols(state, cfg, T: int = 1):
+    """Fail fast with a clear message when a resume_state's probe-column
+    width disagrees with the config it is being resumed under (a pre-SLQ
+    checkpoint resumed with use_slq=True, or vice versa) — the shape
+    mismatch would otherwise surface as an opaque CG carry error."""
+    want = T * probe_cols(cfg)
+    got = int(state.mu_probe.shape[-1])
+    if got != want:
+        raise ValueError(
+            f"resume_state carries {got} probe column(s) but the resumed "
+            f"config implies {want} (use_slq={cfg.use_slq}, red={cfg.red}, "
+            f"n_probes={cfg.n_probes}); resume with the checkpoint's "
+            f"original use_slq setting (cli --resume restores it "
+            f"automatically)")
+
+
 class LinState(NamedTuple):
     it: jax.Array
     x1: jax.Array
@@ -1067,6 +1083,7 @@ def infer(geno, cfg: VampConfig, probs, vars_user,
         # full-state resume (--resume): cfg.max_iter is the TOTAL iteration
         # budget; the loop continues from resume_state.it with the exact
         # original step semantics (stopping criterion included)
+        _check_resume_probe_cols(resume_state, cfg)
         state = resume_state
     else:
         state = init_state(geno, cfg, probs, vars_user,

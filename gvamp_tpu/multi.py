@@ -312,7 +312,7 @@ def _make_slq(mp: MultiPhen, cfg, bern) -> "object":
     """T*P-column Lanczos quadrature: probe j in trait t's Krylov space
     under trait t's own Gram (one setup pass block, linear.VampConfig
     .use_slq)."""
-    if not cfg.use_slq:
+    if not cfg.use_slq or cfg.red:
         return None
     from gvamp_tpu import slq as _slq
     axm_fn, atxm_fn = mp.fns()
@@ -343,8 +343,13 @@ def make_aux(mp: MultiPhen, cfg: VampConfig) -> MultiAux:
     cols_t = np.arange(T)
     aty = atxm_fn(mp.op, yf, cols_t)
     cols_tp = np.repeat(np.arange(T), P_)
-    bern_tp = jnp.tile(bern, (1, T))  # [Mpad, T*P] (probe j of trait t)
-    z_bern = axm_fn(mp.op, bern_tp, cols_tp)
+    if cfg.use_slq and not cfg.red:
+        # dead under SLQ (both trace branches use quad_ratio): skip the
+        # T*P-wide setup pass and the [4, Nb, T*P] array
+        z_bern = jnp.zeros(yf.shape[:2] + (0,), yf.dtype)
+    else:
+        bern_tp = jnp.tile(bern, (1, T))  # [Mpad, T*P] (probe j of trait t)
+        z_bern = axm_fn(mp.op, bern_tp, cols_tp)
     return MultiAux(op=mp.op, y=yf, bern=bern, aty=aty, z_bern=z_bern,
                     m_mask=mp.geno.m_mask, defl=_make_defl(mp, cfg),
                     slq=_make_slq(mp, cfg, bern))
@@ -688,6 +693,9 @@ def infer(mp: MultiPhen, cfg: VampConfig, probs, vars_user,
     ``resume_state`` continues a checkpointed run: ``cfg.max_iter`` is the
     TOTAL budget and the loop restarts from ``resume_state.it``.
     """
+    if resume_state is not None:
+        from gvamp_tpu.linear import _check_resume_probe_cols
+        _check_resume_probe_cols(resume_state, cfg, T=mp.T)
     state = (resume_state if resume_state is not None
              else init_state(mp, cfg, probs, vars_user))
     aux = make_aux(mp, cfg)
@@ -1087,6 +1095,9 @@ def infer_probit(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
                  callbacks=None, sync_every: int = 1, resume_state=None):
     """Joint multi-trait probit run; returns (x_stored [M, T], state, hist)."""
     n_cov = mp.geno.covs.shape[1] if mp.geno.covs is not None else 0
+    if resume_state is not None:
+        from gvamp_tpu.linear import _check_resume_probe_cols
+        _check_resume_probe_cols(resume_state, cfg, T=mp.T)
     state = (resume_state if resume_state is not None
              else init_probit_state(mp, cfg, probs, vars_user, n_cov=n_cov))
     aux = make_probit_aux(mp, cfg)
@@ -1286,6 +1297,9 @@ def make_huber_step(mp: MultiPhen, cfg, jit: bool = True):
 def infer_huber(mp: MultiPhen, cfg, probs, vars_user, verbose: bool = True,
                 callbacks=None, sync_every: int = 1, resume_state=None):
     """Joint multi-trait Huber run; returns (x_stored [M, T], state, hist)."""
+    if resume_state is not None:
+        from gvamp_tpu.linear import _check_resume_probe_cols
+        _check_resume_probe_cols(resume_state, cfg, T=mp.T)
     state = (resume_state if resume_state is not None
              else init_huber_state(mp, cfg, probs, vars_user))
     aux = make_probit_aux(mp, cfg)  # same fields (op/y/n_mask/bern/Z/m_mask)

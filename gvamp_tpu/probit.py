@@ -329,7 +329,8 @@ def make_aux(geno, cfg: ProbitConfig, true_signal=None) -> ProbitAux:
         ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
            else jnp.zeros((geno.Mpad,), geno.dtype),
         defl=defl,
-        slq=make_slq_basis(geno, cfg, bern) if cfg.use_slq else None,
+        slq=(make_slq_basis(geno, cfg, bern)
+             if cfg.use_slq and not cfg.red else None),
     )
 
 
@@ -644,6 +645,9 @@ def infer(geno, cfg: ProbitConfig, probs, vars_user, true_signal=None,
     ``sync_every`` > 1 runs that many iterations per device dispatch
     (make_scan_step throughput mode, overridden by phase_timers)."""
     n_cov = geno.covs.shape[1] if geno.covs is not None else 0
+    if resume_state is not None:
+        from gvamp_tpu.linear import _check_resume_probe_cols
+        _check_resume_probe_cols(resume_state, cfg)
     state = (resume_state if resume_state is not None
              else init_state(geno, cfg, probs, vars_user))
     aux = make_aux(geno, cfg, true_signal=true_signal)

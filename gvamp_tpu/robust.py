@@ -205,7 +205,8 @@ def make_aux(geno, cfg: RobustConfig, true_signal=None) -> RobustAux:
         ts=(geno.pad_m(true_signal) * np.sqrt(geno.N)) if true_signal is not None
            else jnp.zeros((geno.Mpad,), geno.dtype),
         defl=defl,
-        slq=make_slq_basis(geno, cfg, bern) if cfg.use_slq else None,
+        slq=(make_slq_basis(geno, cfg, bern)
+             if cfg.use_slq and not cfg.red else None),
     )
 
 
@@ -484,6 +485,9 @@ def make_scan_step(geno, cfg, k: int, **kw):
 def infer(geno, cfg: RobustConfig, probs, vars_user, true_signal=None,
           verbose: bool = True, callbacks=None, phase_timers: bool = False,
           sync_every: int = 1, resume_state: RobustState = None):
+    if resume_state is not None:
+        from gvamp_tpu.linear import _check_resume_probe_cols
+        _check_resume_probe_cols(resume_state, cfg)
     state = (resume_state if resume_state is not None
              else init_state(geno, cfg, probs, vars_user))
     aux = make_aux(geno, cfg, true_signal=true_signal)

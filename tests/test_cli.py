@@ -113,6 +113,27 @@ def test_restart_mode(dataset):
     est = vecio.read_bin_shard(str(ds["dir"] / "run4_it_8.bin"), ds["M"], 0)
     assert np.corrcoef(est, ds["beta"])[0, 1] > 0.85
 
+    # pre-SLQ checkpoint compatibility: a round-<=4 checkpoint carries
+    # probe-width warm-start state and a cfg dict WITHOUT the use_slq key;
+    # _resume_run must reconstruct the probe path (use_slq defaults to
+    # False for old checkpoints) instead of crashing on state shapes
+    import json
+
+    cli.main(_base_args(ds, "run5")
+             + ["--use-slq", "0", "--checkpoint", str(ds["dir"] / "ck_old.npz")])
+    z = dict(np.load(ds["dir"] / "ck_old.npz", allow_pickle=False))
+    meta = json.loads(bytes(z["_meta"]).decode())
+    for k in ("use_slq", "slq_k"):
+        meta["cfg"].pop(k, None)   # simulate the pre-SLQ metadata schema
+    z["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(ds["dir"] / "ck_old.npz", **z)
+    args = _base_args(ds, "run6")
+    args[args.index("infere")] = "restart"
+    cli.main(args + ["--resume", str(ds["dir"] / "ck_old.npz"),
+                     "--iterations", "2"])
+    est = vecio.read_bin_shard(str(ds["dir"] / "run6_it_8.bin"), ds["M"], 0)
+    assert np.corrcoef(est, ds["beta"])[0, 1] > 0.85
+
 
 def test_predict_single_mode(dataset):
     ds = dataset
