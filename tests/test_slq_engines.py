@@ -138,6 +138,25 @@ def test_multi_trait_slq_matches_probe_path():
                                    rtol=5e-5, err_msg=key)
 
 
+def test_linear_fold_kill_switch_with_slq(monkeypatch):
+    """GVAMP_NOISE_PASS=1 (explicit noise-EM wide pass) must reproduce the
+    folded path under SLQ: resid2 via the exit Gram identity vs the
+    explicit A x2 pass, trace via quad_ratio in both arms."""
+    geno, probs_t, vars_t, beta, _ = _dataset(N=500, M=160, seed=5)
+    runs = {}
+    for kill in ("0", "1"):
+        monkeypatch.setenv("GVAMP_NOISE_PASS", kill)
+        cfg = linear.VampConfig(max_iter=5, rho=0.3, use_slq=True)
+        x, st, hist = linear.infer(geno, cfg, probs_t, vars_t, verbose=False)
+        runs[kill] = (x, hist)
+    for key in ("gamw", "gam1", "R2_train_2"):
+        np.testing.assert_allclose(_traj(runs["1"][1], key),
+                                   _traj(runs["0"][1], key),
+                                   rtol=1e-6, err_msg=key)
+    np.testing.assert_allclose(runs["1"][0], runs["0"][0],
+                               rtol=1e-5, atol=1e-12)
+
+
 def test_red_mode_keeps_probe_columns():
     """--red re-draws its sample window per iteration, so the fixed-Gram
     quadrature does not apply: use_slq must be a no-op there (identical
