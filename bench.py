@@ -86,7 +86,8 @@ def synth_geno(N, M, chunk_cols=4096, miss=False):
                                      standardize_phen=False), lay, mpad
 
 
-def run_config(N, M, k_iters, warm_steps=2, miss=False, use_xxt=False):
+def run_config(N, M, k_iters, warm_steps=2, miss=False, use_xxt=False,
+               cg_extrapolate=None):
     """Build the sim problem, run the scan-mode engine, return timings."""
     import jax
     from gvamp_tpu import linear, sim
@@ -98,8 +99,12 @@ def run_config(N, M, k_iters, warm_steps=2, miss=False, use_xxt=False):
     y = sim.simulate_linear_phenotype(geno, beta[:M], 2.0, rng)
     geno.set_phen(y)
 
+    if cg_extrapolate is None:  # default ON (VampConfig round-5 default);
+        # BENCH_CG_EXTRAPOLATE=0 is the A/B kill-switch
+        cg_extrapolate = bool(int(os.environ.get("BENCH_CG_EXTRAPOLATE", 1)))
     cfg = linear.VampConfig(max_iter=k_iters + warm_steps, rho=0.15,
-                            gam1_init=1e-8, gamw_init=2.0, use_xxt=use_xxt)
+                            gam1_init=1e-8, gamw_init=2.0, use_xxt=use_xxt,
+                            cg_extrapolate=cg_extrapolate and not use_xxt)
     state = linear.init_state(geno, cfg, probs_t, vars_t)
     aux = linear.make_aux(geno, cfg)
     step = linear.make_step(geno, cfg)

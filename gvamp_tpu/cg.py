@@ -320,6 +320,50 @@ def tracked_warm_start_fwd(V, mu0_raw, gmu_raw, zmu_raw, tau_now, tau_ref,
     return mu0, r0, zmu0
 
 
+def extrapolate_pair(V, mu1, gmu1, mu2, gmu2, tau_now, gam2_cols,
+                     theta_max: float = 1.5):
+    """Least-squares secant extrapolation of the tracked warm start.
+
+    The Gram product is LINEAR, so the extrapolated start
+    ``mu0 = mu1 + theta (mu1 - mu2)`` has
+    ``gram(mu0) = gmu1 + theta (gmu1 - gmu2)`` with zero packed passes, and
+    the init residual is affine in theta: ``r(theta) = a - theta b`` with
+    ``a = V - (tau gmu1 + gam2 mu1)`` (the plain warm start's residual) and
+    ``b = tau (gmu1 - gmu2) + gam2 (mu1 - mu2)``.  The per-column
+    ``theta* = <a,b>/<b,b>`` minimizes ``||r(theta)||`` in closed form —
+    elementwise algebra only — so the tracked residual can only DROP below
+    the plain warm start's (theta = 0 recovers it exactly).  When the VAMP
+    parameter drift is smooth between iterations this cancels its
+    first-order term, which is what keeps the steady-state block CG at one
+    iteration instead of two (the 4-reads/iteration floor of the
+    bandwidth-bound config — see docs/ROOFLINE.md round 5).
+
+    ``theta`` is clamped to [0, theta_max]: the carried Gram products hold
+    CG-recursion fp noise, and the combination amplifies it by up to
+    (1 + 2 theta) between gram_refresh resets, so the clamp bounds the
+    worst-case growth.  Guards (theta = 0, i.e. the plain warm start): a
+    non-finite or all-zero previous pair (first iterations, resume from a
+    pre-extrapolation checkpoint), or a degenerate direction <b,b> ~ 0.
+
+    Returns ``(mu0, gmu0)`` for :func:`tracked_warm_start`, whose own
+    refresh/stale/cold guards then apply to the extrapolated pair.
+    """
+    ok = (jnp.all(jnp.isfinite(mu2)) & jnp.all(jnp.isfinite(gmu2))
+          & jnp.any(mu2 != 0) & jnp.any(gmu2 != 0))
+    dmu = mu1 - mu2
+    dg = gmu1 - gmu2
+    a = V - (tau_now * gmu1 + gam2_cols * mu1)
+    b = tau_now * dg + gam2_cols * dmu
+    ab = jnp.sum(a * b, axis=0)
+    bb = jnp.sum(b * b, axis=0)
+    tiny = jnp.finfo(V.dtype).tiny
+    theta = jnp.where(ok & (bb > tiny),
+                      jnp.clip(ab / jnp.where(bb > tiny, bb, 1.0),
+                               0.0, theta_max),
+                      0.0)
+    return mu1 + theta[None, :] * dmu, gmu1 + theta[None, :] * dg
+
+
 def gram_from_exit(V, sol, tau_now, gam2_cols):
     """Recover the pure Gram product of ``sol.mu`` from the CG exit
     residual: mult(mu) = V - r, so gram(mu) = (V - r - gam2*mu)/tau.

@@ -125,7 +125,7 @@ def load_state(path: str, state_cls):
         # restart with zeros — a cold warm-start; the engine's cold
         # detection recomputes the true init mult on the first solve
         if set(missing) - {"gmu", "gmu_n", "mu_cg", "mu_probe",
-                           "mu_probe_n", "tau_gmu"}:
+                           "mu_probe_n", "tau_gmu", "mu_prevb", "gmu_prev"}:
             raise KeyError(f"checkpoint {path} lacks state fields {missing}")
         x1 = vals["x1"]
         if "tau_gmu" in missing:  # zero = stale -> first solve re-mults
@@ -163,6 +163,12 @@ def load_state(path: str, state_cls):
             mun = vals["mu_cg_n"]
             vals["gmu_n"] = jnp.zeros(mun.shape + (1 + p.shape[1],),
                                       mun.dtype)
+        for f in ("mu_prevb", "gmu_prev"):
+            # secant warm-start pair added after the checkpoint was
+            # written: zeros disarm extrapolation (theta guard) until two
+            # fresh exits exist
+            if f in missing:
+                vals[f] = jnp.zeros_like(vals["gmu"])
     return state_cls(*[vals[f] for f in state_cls._fields]), meta
 
 

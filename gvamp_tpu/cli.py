@@ -128,7 +128,9 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
         for pf in opt.phen_files:
             y, isna = plink.read_phen(pf)
             ys.append(np.where(isna, np.nan, y))
-        cfg = linear.VampConfig(gamma_damp=opt.gamma_damp, **_common_cfg(
+        cfg = linear.VampConfig(gamma_damp=opt.gamma_damp,
+                                cg_extrapolate=opt.cg_extrapolate != 0,
+                                **_common_cfg(
             opt, gam1, 1e-6, opt.gamw_default() if gamw is None else gamw))
         mp = multi.MultiPhen.build(geno, ys)
         x_est, state, hist = multi.infer(mp, cfg, probs, vars_user,
@@ -152,6 +154,7 @@ def run_inference(opt: Options, geno, gam1=None, gamw=None, r1_init=None):
             gamma_damp=opt.gamma_damp,
             red=bool(opt.red),
             use_cross_val=bool(opt.use_cross_val),
+            cg_extrapolate=opt.cg_extrapolate != 0,  # -1 auto = on
             **_common_cfg(opt, gam1, 1e-6,
                           opt.gamw_default() if gamw is None else gamw))
         dump.meta = {"cfg": dataclasses.asdict(cfg)}
@@ -479,6 +482,11 @@ def _resume_run(opt: Options):
         # configuration, and the new default (use_slq=True) would shrink
         # mu_probe/gmu to zero columns and break the state shapes
         cfg_d.setdefault("use_slq", False)
+        # same policy for the secant warm start (round 5): resume restores
+        # the EXACT original configuration (a pre-round-5 run did not
+        # extrapolate; its state lacks a meaningful secant pair anyway —
+        # load_state zero-fills it)
+        cfg_d.setdefault("cg_extrapolate", False)
     probs, vars_user = _prior(opt, geno)
     start_it = int(meta.get("it", 0))
     cfg_d["max_iter"] = start_it + opt.iterations

@@ -167,6 +167,30 @@ class VampConfig:
                                  # iteration).  Equality vs the probe path
                                  # is pinned in tests/test_slq_engines.py.
     slq_k: int = 32              # Lanczos steps (quadrature nodes)
+    cg_extrapolate: bool = True  # secant-extrapolated CG warm start
+                                 # (cg.extrapolate_pair): start the LMMSE
+                                 # solve from mu1 + theta (mu1 - mu2) over
+                                 # the last TWO exits, theta the per-column
+                                 # closed-form least-squares minimizer of
+                                 # the init residual — Gram linearity makes
+                                 # both the start's Gram product and the
+                                 # residual free (zero packed passes).
+                                 # Cancels the first-order VAMP parameter
+                                 # drift between solves, targeting a
+                                 # steady-state block CG of ONE iteration
+                                 # (2 packed reads/it) instead of two on
+                                 # the bandwidth-bound configs.  The solve
+                                 # still exits at the same cg_err_tol, so
+                                 # accuracy class is unchanged.  Primal
+                                 # two-pass tracked path only (not red /
+                                 # dual).  No reference analog (the
+                                 # reference cold-starts every CG,
+                                 # vamp.cpp:594-596).  Default ON after the
+                                 # round-5 measurement: config B 0.082 ->
+                                 # 0.055 s/it (cg 2 -> 1), production
+                                 # recipe 30-it end state IDENTICAL to 4
+                                 # digits (corr/R2/gamw/live components)
+                                 # at 1.7x wall — BASELINE.md round 5
     fold_noise: bool = True      # fold the noise-EM pass into the CG exit:
                                  # resid2 = <mu, A^T A mu> - 2<mu, A^T y> +
                                  # |y|^2 and the Hutchinson trace correction
@@ -236,6 +260,11 @@ class LinState(NamedTuple):
                              # (exact identity mult(mu) = V - r at exit;
                              # refreshed every cfg.gram_refresh iterations)
     gmu_n: jax.Array         # dual-mode analog: A A^T [mu_cg_n | mu_probe_n]
+    mu_prevb: jax.Array      # the PREVIOUS iteration's exit block (one
+                             # iteration older than mu_cg|mu_probe) and its
+    gmu_prev: jax.Array      # tracked Gram product: the secant pair for
+                             # cfg.cg_extrapolate (cg.extrapolate_pair) —
+                             # zeros until two exits exist (theta guard)
 
 
 def init_state(geno, cfg: VampConfig, probs, vars_user,
@@ -277,6 +306,8 @@ def init_state(geno, cfg: VampConfig, probs, vars_user,
         cv_r2=jnp.asarray(-1.0, dt),
         gmu=jnp.zeros((Mp, 1 + probe_cols(cfg)), dt),
         gmu_n=jnp.zeros(geno.y_planar.shape + (1 + probe_cols(cfg),), dt),
+        mu_prevb=jnp.zeros((Mp, 1 + probe_cols(cfg)), dt),
+        gmu_prev=jnp.zeros((Mp, 1 + probe_cols(cfg)), dt),
     )
 
 
@@ -749,8 +780,15 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 # The Gram product is tau-free, and gamw moves slowly
                 # between linear iterations, so tau_ref = tau_now (the
                 # z-model tau-swing guard has nothing to catch here).
+                gmu_c = state.gmu
+                if cfg.cg_extrapolate:
+                    # secant extrapolation over the last two exits: LS
+                    # theta per column from Gram linearity, zero passes
+                    mu0, gmu_c = cg.extrapolate_pair(
+                        V, mu0, state.gmu, state.mu_prevb, state.gmu_prev,
+                        gamw, gam2_eff)
                 mu0, r0 = cg.tracked_warm_start(
-                    V, mu0, state.gmu, gamw, gamw, gam2_eff, it,
+                    V, mu0, gmu_c, gamw, gamw, gam2_eff, it,
                     cfg.gram_refresh, multb)
             sol = cg.solve_block(multb, V, mu0, diag, gam2_eff, cfg.cg_max_iter,
                                  modes=(0,) + (1,) * P_cg,
@@ -797,6 +835,14 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
                 # via the shared helper, no extra pass
                 w = dict(w)
                 w.update(gmu=cg.gram_from_exit(V, sol, gamw, gam2_eff))
+                if cfg.cg_extrapolate:
+                    # roll the secant pair: this iteration's START pair
+                    # (the previous exit + its tracked Gram) becomes the
+                    # one-older member
+                    w.update(
+                        mu_prevb=jnp.concatenate(
+                            [state.mu_cg[:, None], state.mu_probe], axis=1),
+                        gmu_prev=state.gmu)
             # Onsager alpha2 = gam2 * mean_j <u_j, Q^{-1} u_j>: the SLQ
             # quadrature of f(lam) = 1/(gamw lam + gam2) (same deterministic
             # u_j, g2d_onsager vamp.cpp:871-889) or the probe-CG Hutchinson
@@ -940,7 +986,9 @@ def make_step(geno, cfg: VampConfig, init_est: bool = False,
             gam1=w["gam1_new"], gam2=gam2, gamw=gamw_new, eta1=eta1,
             eta2=eta2, alpha1=alpha1, alpha2=alpha2, rho=rho, probs=probs,
             vars=vars_, cv_r2=cv_r2, gmu=w.get("gmu", state.gmu),
-            gmu_n=w.get("gmu_n", state.gmu_n))
+            gmu_n=w.get("gmu_n", state.gmu_n),
+            mu_prevb=w.get("mu_prevb", state.mu_prevb),
+            gmu_prev=w.get("gmu_prev", state.gmu_prev))
         return _cast_like(new_state, state), metrics
 
     phases = (("denoise", phase_denoise), ("z1_project", phase_project),

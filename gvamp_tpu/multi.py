@@ -246,6 +246,9 @@ class MultiState(NamedTuple):
                          # warm-start Gram product, see linear.LinState.gmu)
     tau_gmu: jax.Array   # [T] the per-trait tau `gmu` was stored at
                          # (tau-ratio guard, cg.tracked_warm_start)
+    mu_prevb: jax.Array  # [Mpad, T+T*P] the one-older exit block and its
+    gmu_prev: jax.Array  # tracked Gram product — the secant pair for
+                         # cfg.cg_extrapolate (see linear.LinState)
 
 
 def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
@@ -266,7 +269,9 @@ def init_state(mp: MultiPhen, cfg: VampConfig, probs, vars_user) -> MultiState:
         rho=jnp.full((T,), cfg.rho, dt),
         probs=probs_t, vars=vars_t, stopped=jnp.zeros((T,), bool),
         gmu=jnp.zeros((Mp, T * (1 + probe_cols(cfg))), dt),
-        tau_gmu=jnp.zeros((T,), dt))
+        tau_gmu=jnp.zeros((T,), dt),
+        mu_prevb=jnp.zeros((Mp, T * (1 + probe_cols(cfg))), dt),
+        gmu_prev=jnp.zeros((Mp, T * (1 + probe_cols(cfg))), dt))
 
 
 class MultiAux(NamedTuple):
@@ -493,8 +498,16 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
             # algebra except on refresh ticks
             tau_ref = jnp.concatenate([state.tau_gmu,
                                        state.tau_gmu[cols_tpc]])[None, :]
+            gmu_c = state.gmu
+            if cfg.cg_extrapolate:
+                # per-trait secant extrapolation over the last two exits
+                # (see linear.py / cg.extrapolate_pair): LS theta per
+                # column, zero packed passes
+                mu0, gmu_c = cg.extrapolate_pair(
+                    V, mu0, state.gmu, state.mu_prevb, state.gmu_prev,
+                    tau_cols[None, :], gam2_cols[None, :])
             mu0, r0 = cg.tracked_warm_start(
-                V, mu0, state.gmu, tau_cols[None, :], tau_ref,
+                V, mu0, gmu_c, tau_cols[None, :], tau_ref,
                 gam2_cols[None, :], it, cfg.gram_refresh, multb)
         # fold_noise: the T z1 = A_t x1_t columns ride the first CG
         # iteration's forward pass (see linear.py); no extra packed read
@@ -605,7 +618,16 @@ def make_step(mp: MultiPhen, cfg: VampConfig, jit: bool = True):
             stopped=stopped,
             gmu=jnp.where(jnp.concatenate([live, live_tp])[None, :],
                           gmu_new, state.gmu),
-            tau_gmu=jnp.where(live, gamw, state.tau_gmu))
+            tau_gmu=jnp.where(live, gamw, state.tau_gmu),
+            # roll the secant pair on the same live mask as gmu: frozen
+            # traits keep their pair (delta -> 0 -> theta guard disarms)
+            mu_prevb=(jnp.where(
+                jnp.concatenate([live, live_tp])[None, :],
+                jnp.concatenate([state.mu_cg, state.mu_probe], axis=1),
+                state.mu_prevb) if cfg.cg_extrapolate else state.mu_prevb),
+            gmu_prev=(jnp.where(jnp.concatenate([live, live_tp])[None, :],
+                                state.gmu, state.gmu_prev)
+                      if cfg.cg_extrapolate else state.gmu_prev))
         new_state = _cast_like(new_state, state)
         metrics = {
             "it": it, "gam1": gam1, "gam2": gam2, "gamw": gamw_new,

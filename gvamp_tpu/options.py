@@ -126,6 +126,18 @@ class Options:
                                     # --red (windowed operator).  See
                                     # linear.VampConfig.use_slq
     slq_k: int = 32                 # Lanczos steps (quadrature nodes)
+    cg_extrapolate: int = -1        # secant-extrapolated CG warm start over
+                                    # the last two LMMSE exits (per-column
+                                    # closed-form least-squares theta from
+                                    # Gram linearity, zero extra passes):
+                                    # steady-state CG drops to ONE iteration
+                                    # on bandwidth-bound runs (round-5
+                                    # measurement, BASELINE.md).  -1 = auto
+                                    # (ON for linear models — single- and
+                                    # multi-trait — on the primal two-pass
+                                    # path; vacuous elsewhere); explicit 1
+                                    # is rejected where it cannot apply.
+                                    # See linear.VampConfig.cg_extrapolate
     checkpoint: str = ""            # full-state checkpoint path ("" = off)
     resume: str = ""                # resume from a full-state checkpoint
     verbosity: int = 1
@@ -170,6 +182,7 @@ class Options:
                      ("--deflate-k", 0),
                      ("--deflate-iters", 8), ("--cg-plateau", 12),
                      ("--use-slq", 1), ("--slq-k", 32),
+                     ("--cg-extrapolate", -1),
                      ("--distributed", 0), ("--n-processes", 0),
                      ("--process-id", -1),
                      ("--verbosity", 1)]:
@@ -289,6 +302,7 @@ class Options:
         # rather than silently ignore on other model families
         if self.model != "linear":
             for nm, bad in [("--gamma-damp", self.gamma_damp != 1.0),
+                            ("--cg-extrapolate", self.cg_extrapolate == 1),
                             ("--red", self.red != 0),
                             ("--use-XXT-denoiser", self.use_XXT_denoiser),
                             ("--use-lmmse-damp", self.use_lmmse_damp),
@@ -304,6 +318,17 @@ class Options:
                 fatal("--red is not supported with --use-XXT-denoiser")
             if len(self.phen_files) > 1:
                 fatal("--red is not supported for multi-trait runs")
+        if self.cg_extrapolate == 1:
+            # the secant pair rides the tracked-Gram carry of the primal
+            # two-pass path; red re-draws its operator per iteration and
+            # dual mode has its own N-space carry — reject an EXPLICIT
+            # enable rather than silently ignore (the -1 auto default is
+            # simply vacuous on those paths)
+            if self.red:
+                fatal("--cg-extrapolate is not supported with --red")
+            if self.use_XXT_denoiser:
+                fatal("--cg-extrapolate is not supported with "
+                      "--use-XXT-denoiser")
         if self.backend == "pallas" and self.dtype == "float64":
             # the pallas kernels are int8-digit-quantized (~1e-7): honoring
             # an explicit f64 request there would silently downgrade

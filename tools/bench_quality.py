@@ -75,8 +75,10 @@ def run_production(geno, lay, mpad, beta, rng):
     y = sim.simulate_linear_phenotype(geno, beta[:M], 2.0, rng)
     geno.set_phen(y)
     probs23, vars23 = initialize_prior(None, None, N, M)
+    extrap = bool(int(os.environ.get("BENCH_CG_EXTRAPOLATE", 1)))
     cfg = linear.VampConfig(max_iter=30, rho=0.05, gam1_init=1e-8,
-                            gamw_init=2.0, stop_criteria_thr=0.0)
+                            gamw_init=2.0, stop_criteria_thr=0.0,
+                            cg_extrapolate=extrap)
     t0 = time.perf_counter()
     x_hat, state, hist = linear.infer(geno, cfg, probs23, vars23,
                                       true_signal=beta[:M], verbose=False,
